@@ -1,0 +1,213 @@
+"""Inverted-index build: corpus -> postings + doc stats + corpus stats.
+
+Reference pipeline (SURVEY.md §3.2, ``indexer/Indexer.java:295-454``):
+one JVM per manual shard, per-doc Java hash-map word counts, batched
+row-per-posting INSERTs into MySQL, tf/weight backfilled by SQL post-pass.
+
+Spark-first redesign — one declarative job:
+
+    corpus
+      -> tokenize (native regexp codegen, or Arrow pandas UDF)     [P2,P3]
+      -> posexplode -> (doc, pos, raw_token)
+      -> Porter stem via DISTINCT-vocab pandas UDF + broadcast join [P4,J8]
+         (the reference's `stemmer` dictionary trick, stem.java:74-157 —
+          stemming cost is O(|vocab|), not O(|tokens|))
+      -> groupBy(doc, term):  tf = count, positions = collect_list   [A1]
+      -> doc_stats:    groupBy(doc): doc_len, max_tf                 [A2]
+      -> corpus_stats: groupBy(term): df (exact), idf columns        [A4,F5]
+
+Scale notes (100 TB / 10^12 turns):
+- tokenize+explode is narrow (no shuffle); the only shuffles are the two
+  aggregations, both with map-side partial aggregation.
+- groupBy(doc, term) is keyed by (doc, term) — never skewed by hot terms
+  because the doc key spreads them.
+- groupBy(term) for df is a count-aggregate: partial aggregation already
+  collapses each map partition to one row per term, so a hot term costs
+  #partitions rows in the shuffle, not #postings. An explicitly salted
+  two-phase variant is provided (`document_frequency_salted`) as the
+  pattern required for non-reducible aggregates, and is what
+  `postings_codec.build_blocks` relies on (blocks = doc-range salting).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.porter import porter_stem
+from ..functions.tokenizer import tokenize_col, tokenize_udf
+
+DOC_KEY: tuple[str, ...] = ("conv_id", "turn_idx")
+
+
+@F.pandas_udf(T.StringType())
+def porter_stem_udf(terms: pd.Series) -> pd.Series:
+    """Vectorized Porter stem; only ever applied to the distinct vocab."""
+    return terms.map(lambda t: porter_stem(t) if isinstance(t, str) else t)
+
+
+def tokenize_turns(
+    corpus: DataFrame,
+    doc_key: Sequence[str] = DOC_KEY,
+    text_col: str = "text",
+    use_pandas_udf: bool = False,
+) -> DataFrame:
+    """corpus -> (doc_key..., pos, raw_term), one row per kept token.
+
+    ``use_pandas_udf=False`` keeps tokenization in whole-stage codegen
+    (regexp_extract_all); ``True`` routes through the Arrow pandas UDF.
+    Both are property-tested identical.
+    """
+    tok = tokenize_udf(F.col(text_col)) if use_pandas_udf else tokenize_col(F.col(text_col))
+    return (
+        corpus.select(*doc_key, F.posexplode(tok).alias("pos", "raw_term"))
+    )
+
+
+def stem_dictionary(tokens: DataFrame, term_col: str = "raw_term") -> DataFrame:
+    """(raw, target) for every distinct token — the reference's `stemmer`
+    table (2,246,656 rows there; tiny relative to the token stream)."""
+    return (
+        tokens.select(F.col(term_col).alias("raw"))
+        .distinct()
+        .withColumn("target", porter_stem_udf(F.col("raw")))
+    )
+
+
+def build_postings_long(
+    corpus: DataFrame,
+    doc_key: Sequence[str] = DOC_KEY,
+    text_col: str = "text",
+    stem: bool = True,
+    use_pandas_udf: bool = False,
+    with_positions: bool = True,
+) -> DataFrame:
+    """corpus -> long-form postings (doc_key..., term, tf, positions).
+
+    The reference's `invertedIndexStemmed` row-per-(term,doc) shape
+    (report p.2) with positions added per the north rule.
+    """
+    toks = tokenize_turns(corpus, doc_key, text_col, use_pandas_udf)
+    if stem:
+        dic = stem_dictionary(toks)
+        toks = (
+            toks.join(F.broadcast(dic), toks.raw_term == dic.raw, "left")
+            .select(*doc_key, "pos", F.coalesce("target", "raw_term").alias("term"))
+        )
+    else:
+        toks = toks.withColumnRenamed("raw_term", "term")
+    aggs = [F.count(F.lit(1)).cast("int").alias("tf")]
+    if with_positions:
+        aggs.append(F.array_sort(F.collect_list("pos")).alias("positions"))
+    return toks.groupBy(*doc_key, "term").agg(*aggs)
+
+
+def doc_stats(postings: DataFrame, doc_key: Sequence[str] = DOC_KEY) -> DataFrame:
+    """(doc_key..., doc_len, max_tf) — id2url.max_count analog
+    (Indexer.java:405-410) plus BM25's doc length."""
+    return postings.groupBy(*doc_key).agg(
+        F.sum("tf").cast("int").alias("doc_len"),
+        F.max("tf").cast("int").alias("max_tf"),
+    )
+
+
+def document_frequency(postings: DataFrame) -> DataFrame:
+    """(term, df) — exact document frequency (`corpus.numDoc`, report p.3).
+
+    Plain count aggregate: map-side partial agg makes hot terms cost one
+    row per input partition in the shuffle.
+    """
+    return postings.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+
+
+def document_frequency_salted(postings: DataFrame, salt_buckets: int = 32) -> DataFrame:
+    """Two-phase salted aggregation (term, salt) -> term.
+
+    The explicit hot-key pattern of the north rule (reference analog: the
+    FieldBased host-hash router, stormlite/routers/FieldBased.java:57-72).
+    For count-like aggs Catalyst's partial aggregation already defuses
+    skew; this variant is the template for aggregates with no map-side
+    reduction (collect_list-style), and is tested equal to
+    :func:`document_frequency`.
+    """
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in postings.columns if c != "term"]), F.lit(salt_buckets))
+    partial = (
+        postings.withColumn("salt", salt)
+        .groupBy("term", "salt")
+        .agg(F.count(F.lit(1)).alias("pdf"))
+    )
+    return partial.groupBy("term").agg(F.sum("pdf").cast("long").alias("df"))
+
+
+def corpus_stats(
+    postings: DataFrame, n_docs: int, n_postings: int
+) -> DataFrame:
+    """(term, df, idf_ref, idf_bm25).
+
+    idf_ref  = ln(n_postings / df)   — the reference's quirk: N = total
+               posting rows, not doc count (verified SURVEY §1.1 against
+               report p.3 example rows).
+    idf_bm25 = ln((N - df + .5)/(df + .5) + 1), N = n_docs.
+    """
+    df = document_frequency(postings)
+    return df.select(
+        "term",
+        "df",
+        F.log(F.lit(float(n_postings)) / F.col("df")).alias("idf_ref"),
+        F.log(
+            (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+        ).alias("idf_bm25"),
+    )
+
+
+@dataclass
+class InvertedIndex:
+    """Materialized index artifacts (all Spark DataFrames) + scalars."""
+
+    postings: DataFrame     # (doc_key..., term, tf, positions)
+    doc_stats: DataFrame    # (doc_key..., doc_len, max_tf)
+    corpus_stats: DataFrame  # (term, df, idf_ref, idf_bm25)
+    doc_key: tuple[str, ...]
+    n_docs: int
+    n_postings: int
+    avg_doc_len: float
+
+
+def build_index(
+    corpus: DataFrame,
+    doc_key: Sequence[str] = DOC_KEY,
+    text_col: str = "text",
+    stem: bool = True,
+    use_pandas_udf: bool = False,
+    cache: bool = True,
+) -> InvertedIndex:
+    """End-to-end batch index build (SURVEY.md §7 step 2/3)."""
+    postings = build_postings_long(corpus, doc_key, text_col, stem, use_pandas_udf)
+    if cache:
+        postings = postings.cache()
+    stats = doc_stats(postings, doc_key)
+    if cache:
+        stats = stats.cache()
+    totals = stats.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("doc_len").alias("total_len")
+    ).collect()[0]
+    n_docs = int(totals["n_docs"] or 0)
+    avg_len = float(totals["total_len"] or 0) / n_docs if n_docs else 0.0
+    n_postings = postings.count()
+    cstats = corpus_stats(postings, n_docs, n_postings)
+    if cache:
+        cstats = cstats.cache()
+    return InvertedIndex(
+        postings=postings,
+        doc_stats=stats,
+        corpus_stats=cstats,
+        doc_key=tuple(doc_key),
+        n_docs=n_docs,
+        n_postings=n_postings,
+        avg_doc_len=avg_len,
+    )

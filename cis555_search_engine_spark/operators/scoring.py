@@ -1,0 +1,109 @@
+"""Query-time scoring: BM25 (primary) and reference tf-idf (parity).
+
+Reference query lifecycle (SURVEY.md §3.1, frontend/SearchHelper.java):
+one MySQL SQL — semi-join postings on the query's term IN-list, hash-agg
+Σweight per doc, LEFT JOIN doc map + pagerank, ORDER BY score DESC LIMIT 80.
+
+Spark rebuild: the query's terms become a literal IN-list / broadcast
+semi-join (J1), scoring is pure column arithmetic (no UDF), the top-k is
+``orderBy(...).limit(k)`` which Spark plans as TakeOrderedAndProject —
+a per-partition heap + driver merge, NO global sort, the right plan at
+any scale.
+
+Tie-break everywhere: (score DESC, doc_key ASC) — deterministic where the
+reference (TreeMap insertion order / MySQL sort instability) is not
+(SURVEY §2.6 T2).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Column
+from pyspark.sql import functions as F
+
+from ..functions.porter import porter_stem
+from ..functions.tokenizer import tokenize_py
+from .index_build import InvertedIndex
+
+K1 = 1.2
+B = 0.75
+
+
+def bm25_query_terms(query: str) -> list[str]:
+    """Stemmed, deduplicated query terms. The query goes through the SAME
+    tokenizer as documents (reference sanitizes queries to [a-z0-9 ],
+    XPathApp.java:42-51; tokenize_py subsumes that)."""
+    return list(dict.fromkeys(porter_stem(t) for t in tokenize_py(query)))
+
+
+def ref_query_terms(query: str) -> list[str]:
+    """Reference semantics: stem(k) AND raw k for every keyword
+    (SearchHelper.java:138-144)."""
+    out: dict[str, None] = {}
+    for kw in tokenize_py(query):
+        out.setdefault(porter_stem(kw), None)
+        out.setdefault(kw, None)
+    return list(out)
+
+
+def _topk(scored: DataFrame, doc_key: Sequence[str], k: int) -> DataFrame:
+    order = [F.desc("score")] + [F.asc(c) for c in doc_key]
+    return scored.orderBy(*order).limit(k)
+
+
+def bm25_score_col(tf: Column, idf: Column, doc_len: Column, avg_len: float) -> Column:
+    """BM25 per-(term,doc) partial score as a native column expression."""
+    denom = tf + K1 * (1.0 - B + B * doc_len / F.lit(avg_len))
+    return idf * tf * (K1 + 1.0) / denom
+
+
+def bm25_topk(index: InvertedIndex, query: str, k: int = 80) -> DataFrame:
+    """Top-k docs by BM25. Returns (doc_key..., score)."""
+    terms = bm25_query_terms(query)
+    key = list(index.doc_key)
+    matched = index.postings.filter(F.col("term").isin(terms))
+    scored = (
+        matched.join(F.broadcast(index.corpus_stats.filter(F.col("term").isin(terms))), "term")
+        .join(index.doc_stats.select(*key, "doc_len"), key)
+        .withColumn(
+            "partial",
+            bm25_score_col(F.col("tf"), F.col("idf_bm25"), F.col("doc_len"), index.avg_doc_len),
+        )
+        .groupBy(*key)
+        .agg(F.sum("partial").alias("score"))
+    )
+    return _topk(scored, key, k)
+
+
+def tfidf_ref_topk(
+    index: InvertedIndex,
+    query: str,
+    k: int = 80,
+    prior: DataFrame | None = None,
+) -> DataFrame:
+    """Reference parity ranker (SearchHelper.java:155-185):
+
+    score(doc) = Σ_{t ∈ stem(q) ∪ raw(q)} (1+ln tf)/(1+ln max_tf) · ln(Np/df)
+                 (+ 0.5 · coalesce(prior, 0))
+    """
+    terms = ref_query_terms(query)
+    key = list(index.doc_key)
+    matched = index.postings.filter(F.col("term").isin(terms))
+    scored = (
+        matched.join(F.broadcast(index.corpus_stats.filter(F.col("term").isin(terms))), "term")
+        .join(index.doc_stats.select(*key, "max_tf"), key)
+        .withColumn(
+            "weight",
+            (1.0 + F.log("tf")) / (1.0 + F.log("max_tf")) * F.col("idf_ref"),
+        )
+        .groupBy(*key)
+        .agg(F.sum("weight").alias("score"))
+    )
+    if prior is not None:
+        scored = (
+            scored.join(prior, key, "left")
+            .withColumn("score", F.col("score") + 0.5 * F.coalesce(F.col("rank"), F.lit(0.0)))
+            .select(*key, "score")
+        )
+    return _topk(scored, key, k)

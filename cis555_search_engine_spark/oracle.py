@@ -1,0 +1,129 @@
+"""Pure-Python reference indexer + scorers — the correctness oracle.
+
+The reference has no machine-readable tests (SURVEY.md §5), so this module
+*is* the constructed oracle: it re-implements, in plain Python over plain
+dicts, exactly the semantics the Spark engine must match —
+
+- tokenizer: ``functions.tokenizer.tokenize_py`` (shared module),
+- stemming: ``functions.porter.porter_stem`` (shared module),
+- reference tf-idf ranker (frontend/SearchHelper.java:138-185):
+    tf_norm = (1 + ln(count)) / (1 + ln(max_count))        [report p.2]
+    idf_ref = ln(total_posting_rows / df)                  [report p.3]
+    weight  = tf_norm * idf_ref
+    match terms = {stem(k)} ∪ {k} for each query keyword   [:140-141]
+    score(doc) = Σ weight(t, doc) (+ 0.5 * prior)          [:157]
+    top-k by score DESC, tie-break (conv_id, turn_idx) ASC
+- BM25 ranker (primary, north rule): k1=1.2, b=0.75,
+    idf_bm25 = ln((N - df + 0.5) / (df + 0.5) + 1), N = #docs
+    score = Σ idf * tf*(k1+1) / (tf + k1*(1 - b + b*len/avglen))
+
+Tests assert the Spark engine is rank-identical (doc ids AND scores) to
+this oracle on the reference query set over the synthetic corpus.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+from dataclasses import dataclass, field
+
+from .functions.porter import porter_stem
+from .functions.tokenizer import tokenize_py
+
+K1 = 1.2
+B = 0.75
+
+
+@dataclass
+class OracleIndex:
+    # (conv_id, turn_idx) -> {term: tf}
+    doc_tf: dict[tuple[str, int], Counter] = field(default_factory=dict)
+    # (conv_id, turn_idx) -> {term: [positions]}
+    doc_pos: dict[tuple[str, int], dict[str, list[int]]] = field(default_factory=dict)
+    doc_len: dict[tuple[str, int], int] = field(default_factory=dict)
+    max_tf: dict[tuple[str, int], int] = field(default_factory=dict)
+    df: Counter = field(default_factory=Counter)
+    n_docs: int = 0
+    n_postings: int = 0  # total (term, doc) rows — reference's idf N (quirk, SURVEY §1.1)
+
+
+def build_index(docs: list[tuple[str, int, str]]) -> OracleIndex:
+    """docs = [(conv_id, turn_idx, text)]; stems every token."""
+    idx = OracleIndex()
+    for conv_id, turn_idx, text in docs:
+        key = (conv_id, turn_idx)
+        toks = [porter_stem(t) for t in tokenize_py(text)]
+        tf = Counter(toks)
+        pos: dict[str, list[int]] = {}
+        for p, t in enumerate(toks):
+            pos.setdefault(t, []).append(p)
+        idx.doc_tf[key] = tf
+        idx.doc_pos[key] = pos
+        idx.doc_len[key] = len(toks)
+        idx.max_tf[key] = max(tf.values()) if tf else 0
+        for t in tf:
+            idx.df[t] += 1
+        idx.n_docs += 1
+        idx.n_postings += len(tf)
+    return idx
+
+
+def query_terms(query: str) -> list[str]:
+    """Reference semantics: both the stemmed AND raw form of each keyword
+    (SearchHelper.java:138-144), deduplicated, order-preserving. Queries
+    pass through the document tokenizer (sanitizer analog, XPathApp.java:42-51)."""
+    seen: dict[str, None] = {}
+    for kw in tokenize_py(query):
+        for t in (porter_stem(kw), kw):
+            seen.setdefault(t, None)
+    return list(seen)
+
+
+def score_tfidf_ref(
+    idx: OracleIndex,
+    query: str,
+    k: int = 80,
+    prior: dict[tuple[str, int], float] | None = None,
+) -> list[tuple[str, int, float]]:
+    """Reference ranker: Σ tf-idf weight (+ 0.5*prior), top-k."""
+    terms = query_terms(query)
+    scores: dict[tuple[str, int], float] = {}
+    for t in terms:
+        dfreq = idx.df.get(t)
+        if not dfreq:
+            continue
+        idf = math.log(idx.n_postings / dfreq)
+        for key, tf in idx.doc_tf.items():
+            c = tf.get(t)
+            if c:
+                w = (1.0 + math.log(c)) / (1.0 + math.log(idx.max_tf[key])) * idf
+                scores[key] = scores.get(key, 0.0) + w
+    if prior:
+        for key in list(scores):
+            scores[key] += 0.5 * prior.get(key, 0.0)
+    ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+    return [(c, t, s) for (c, t), s in ranked[:k]]
+
+
+def score_bm25(
+    idx: OracleIndex, query: str, k: int = 80
+) -> list[tuple[str, int, float]]:
+    """BM25 top-k (stemmed query terms only — BM25 is the new primary
+    ranker; the stem∪raw union quirk stays in the parity ranker)."""
+    terms = list(dict.fromkeys(porter_stem(t) for t in tokenize_py(query)))
+    n = idx.n_docs
+    avglen = sum(idx.doc_len.values()) / n if n else 0.0
+    scores: dict[tuple[str, int], float] = {}
+    for t in terms:
+        dfreq = idx.df.get(t)
+        if not dfreq:
+            continue
+        idf = math.log((n - dfreq + 0.5) / (dfreq + 0.5) + 1.0)
+        for key, tf in idx.doc_tf.items():
+            c = tf.get(t)
+            if c:
+                dl = idx.doc_len[key]
+                s = idf * c * (K1 + 1.0) / (c + K1 * (1.0 - B + B * dl / avglen))
+                scores[key] = scores.get(key, 0.0) + s
+    ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+    return [(c, t, s) for (c, t), s in ranked[:k]]

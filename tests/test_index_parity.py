@@ -1,0 +1,94 @@
+"""Engine ↔ pure-Python-oracle parity: index artifacts and both rankers,
+rank-identical on the full reference query set (SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from cis555_search_engine_spark.oracle import score_bm25, score_tfidf_ref
+from cis555_search_engine_spark.operators.scoring import bm25_topk, tfidf_ref_topk
+from cis555_search_engine_spark.synth import REFERENCE_QUERIES
+
+
+def test_totals_match(spark_index, oracle_index):
+    assert spark_index.n_docs == oracle_index.n_docs
+    assert spark_index.n_postings == oracle_index.n_postings
+    avg = sum(oracle_index.doc_len.values()) / oracle_index.n_docs
+    assert spark_index.avg_doc_len == pytest.approx(avg)
+
+
+def test_doc_stats_match(spark_index, oracle_index):
+    rows = spark_index.doc_stats.collect()
+    assert len(rows) == oracle_index.n_docs
+    for r in rows:
+        key = (r["conv_id"], r["turn_idx"])
+        assert r["doc_len"] == oracle_index.doc_len[key]
+        assert r["max_tf"] == oracle_index.max_tf[key]
+
+
+def test_postings_sample_match(spark_index, oracle_index):
+    rows = spark_index.postings.filter(F.col("conv_id") == "conv000003").collect()
+    want = {
+        (k[0], k[1], t): c
+        for k, tf in oracle_index.doc_tf.items()
+        if k[0] == "conv000003"
+        for t, c in tf.items()
+    }
+    got = {(r["conv_id"], r["turn_idx"], r["term"]): r["tf"] for r in rows}
+    assert got == want
+    # positions parity on the same slice
+    for r in rows:
+        key = (r["conv_id"], r["turn_idx"])
+        assert list(r["positions"]) == oracle_index.doc_pos[key][r["term"]]
+
+
+def test_corpus_stats_match(spark_index, oracle_index):
+    rows = spark_index.corpus_stats.collect()
+    assert len(rows) == len(oracle_index.df)
+    np_, nd = oracle_index.n_postings, oracle_index.n_docs
+    for r in rows[:500]:
+        d = oracle_index.df[r["term"]]
+        assert r["df"] == d
+        assert r["idf_ref"] == pytest.approx(math.log(np_ / d))
+        assert r["idf_bm25"] == pytest.approx(math.log((nd - d + 0.5) / (d + 0.5) + 1))
+
+
+def _rank_identical(rows, oracle_rows):
+    got = [((r["conv_id"], r["turn_idx"]), r["score"]) for r in rows]
+    want = [((c, t), s) for c, t, s in oracle_rows]
+    assert [g[0] for g in got] == [w[0] for w in want]
+    for (gk, gs), (_, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, rel=1e-9), gk
+
+
+@pytest.mark.parametrize("query", REFERENCE_QUERIES)
+def test_bm25_rank_identical(spark_index, oracle_index, query):
+    _rank_identical(
+        bm25_topk(spark_index, query, k=80).collect(),
+        score_bm25(oracle_index, query, k=80),
+    )
+
+
+@pytest.mark.parametrize("query", REFERENCE_QUERIES[:8])
+def test_tfidf_ref_rank_identical(spark_index, oracle_index, query):
+    _rank_identical(
+        tfidf_ref_topk(spark_index, query, k=80).collect(),
+        score_tfidf_ref(oracle_index, query, k=80),
+    )
+
+
+def test_salted_df_equals_plain(spark_index):
+    from cis555_search_engine_spark.operators.index_build import (
+        document_frequency,
+        document_frequency_salted,
+    )
+
+    plain = {r["term"]: r["df"] for r in document_frequency(spark_index.postings).collect()}
+    salted = {
+        r["term"]: r["df"]
+        for r in document_frequency_salted(spark_index.postings, 8).collect()
+    }
+    assert plain == salted
