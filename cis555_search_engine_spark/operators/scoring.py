@@ -58,9 +58,12 @@ def bm25_score_col(tf: Column, idf: Column, doc_len: Column, avg_len: float) -> 
     return idf * tf * (K1 + 1.0) / denom
 
 
-def bm25_topk(index: InvertedIndex, query: str, k: int = 80) -> DataFrame:
-    """Top-k docs by BM25. Returns (doc_key..., score)."""
-    terms = bm25_query_terms(query)
+def bm25_topk(index: InvertedIndex, query: str, k: int = 80, stem: bool = True) -> DataFrame:
+    """Top-k docs by BM25. Returns (doc_key..., score).
+
+    ``stem=False`` matches raw tokens (for indexes built with stem=False).
+    """
+    terms = bm25_query_terms(query) if stem else list(dict.fromkeys(tokenize_py(query)))
     key = list(index.doc_key)
     matched = index.postings.filter(F.col("term").isin(terms))
     scored = (
@@ -81,13 +84,14 @@ def tfidf_ref_topk(
     query: str,
     k: int = 80,
     prior: DataFrame | None = None,
+    stem: bool = True,
 ) -> DataFrame:
     """Reference parity ranker (SearchHelper.java:155-185):
 
     score(doc) = Σ_{t ∈ stem(q) ∪ raw(q)} (1+ln tf)/(1+ln max_tf) · ln(Np/df)
                  (+ 0.5 · coalesce(prior, 0))
     """
-    terms = ref_query_terms(query)
+    terms = ref_query_terms(query) if stem else list(dict.fromkeys(tokenize_py(query)))
     key = list(index.doc_key)
     matched = index.postings.filter(F.col("term").isin(terms))
     scored = (
