@@ -1,0 +1,377 @@
+"""Compressed block-postings: the north-star physical index format.
+
+The reference stores one uncompressed MySQL row per (word, urlid) —
+175,896,214 rows, no positions (`invertedIndexStemmed`, report p.2;
+SURVEY.md §1.1). Here postings become **delta-encoded varint-compressed
+blobs in doc-range-aligned blocks**:
+
+    blocks(term string, block_id long, df_block int,
+           max_tf int, max_impact double, blob binary)
+
+Design decisions, all for 10^12-doc scale:
+
+- **Dense docIDs without a global sort bottleneck** (`mint_doc_ids`):
+  range-partition by the stable doc key, per-partition row_number, plus
+  broadcast cumulative partition offsets. The docID is a pure function of
+  the total (conv_id, turn_idx) order — deterministic across runs and
+  cluster sizes (SURVEY §1.3) — but no stage ever sees more than one
+  range partition.
+
+- **Blocks keyed by (term, docid // block_span)**: a hot term's postings
+  spread over n_docs/span groups, so no single task ever materializes a
+  stopword's full posting list. This IS the salted-repartition required
+  by the north rule — the salt is the doc range, which makes it useful
+  at query time too (below) instead of a throwaway shard key.
+
+- **Doc-range-aligned blocks across terms** make block-max pruning sound
+  AND exact: every doc in block b scores at most
+  ``ub(b) = Σ_t max_impact(t, b)`` over the query's terms, because each
+  term's contribution inside b is bounded by that term's block max.
+  Query path: (1) exact-score the few highest-ub blocks to get a
+  threshold θ = k-th best exact score; (2) decode ONLY blocks with
+  ub ≥ θ; (3) top-k of the union. Provably identical to exhaustive
+  scoring (property-tested in tests/test_postings_codec.py).
+
+- **Blobs are self-sufficient for BM25**: (docid, tf, doc_len, positions)
+  all in the blob, `max_impact` precomputed at build (BM25 impact is
+  query-independent) — the query path never joins doc_stats.
+
+Everything Python here runs inside Arrow-batched pandas UDFs over whole
+blocks — no per-row Python (north rule).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.porter import porter_stem
+from ..functions.tokenizer import tokenize_py
+from ..functions.varint import decode_block, encode_block
+from .index_build import DOC_KEY, InvertedIndex
+
+K1 = 1.2
+B = 0.75
+
+DEFAULT_BLOCK_SPAN = 4096  # docids per block (tune: posting rows per group)
+
+
+# --------------------------------------------------------------- docids
+
+def mint_doc_ids(
+    docs: DataFrame, doc_key: Sequence[str] = DOC_KEY, num_partitions: int | None = None
+) -> DataFrame:
+    """(doc_key...) -> (doc_key..., docid long), docid = rank in the total
+    (doc_key) order, 0-based.
+
+    Scale path: repartitionByRange keeps each partition a contiguous key
+    range; a per-partition window computes local ranks; tiny per-partition
+    counts are collected and turned into broadcast offsets. The reference
+    minted ids with a single-threaded counter over an ORDER BY scan
+    (indexer/Indexer.java:306-317) — same total order, no single thread.
+    """
+    spark = docs.sparkSession
+    n_part = num_partitions or spark.sparkContext.defaultParallelism
+    keyed = docs.select(*doc_key).distinct()
+    ranged = keyed.repartitionByRange(n_part, *doc_key).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    # cache so the partition assignment seen by the count and by the main
+    # pass is the same physical one
+    ranged = ranged.cache()
+    counts = ranged.groupBy("_pid").count().collect()  # ≤ n_part rows
+    acc = 0
+    offsets = []
+    for row in sorted(counts, key=lambda r: r["_pid"]):
+        offsets.append((int(row["_pid"]), acc))
+        acc += int(row["count"])
+    off_df = spark.createDataFrame(offsets, "_pid int, _off long")
+    w = Window.partitionBy("_pid").orderBy(*[F.asc(c) for c in doc_key])
+    out = (
+        ranged.withColumn("_rn", F.row_number().over(w))
+        .join(F.broadcast(off_df), "_pid")
+        .select(*doc_key, (F.col("_off") + F.col("_rn") - 1).alias("docid"))
+    )
+    return out
+
+
+# --------------------------------------------------------------- build
+
+_BLOCK_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType()),
+        T.StructField("block_id", T.LongType()),
+        T.StructField("df_block", T.IntegerType()),
+        T.StructField("max_tf", T.IntegerType()),
+        T.StructField("max_impact", T.DoubleType()),
+        T.StructField("blob", T.BinaryType()),
+    ]
+)
+
+
+def _bm25_impact(tf: np.ndarray, doc_len: np.ndarray, idf: float, avg_len: float) -> np.ndarray:
+    tf = tf.astype(np.float64)
+    denom = tf + K1 * (1.0 - B + B * doc_len.astype(np.float64) / avg_len)
+    return idf * tf * (K1 + 1.0) / denom
+
+
+def build_blocks(
+    index: InvertedIndex,
+    block_span: int = DEFAULT_BLOCK_SPAN,
+    docid_map: DataFrame | None = None,
+) -> "BlockIndex":
+    """InvertedIndex (long postings) -> BlockIndex (compressed blocks)."""
+    doc_key = list(index.doc_key)
+    if docid_map is None:
+        docid_map = mint_doc_ids(index.doc_stats, doc_key)
+    avg_len = index.avg_doc_len
+
+    has_pos = "positions" in index.postings.columns
+    pos_col = F.col("positions") if has_pos else F.array().cast("array<int>")
+
+    enriched = (
+        index.postings.join(docid_map, doc_key)
+        .join(
+            index.doc_stats.select(*doc_key, "doc_len"), doc_key
+        )
+        .join(F.broadcast(index.corpus_stats.select("term", "idf_bm25")), "term")
+        .select(
+            "term",
+            F.floor(F.col("docid") / block_span).alias("block_id"),
+            "docid",
+            "tf",
+            "doc_len",
+            pos_col.alias("positions"),
+            "idf_bm25",
+        )
+    )
+
+    span = block_span
+
+    def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("docid")
+        term = pdf["term"].iloc[0]
+        block_id = int(pdf["block_id"].iloc[0])
+        base = block_id * span
+        docids = pdf["docid"].to_numpy(dtype=np.int64)
+        tfs = pdf["tf"].to_numpy(dtype=np.int64)
+        lens = pdf["doc_len"].to_numpy(dtype=np.int64)
+        poss = [list(p) if p is not None else [] for p in pdf["positions"]]
+        idf = float(pdf["idf_bm25"].iloc[0])
+        impacts = _bm25_impact(tfs, lens, idf, avg_len)
+        blob = encode_block(docids, tfs, lens, poss, base)
+        return pd.DataFrame(
+            {
+                "term": [term],
+                "block_id": [block_id],
+                "df_block": [len(docids)],
+                "max_tf": [int(tfs.max())],
+                "max_impact": [float(impacts.max())],
+                "blob": [blob],
+            }
+        )
+
+    blocks = enriched.groupBy("term", "block_id").applyInPandas(
+        encode_group, schema=_BLOCK_SCHEMA
+    )
+    return BlockIndex(
+        blocks=blocks,
+        docid_map=docid_map,
+        corpus_stats=index.corpus_stats,
+        doc_key=tuple(doc_key),
+        n_docs=index.n_docs,
+        avg_doc_len=avg_len,
+        block_span=block_span,
+    )
+
+
+@dataclass
+class BlockIndex:
+    blocks: DataFrame        # (term, block_id, df_block, max_tf, max_impact, blob)
+    docid_map: DataFrame     # (doc_key..., docid)
+    corpus_stats: DataFrame  # (term, df, idf_ref, idf_bm25)
+    doc_key: tuple[str, ...]
+    n_docs: int
+    avg_doc_len: float
+    block_span: int
+
+    def cache(self) -> "BlockIndex":
+        self.blocks = self.blocks.cache()
+        self.docid_map = self.docid_map.cache()
+        return self
+
+
+# --------------------------------------------------------------- decode
+
+_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType()),
+        T.StructField("docid", T.LongType()),
+        T.StructField("tf", T.IntegerType()),
+        T.StructField("doc_len", T.IntegerType()),
+        T.StructField("positions", T.ArrayType(T.IntegerType())),
+    ]
+)
+
+
+def decode_blocks(blocks: DataFrame, block_span: int, with_positions: bool = True) -> DataFrame:
+    """blocks -> long rows (term, docid, tf, doc_len, positions)."""
+    span = block_span
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            terms: list[str] = []
+            docids: list[np.ndarray] = []
+            tfs: list[np.ndarray] = []
+            lens: list[np.ndarray] = []
+            poss: list[list[list[int]]] = []
+            for term, block_id, blob in zip(pdf["term"], pdf["block_id"], pdf["blob"]):
+                d, t, ln, p = decode_block(bytes(blob), int(block_id) * span)
+                terms.extend([term] * len(d))
+                docids.append(d)
+                tfs.append(t)
+                lens.append(ln)
+                poss.append(p if with_positions else [[] for _ in range(len(d))])
+            if not docids:
+                continue
+            yield pd.DataFrame(
+                {
+                    "term": terms,
+                    "docid": np.concatenate(docids),
+                    "tf": np.concatenate(tfs).astype(np.int32),
+                    "doc_len": np.concatenate(lens).astype(np.int32),
+                    "positions": [x for blk in poss for x in blk],
+                }
+            )
+
+    cols = blocks.select("term", "block_id", "blob")
+    return cols.mapInPandas(gen, schema=_DECODE_SCHEMA)
+
+
+# ---------------------------------------------------------------- query
+
+def _score_decoded(decoded: DataFrame, corpus_stats: DataFrame, terms: list[str], avg_len: float) -> DataFrame:
+    """(term, docid, tf, doc_len) rows -> (docid, score)."""
+    idf = corpus_stats.filter(F.col("term").isin(terms)).select("term", "idf_bm25")
+    tfd = F.col("tf").cast("double")
+    denom = tfd + K1 * (1.0 - B + B * F.col("doc_len") / F.lit(avg_len))
+    return (
+        decoded.join(F.broadcast(idf), "term")
+        .withColumn("partial", F.col("idf_bm25") * tfd * (K1 + 1.0) / denom)
+        .groupBy("docid")
+        .agg(F.sum("partial").alias("score"))
+    )
+
+
+def bm25_topk_blocks(
+    bidx: BlockIndex,
+    query: str,
+    k: int = 80,
+    stem: bool = True,
+    prune: bool = True,
+    seed_blocks: int = 8,
+) -> DataFrame:
+    """Top-k BM25 from compressed blocks, block-max pruned, EXACT.
+
+    Returns (doc_key..., score). With ``prune=False`` decodes every block
+    of every query term (the exhaustive baseline the pruned path is
+    tested against).
+    """
+    toks = tokenize_py(query)
+    terms = list(dict.fromkeys(porter_stem(t) for t in toks)) if stem else list(dict.fromkeys(toks))
+    if not terms:
+        return _empty_topk(bidx)
+
+    tblocks = bidx.blocks.filter(F.col("term").isin(terms))
+
+    if prune:
+        tblocks = tblocks.cache()
+        # per-block upper bound over the query's terms (doc-range aligned)
+        ub = tblocks.groupBy("block_id").agg(
+            F.sum("max_impact").alias("ub"), F.sum("df_block").alias("nd")
+        )
+        # Phase 1: seed threshold from the highest-ub blocks (enough to
+        # hold >= k docs). TakeOrderedAndProject — no global sort.
+        seed_ids_rows = (
+            ub.orderBy(F.desc("ub"), F.asc("block_id")).limit(max(seed_blocks, 4)).collect()
+        )
+        got, chosen = 0, []
+        for r in seed_ids_rows:
+            chosen.append(r["block_id"])
+            got += int(r["nd"])
+            if got >= k:
+                break
+        seed = tblocks.filter(F.col("block_id").isin([int(b) for b in chosen]))
+        seed_scores = _score_decoded(
+            decode_blocks(seed, bidx.block_span, with_positions=False),
+            bidx.corpus_stats, terms, bidx.avg_doc_len,
+        )
+        kth = (
+            seed_scores.orderBy(F.desc("score")).limit(k)
+            .agg(F.min("score").alias("m"), F.count(F.lit(1)).alias("c"))
+            .collect()[0]
+        )
+        theta = float(kth["m"]) if (kth["c"] or 0) >= k else float("-inf")
+        # Phase 2: only blocks whose bound can reach theta
+        survivors = ub.filter(F.col("ub") >= F.lit(theta)).select("block_id")
+        live = tblocks.join(F.broadcast(survivors), "block_id", "left_semi")
+    else:
+        live = tblocks
+
+    scores = _score_decoded(
+        decode_blocks(live, bidx.block_span, with_positions=False),
+        bidx.corpus_stats, terms, bidx.avg_doc_len,
+    )
+    top = scores.orderBy(F.desc("score"), F.asc("docid")).limit(k)
+    key = list(bidx.doc_key)
+    return (
+        top.join(bidx.docid_map, "docid")
+        .select(*key, "score")
+        .orderBy(F.desc("score"), *[F.asc(c) for c in key])
+    )
+
+
+def _empty_topk(bidx: BlockIndex) -> DataFrame:
+    key_schema = bidx.docid_map.select(*bidx.doc_key).schema
+    fields = key_schema.fields + [T.StructField("score", T.DoubleType())]
+    return bidx.docid_map.sparkSession.createDataFrame([], T.StructType(fields))
+
+
+def count_live_blocks(bidx: BlockIndex, query: str, k: int = 80, stem: bool = True) -> tuple[int, int]:
+    """(blocks decoded with pruning, total query-term blocks) — the
+    pruning-effectiveness counter (SURVEY §7 step 7)."""
+    toks = tokenize_py(query)
+    terms = list(dict.fromkeys(porter_stem(t) for t in toks)) if stem else list(dict.fromkeys(toks))
+    tblocks = bidx.blocks.filter(F.col("term").isin(terms)).cache()
+    total = tblocks.count()
+    ub = tblocks.groupBy("block_id").agg(F.sum("max_impact").alias("ub"), F.sum("df_block").alias("nd"))
+    seed_rows = ub.orderBy(F.desc("ub"), F.asc("block_id")).limit(8).collect()
+    got, chosen = 0, []
+    for r in seed_rows:
+        chosen.append(r["block_id"])
+        got += int(r["nd"])
+        if got >= k:
+            break
+    seed = tblocks.filter(F.col("block_id").isin([int(b) for b in chosen]))
+    seed_scores = _score_decoded(
+        decode_blocks(seed, bidx.block_span, with_positions=False),
+        bidx.corpus_stats, terms, bidx.avg_doc_len,
+    )
+    kth = (
+        seed_scores.orderBy(F.desc("score")).limit(k)
+        .agg(F.min("score").alias("m"), F.count(F.lit(1)).alias("c")).collect()[0]
+    )
+    theta = float(kth["m"]) if (kth["c"] or 0) >= k else float("-inf")
+    live = tblocks.join(
+        F.broadcast(ub.filter(F.col("ub") >= F.lit(theta)).select("block_id")),
+        "block_id", "left_semi",
+    ).count()
+    return int(live), int(total)

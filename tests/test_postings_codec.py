@@ -1,0 +1,153 @@
+"""Codec + block-index tests (SURVEY.md §7 steps 4 and 7).
+
+- varint/block codec: encode∘decode = id (hypothesis property test)
+- mint_doc_ids: dense, 0-based, ordered by the stable doc key
+- blob-based BM25 ≡ long-form BM25 (exhaustive and pruned)
+- block-max pruning actually skips blocks
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from cis555_search_engine_spark.functions.varint import (
+    decode_block,
+    decode_varints,
+    encode_block,
+    encode_varints,
+)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**62), max_size=200))
+@settings(max_examples=200, deadline=None)
+def test_varint_roundtrip(vals):
+    buf = encode_varints(vals)
+    out, off = decode_varints(buf, 0, len(vals))
+    assert out.tolist() == vals
+    assert off == len(buf)
+
+
+@st.composite
+def _block(draw):
+    n = draw(st.integers(min_value=0, max_value=50))
+    base = draw(st.integers(min_value=0, max_value=10**6))
+    gaps = draw(st.lists(st.integers(0, 1000), min_size=n, max_size=n))
+    docids = np.cumsum(np.asarray(gaps, dtype=np.int64)) + base if n else np.empty(0, np.int64)
+    tfs = draw(st.lists(st.integers(1, 500), min_size=n, max_size=n))
+    lens = draw(st.lists(st.integers(1, 5000), min_size=n, max_size=n))
+    positions = [
+        sorted(draw(st.lists(st.integers(0, 10000), min_size=0, max_size=8)))
+        for _ in range(n)
+    ]
+    return docids, np.asarray(tfs, np.int64), np.asarray(lens, np.int64), positions, base
+
+
+@given(_block())
+@settings(max_examples=100, deadline=None)
+def test_block_roundtrip(blk):
+    docids, tfs, lens, positions, base = blk
+    blob = encode_block(docids, tfs, lens, positions, base)
+    d, t, ln, p = decode_block(blob, base)
+    assert d.tolist() == docids.tolist()
+    assert t.tolist() == tfs.tolist()
+    assert ln.tolist() == lens.tolist()
+    assert p == positions
+
+
+def test_block_rejects_unsorted():
+    with pytest.raises(ValueError):
+        encode_block(
+            np.array([5, 3]), np.array([1, 1]), np.array([2, 2]), [[], []], 0
+        )
+
+
+# ---------------------------------------------------------------- spark
+
+@pytest.fixture(scope="module")
+def block_index(spark_index):
+    from cis555_search_engine_spark.operators.postings_codec import build_blocks
+
+    # small span so the tiny test corpus still yields multiple blocks
+    return build_blocks(spark_index, block_span=64).cache()
+
+
+def test_mint_doc_ids_dense_and_ordered(spark_index):
+    from cis555_search_engine_spark.operators.postings_codec import mint_doc_ids
+
+    m = mint_doc_ids(spark_index.doc_stats).collect()
+    rows = sorted(((r["conv_id"], r["turn_idx"]), r["docid"]) for r in m)
+    ids = [d for _, d in rows]
+    assert ids == list(range(len(rows)))  # dense, 0-based, key-ordered
+
+
+def test_mint_doc_ids_deterministic_across_parallelism(spark_index):
+    from cis555_search_engine_spark.operators.postings_codec import mint_doc_ids
+
+    a = {(r["conv_id"], r["turn_idx"]): r["docid"]
+         for r in mint_doc_ids(spark_index.doc_stats, num_partitions=2).collect()}
+    b = {(r["conv_id"], r["turn_idx"]): r["docid"]
+         for r in mint_doc_ids(spark_index.doc_stats, num_partitions=13).collect()}
+    assert a == b
+
+
+def test_decode_blocks_matches_long_postings(spark_index, block_index):
+    from cis555_search_engine_spark.operators.postings_codec import decode_blocks
+
+    decoded = decode_blocks(block_index.blocks, block_index.block_span)
+    got = {
+        (r["term"], r["docid"]): (r["tf"], r["doc_len"], tuple(r["positions"]))
+        for r in decoded.collect()
+    }
+    idmap = {(r["conv_id"], r["turn_idx"]): r["docid"] for r in block_index.docid_map.collect()}
+    lens = {(r["conv_id"], r["turn_idx"]): r["doc_len"] for r in spark_index.doc_stats.collect()}
+    want = {}
+    for r in spark_index.postings.collect():
+        key = (r["conv_id"], r["turn_idx"])
+        want[(r["term"], idmap[key])] = (r["tf"], lens[key], tuple(r["positions"]))
+    assert got == want
+
+
+QUERIES = ["rice noodle", "coronavirus", "warren buffett", "presidential election", "zoom"]
+
+
+@pytest.mark.parametrize("query", QUERIES)
+def test_blob_bm25_matches_longform(spark_index, block_index, query):
+    from cis555_search_engine_spark.operators.postings_codec import bm25_topk_blocks
+    from cis555_search_engine_spark.operators.scoring import bm25_topk
+
+    want = [
+        (r["conv_id"], r["turn_idx"], r["score"])
+        for r in bm25_topk(spark_index, query, k=20).collect()
+    ]
+    for prune in (False, True):
+        got = [
+            (r["conv_id"], r["turn_idx"], r["score"])
+            for r in bm25_topk_blocks(block_index, query, k=20, prune=prune).collect()
+        ]
+        assert [(c, t) for c, t, _ in got] == [(c, t) for c, t, _ in want], (prune, query)
+        for (_, _, gs), (_, _, ws) in zip(got, want):
+            assert math.isclose(gs, ws, rel_tol=1e-9), (prune, query)
+
+
+def test_pruning_skips_blocks(block_index):
+    from cis555_search_engine_spark.operators.postings_codec import count_live_blocks
+
+    # hot query term + small k -> pruning must drop something
+    live, total = count_live_blocks(block_index, "coronavirus", k=3)
+    assert live <= total
+    assert total > 0
+    # at least one query in the set must actually prune
+    results = [count_live_blocks(block_index, q, k=2) for q in QUERIES]
+    assert any(live < total for live, total in results), results
+
+
+def test_empty_query_returns_empty(block_index):
+    from cis555_search_engine_spark.operators.postings_codec import bm25_topk_blocks
+
+    assert bm25_topk_blocks(block_index, "", k=5).collect() == []
+    assert bm25_topk_blocks(block_index, "zzzqqq", k=5).collect() == []
