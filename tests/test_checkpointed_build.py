@@ -1,0 +1,86 @@
+"""Checkpoint/resume + lineage tests (SURVEY.md §7 step 6)."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pytest
+
+
+@pytest.fixture()
+def out_dir(tmp_path):
+    return str(tmp_path / "index_ckpt")
+
+
+def _build(corpus_sdf, out_dir, n_groups=4):
+    from cis555_search_engine_spark.operators.checkpointed_build import (
+        checkpointed_postings_build,
+    )
+
+    return checkpointed_postings_build(corpus_sdf, out_dir, n_groups=n_groups)
+
+
+def test_full_build_then_resume_skips_everything(corpus_sdf, out_dir):
+    from cis555_search_engine_spark.operators.checkpointed_build import read_lineage
+
+    r1 = _build(corpus_sdf, out_dir)
+    assert [g.status for g in r1] == ["built"] * 4
+    r2 = _build(corpus_sdf, out_dir)
+    assert [g.status for g in r2] == ["skipped"] * 4
+    assert [g.rows for g in r2] == [g.rows for g in r1]
+    lineage = read_lineage(out_dir)
+    assert len(lineage) == 8
+    assert all("wall_s" in rec and "fingerprint" in rec for rec in lineage)
+
+
+def test_resume_rebuilds_only_missing_group(corpus_sdf, out_dir):
+    r1 = _build(corpus_sdf, out_dir)
+    # simulate a crash that lost group 2: manifest gone, data partial
+    os.remove(os.path.join(out_dir, "_manifests", "group_00002.json"))
+    shutil.rmtree(os.path.join(out_dir, "postings_long", "group=2"))
+    r2 = _build(corpus_sdf, out_dir)
+    statuses = {g.group: g.status for g in r2}
+    assert statuses == {0: "skipped", 1: "skipped", 2: "built", 3: "skipped"}
+    assert r2[2].rows == r1[2].rows
+
+
+def test_stale_manifest_fingerprint_triggers_rebuild(corpus_sdf, out_dir):
+    _build(corpus_sdf, out_dir)
+    mpath = os.path.join(out_dir, "_manifests", "group_00001.json")
+    with open(mpath) as f:
+        m = json.load(f)
+    m["fingerprint"]["rows"] += 1  # pretend the input changed
+    with open(mpath, "w") as f:
+        json.dump(m, f)
+    r2 = _build(corpus_sdf, out_dir)
+    statuses = {g.group: g.status for g in r2}
+    assert statuses[1] == "built"
+    assert statuses[0] == statuses[2] == statuses[3] == "skipped"
+
+
+def test_finalized_index_equals_direct_build(spark, corpus_sdf, spark_index, out_dir):
+    from cis555_search_engine_spark.operators.checkpointed_build import finalize_index
+
+    _build(corpus_sdf, out_dir)
+    idx = finalize_index(spark, out_dir, write_stats=False)
+    assert idx.n_docs == spark_index.n_docs
+    assert idx.n_postings == spark_index.n_postings
+    assert abs(idx.avg_doc_len - spark_index.avg_doc_len) < 1e-9
+
+    key = lambda r: (r["conv_id"], r["turn_idx"], r["term"])  # noqa: E731
+    got = {key(r): (r["tf"], tuple(r["positions"])) for r in idx.postings.collect()}
+    want = {key(r): (r["tf"], tuple(r["positions"])) for r in spark_index.postings.collect()}
+    assert got == want
+
+
+def test_finalized_index_answers_queries(spark, corpus_sdf, spark_index, out_dir):
+    from cis555_search_engine_spark.operators.checkpointed_build import finalize_index
+    from cis555_search_engine_spark.operators.scoring import bm25_topk
+
+    _build(corpus_sdf, out_dir)
+    idx = finalize_index(spark, out_dir, write_stats=False)
+    got = [(r["conv_id"], r["turn_idx"]) for r in bm25_topk(idx, "rice noodle", k=10).collect()]
+    want = [(r["conv_id"], r["turn_idx"]) for r in bm25_topk(spark_index, "rice noodle", k=10).collect()]
+    assert got == want
