@@ -378,6 +378,336 @@ GROUP BY 1, 2
 """
 
 
+# ------------------------------------------------ training-data ops
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by canonical token-set key (operators/dedup.py)."""
+    from .operators.dedup import exact_dedup
+
+    return exact_dedup(load(spark, sf_dir, "documents"))
+
+
+SQL_DEDUP_EXACT = """
+WITH keyed AS (
+  SELECT doc_id AS id,
+         list_aggr(list_sort(list_distinct(string_split(text, ' '))), 'string_agg', ' ') AS ckey
+  FROM documents
+),
+grp AS (
+  SELECT ckey, min(id) AS rep_id, count(*) AS c FROM keyed GROUP BY ckey HAVING c > 1
+)
+SELECT g.rep_id, k.id AS dup_id
+FROM grp g JOIN keyed k ON g.ckey = k.ckey
+WHERE k.id <> g.rep_id
+"""
+
+
+# shared DuckDB CTE: distinct 3-gram shingles per document
+SQL_SHINGLES = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                        for i in range(1, len(toks) - 1)]) AS shingles
+  FROM t
+)
+"""
+
+SQL_JACCARD_BODY = """
+SELECT a.doc_id AS i, b.doc_id AS j,
+       round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+             / len(list_distinct(a.shingles || b.shingles)), 6) AS jac
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
+      / len(list_distinct(a.shingles || b.shingles)) >= {thr}
+"""
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shingle-Jaccard near-dup pairs at 0.5 (shingle-keyed join)."""
+    from .operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(load(spark, sf_dir, "documents"), threshold=0.5)
+
+
+SQL_DEDUP_NGRAM = SQL_SHINGLES + SQL_JACCARD_BODY.format(thr=0.5)
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidates verified by exact Jaccard at 0.9. The
+    oracle is the exact all-pairs SQL — equality proves LSH recall 1.0
+    at this threshold (band params chosen for that; tests/test_dedup.py).
+    """
+    from .operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(load(spark, sf_dir, "documents"), threshold=0.9)
+
+
+SQL_DEDUP_MINHASH = SQL_SHINGLES + SQL_JACCARD_BODY.format(thr=0.9)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming <= 3). Hash-dependent output —
+    no SQL oracle (rows-only check); properties covered in pytest
+    (tests/test_dedup.py: completeness vs brute-force Hamming)."""
+    from .operators.dedup import simhash_pairs
+
+    return simhash_pairs(load(spark, sf_dir, "documents"), max_hamming=3)
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-20 neighbors of vec 0 (exact baseline)."""
+    from .operators.similarity import ann_topk_bruteforce
+
+    return ann_topk_bruteforce(load(spark, sf_dir, "embeddings"), query_vec_id=0, k=20)
+
+
+SQL_ANN_TOPK = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id,
+       round(list_cosine_similarity(e.embedding::DOUBLE[], q.qvec), 6) AS cos
+FROM embeddings e, q
+WHERE e.vec_id <> 0
+ORDER BY cos DESC, e.vec_id ASC
+LIMIT 20
+"""
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-probed ANN top-10 (centroids = first 10 ids, 3 probes)."""
+    from .operators.similarity import ann_topk_ivf
+
+    return ann_topk_ivf(
+        load(spark, sf_dir, "embeddings"), query_vec_id=0, k=10, n_centroids=10, n_probe=3
+    )
+
+
+SQL_ANN_IVF = """
+WITH c AS (
+  SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cvec
+  FROM embeddings ORDER BY vec_id LIMIT 10
+),
+asg AS (
+  SELECT vec_id, cent_id AS cell FROM (
+    SELECT e.vec_id, c.cent_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cvec) DESC,
+                      c.cent_id ASC) AS rn
+    FROM embeddings e CROSS JOIN c) WHERE rn = 1
+),
+q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0),
+probe AS (
+  SELECT cent_id FROM c, q
+  ORDER BY list_cosine_similarity(cvec, qvec) DESC, cent_id ASC LIMIT 3
+)
+SELECT e.vec_id,
+       round(list_cosine_similarity(e.embedding::DOUBLE[], q.qvec), 6) AS cos
+FROM embeddings e JOIN asg a ON e.vec_id = a.vec_id, q
+WHERE a.cell IN (SELECT cent_id FROM probe) AND e.vec_id <> 0
+ORDER BY cos DESC, e.vec_id ASC
+LIMIT 10
+"""
+
+
+def q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs (cosine >= 0.4), ids < 500 (bounded)."""
+    from .operators.similarity import cosine_near_dup_pairs
+
+    return cosine_near_dup_pairs(
+        load(spark, sf_dir, "embeddings"), threshold=0.4, max_id=500
+    )
+
+
+SQL_COSINE_PAIRS = """
+SELECT a.vec_id AS i, b.vec_id AS j,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE a.vec_id < 500 AND b.vec_id < 500
+  AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text_analysis import lang_id
+
+    return lang_id(load(spark, sf_dir, "documents"))
+
+
+def _sql_stoplist(words: list[str]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+def _sql_lang_id() -> str:
+    from .operators.text_analysis import LANG_ORDER, LANG_STOPWORDS
+
+    hits = ",\n         ".join(
+        f"len(list_filter(toks, t -> list_contains({_sql_stoplist(LANG_STOPWORDS[lang])}, t))) AS h_{lang}"
+        for lang in LANG_ORDER
+    )
+    best = "greatest(" + ", ".join(f"h_{lang}" for lang in LANG_ORDER) + ")"
+    case = "CASE "
+    for lang in LANG_ORDER:
+        case += f"WHEN h_{lang} = {best} AND {best} > 0 THEN '{lang}' "
+    case += "ELSE 'und' END"
+    return f"""
+WITH wt AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+h AS (
+  SELECT doc_id AS id,
+         {hits}
+  FROM wt
+)
+SELECT id, {case} AS pred_lang, {best}::BIGINT AS hits FROM h
+"""
+
+
+SQL_LANG_ID = _sql_lang_id()
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text_analysis import quality_score
+
+    return quality_score(load(spark, sf_dir, "documents"))
+
+
+def _sql_quality() -> str:
+    from .operators.text_analysis import LANG_STOPWORDS
+
+    all_stop = sorted({w for ws in LANG_STOPWORDS.values() for w in ws})
+    return f"""
+WITH wt AS (SELECT doc_id, text, string_split(lower(text), ' ') AS toks FROM documents),
+f AS (
+  SELECT doc_id AS id, length(text) AS n_chars, len(toks) AS n_tokens,
+         len(list_filter(toks, t -> list_contains({_sql_stoplist(all_stop)}, t)))::DOUBLE / len(toks) AS stop_ratio,
+         len(list_distinct(toks))::DOUBLE / len(toks) AS ttr
+  FROM wt
+)
+SELECT id, n_chars::BIGINT AS n_chars, n_tokens::BIGINT AS n_tokens,
+       round(stop_ratio, 6) AS stop_ratio, round(ttr, 6) AS ttr,
+       round(0.4 * least(n_tokens / 50.0, 1.0) + 0.3 * least(stop_ratio * 5.0, 1.0) + 0.3 * ttr, 6) AS score
+FROM f
+"""
+
+
+SQL_QUALITY = _sql_quality()
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text_analysis import token_counts
+
+    return token_counts(load(spark, sf_dir, "documents"))
+
+
+SQL_TOKEN_COUNTS = r"""
+SELECT doc_id AS id,
+       len(string_split(trim(text), ' '))::BIGINT AS ws_tokens,
+       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))::BIGINT AS subword_tokens
+FROM documents
+"""
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text_analysis import fingerprint
+
+    return fingerprint(load(spark, sf_dir, "documents"))
+
+
+SQL_FINGERPRINT = """
+WITH wt AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)
+SELECT doc_id AS id,
+       list_aggr([(7 * ascii(toks[i]) + 13 * length(toks[i]) + 3 * ascii(reverse(toks[i])))::BIGINT
+                  * (1 + ((i - 1) % 97)) for i in range(1, len(toks) + 1)],
+                 'sum')::BIGINT AS fp
+FROM wt
+"""
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload metadata extraction via mapInPandas (the multimodal
+    plumbing; payload = utf-8 bytes of text as the container has no
+    media libs — operators/multimodal.py)."""
+    from .operators.multimodal import extract_meta, with_payload
+
+    return extract_meta(with_payload(load(spark, sf_dir, "documents")))
+
+
+SQL_MULTIMODAL_META = """
+SELECT doc_id AS id,
+       octet_length(encode(text))::BIGINT AS n_bytes,
+       md5(text) AS digest,
+       ascii(text)::INT AS head_byte
+FROM documents
+"""
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame-native PageRank, 10 fixed iterations, over a
+    deterministic edge set derived from orders (operators/pagerank.py)."""
+    from .operators.pagerank import pagerank
+
+    orders = load(spark, sf_dir, "orders")
+    edges = orders.select(
+        (F.col("o_custkey") % 50).alias("src"), (F.col("o_orderkey") % 50).alias("dst")
+    )
+    out = pagerank(edges, n_iter=10)
+    return out.select("id", F.round("rank", 6).alias("rank"))
+
+
+def _sql_pagerank(n_iter: int = 10) -> str:
+    head = """
+WITH e AS (
+  SELECT DISTINCT o_custkey % 50 AS src, o_orderkey % 50 AS dst
+  FROM orders WHERE (o_custkey % 50) <> (o_orderkey % 50)
+),
+nodes AS (SELECT DISTINCT src AS id FROM e UNION SELECT DISTINCT dst FROM e),
+deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+r0 AS (SELECT id, 1.0::DOUBLE AS rank FROM nodes)"""
+    stages = []
+    for i in range(1, n_iter + 1):
+        stages.append(f""",
+r{i} AS (
+  SELECT n.id, 0.15 + 0.85 * coalesce(s.s, 0.0) AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS id, sum(r.rank / d.deg) AS s
+    FROM e JOIN deg d ON e.src = d.src JOIN r{i-1} r ON r.id = e.src
+    GROUP BY e.dst) s ON n.id = s.id
+)""")
+    return head + "".join(stages) + f"\nSELECT id, round(rank, 6) AS rank FROM r{n_iter}"
+
+
+SQL_PAGERANK = _sql_pagerank(10)
+
+
+def q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positions-based phrase search 'hash join' over the index postings
+    (the capability positions exist for — north rule). Native arrays:
+    occurrences = |intersect(pos(hash)+1, pos(join))|."""
+    idx = get_index(spark, sf_dir)
+    p1 = idx.postings.filter(F.col("term") == "hash").select("doc_id", F.col("positions").alias("p1"))
+    p2 = idx.postings.filter(F.col("term") == "join").select("doc_id", F.col("positions").alias("p2"))
+    return (
+        p1.join(p2, "doc_id")
+        .withColumn(
+            "n_occurrences",
+            F.size(F.array_intersect(F.transform("p1", lambda p: p + 1), F.col("p2"))).cast("long"),
+        )
+        .filter(F.col("n_occurrences") > 0)
+        .select("doc_id", "n_occurrences")
+    )
+
+
+SQL_PHRASE_MATCH = (
+    SQL_TOK
+    + """
+SELECT p1.doc_id,
+       len(list_intersect(list_transform(p1.positions, x -> x + 1), p2.positions))::BIGINT AS n_occurrences
+FROM postings p1 JOIN postings p2 ON p1.doc_id = p2.doc_id
+WHERE p1.term = 'hash' AND p2.term = 'join'
+  AND len(list_intersect(list_transform(p1.positions, x -> x + 1), p2.positions)) > 0
+"""
+)
+
+
 # ---------------------------------------------------------- registry
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -393,6 +723,20 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
     "events_window": q_events_window,
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "ann_topk": q_ann_topk,
+    "ann_ivf": q_ann_ivf,
+    "cosine_pairs": q_cosine_pairs,
+    "lang_id": q_lang_id,
+    "quality_score": q_quality_score,
+    "token_counts": q_token_counts,
+    "fingerprint": q_fingerprint,
+    "multimodal_meta": q_multimodal_meta,
+    "pagerank": q_pagerank,
+    "phrase_match": q_phrase_match,
 }
 
 ORACLES: dict[str, str] = {
@@ -408,4 +752,18 @@ ORACLES: dict[str, str] = {
     "tpch_q1": SQL_TPCH_Q1,
     "tpch_q3": SQL_TPCH_Q3,
     "events_window": SQL_EVENTS_WINDOW,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_ngram_jaccard": SQL_DEDUP_NGRAM,
+    "dedup_minhash_lsh": SQL_DEDUP_MINHASH,
+    # dedup_simhash: hash-dependent output -> no SQL oracle (rows-only)
+    "ann_topk": SQL_ANN_TOPK,
+    "ann_ivf": SQL_ANN_IVF,
+    "cosine_pairs": SQL_COSINE_PAIRS,
+    "lang_id": SQL_LANG_ID,
+    "quality_score": SQL_QUALITY,
+    "token_counts": SQL_TOKEN_COUNTS,
+    "fingerprint": SQL_FINGERPRINT,
+    "multimodal_meta": SQL_MULTIMODAL_META,
+    "pagerank": SQL_PAGERANK,
+    "phrase_match": SQL_PHRASE_MATCH,
 }

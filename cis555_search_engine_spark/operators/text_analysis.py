@@ -1,0 +1,119 @@
+"""Text-analysis operators for training-data curation.
+
+All four are pure native column expressions (no UDF, whole-stage
+codegen) and each has an exact ANSI-SQL twin in entry_queries.py:
+
+- `lang_id`: stopword-list n-gram heuristic — per-language hit counts
+  over the token set, argmax with deterministic tie order. (The
+  reference's page-quality filter checked the `lang` attr of the HTML
+  tag, `crawler/XPathCrawler.java:274-316`; corpus text has no markup,
+  so the heuristic replaces the attribute.)
+- `quality_score`: length / punctuation / stopword-ratio features
+  blended into one score (the reference's thresholds — total text >=
+  5000 chars etc., XPathCrawler.java:274-316 — become features instead
+  of hard gates).
+- `token_counts`: whitespace tokens + a BPE-ish subword proxy count
+  (runs of letters, digits, or single punctuation — the standard
+  pre-tokenizer regex shape).
+- `fingerprint`: order-sensitive rolling document fingerprint from
+  per-token character codes — cheap dedup/versioning key that, unlike a
+  hash-library digest, is reproducible in plain SQL on any engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword lists (public common words)
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "zu", "mit"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es"],
+    "fr": ["le", "la", "de", "et", "un", "est", "en", "que"],
+}
+LANG_ORDER = ["en", "de", "es", "fr"]  # deterministic tie order
+
+
+def _toks(text_col):
+    return F.split(F.lower(text_col), r"\s+")
+
+
+def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, pred_lang, hits) — argmax stopword hits; ties -> LANG_ORDER,
+    zero hits -> 'und' (undetermined)."""
+    toks = _toks(F.col(text_col))
+    # stopword OCCURRENCE counts (not distinct hits)
+    occ_cols = {
+        lang: F.size(F.filter(toks, lambda t: t.isin(words)))
+        for lang, words in LANG_STOPWORDS.items()
+    }
+    out = docs.select(F.col(id_col).alias("id"), *[occ_cols[lang].alias(f"h_{lang}") for lang in LANG_ORDER])
+    best_hits = F.greatest(*[F.col(f"h_{lang}") for lang in LANG_ORDER])
+    pred = F.lit("und")
+    for lang in reversed(LANG_ORDER):  # earlier langs win ties
+        pred = F.when((F.col(f"h_{lang}") == best_hits) & (best_hits > 0), F.lit(lang)).otherwise(pred)
+    return out.select("id", pred.alias("pred_lang"), best_hits.cast("long").alias("hits"))
+
+
+def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, n_chars, n_tokens, stop_ratio, ttr, score).
+
+    score = 0.4*min(n_tokens/50, 1) + 0.3*stop_ratio_clip + 0.3*ttr, with
+    stop_ratio_clip = min(stop_ratio*5, 1) and ttr = distinct/total
+    tokens. Deterministic and SQL-twinnable.
+    """
+    toks = _toks(F.col(text_col))
+    all_stop = sorted({w for ws in LANG_STOPWORDS.values() for w in ws})
+    n_tok = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(all_stop)))
+    ttr = F.size(F.array_distinct(toks)) / n_tok
+    stop_ratio = n_stop / n_tok
+    score = (
+        0.4 * F.least(n_tok / F.lit(50.0), F.lit(1.0))
+        + 0.3 * F.least(stop_ratio * 5.0, F.lit(1.0))
+        + 0.3 * ttr
+    )
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.length(text_col).cast("long").alias("n_chars"),
+        n_tok.cast("long").alias("n_tokens"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(ttr, 6).alias("ttr"),
+        F.round(score, 6).alias("score"),
+    )
+
+
+def token_counts(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, ws_tokens, subword_tokens) — whitespace count and a BPE-ish
+    pre-tokenizer proxy: runs of letters, runs of digits, or a single
+    non-space punctuation each count as one subword."""
+    ws = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    sub = F.size(F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0))
+    return docs.select(
+        F.col(id_col).alias("id"),
+        ws.cast("long").alias("ws_tokens"),
+        sub.cast("long").alias("subword_tokens"),
+    )
+
+
+def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, fp) — order-sensitive rolling fingerprint.
+
+    code(tok) = 7*ascii(first) + 13*len + 3*ascii(last);
+    fp = Σ_i code(tok_i) * (1 + (i mod 97))   (0-based i)
+
+    Position-weighted so permuted docs differ; bounded so it never
+    overflows BIGINT; exactly reproducible in ANSI SQL.
+    """
+    toks = _toks(F.col(text_col))
+    idx = F.sequence(F.lit(0), F.size(toks) - 1)
+    code = lambda t: (  # noqa: E731
+        7 * F.ascii(t) + 13 * F.length(t) + 3 * F.ascii(F.reverse(t))
+    ).cast("long")
+    fp = F.aggregate(
+        F.zip_with(toks, idx, lambda t, i: code(t) * (1 + F.pmod(i, F.lit(97)).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return docs.select(F.col(id_col).alias("id"), fp.alias("fp"))

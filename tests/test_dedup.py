@@ -1,0 +1,113 @@
+"""Dedup operator tests vs pure-Python oracles on real testdata."""
+
+from __future__ import annotations
+
+import itertools
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_sdf(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def docs_rows(docs_sdf):
+    return [(r["doc_id"], r["text"]) for r in docs_sdf.select("doc_id", "text").collect()]
+
+
+def _shingles(text: str, n: int = 3) -> set[str]:
+    toks = text.split()
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def _jaccard_pairs(docs_rows, threshold, n=3):
+    sh = {i: _shingles(t, n) for i, t in docs_rows}
+    out = {}
+    for (i, a), (j, b) in itertools.combinations(sorted(sh.items()), 2):
+        if not a or not b:
+            continue
+        inter = len(a & b)
+        if inter == 0:
+            continue
+        jac = inter / len(a | b)
+        if jac >= threshold:
+            out[(i, j)] = jac
+    return out
+
+
+def test_exact_dedup_matches_oracle(docs_sdf, docs_rows):
+    from cis555_search_engine_spark.operators.dedup import exact_dedup
+
+    groups: dict[str, list[int]] = {}
+    for i, t in docs_rows:
+        key = " ".join(sorted(set(t.split())))
+        groups.setdefault(key, []).append(i)
+    want = set()
+    for ids in groups.values():
+        if len(ids) > 1:
+            rep = min(ids)
+            want |= {(rep, d) for d in ids if d != rep}
+    got = {(r["rep_id"], r["dup_id"]) for r in exact_dedup(docs_sdf).collect()}
+    assert got == want
+    assert want, "fixture must contain duplicate token-set groups"
+
+
+@pytest.mark.parametrize("threshold", [0.9, 0.5])
+def test_ngram_jaccard_matches_oracle(docs_sdf, docs_rows, threshold):
+    from cis555_search_engine_spark.operators.dedup import ngram_jaccard_pairs
+
+    want = _jaccard_pairs(docs_rows, threshold)
+    got = {(r["i"], r["j"]): r["jac"] for r in ngram_jaccard_pairs(docs_sdf, threshold).collect()}
+    assert set(got) == set(want)
+    for p, jac in got.items():
+        assert abs(jac - want[p]) < 1e-5
+    assert want, f"fixture must contain pairs >= {threshold}"
+
+
+def test_minhash_lsh_full_recall_at_threshold(docs_sdf, docs_rows):
+    from cis555_search_engine_spark.operators.dedup import minhash_lsh_pairs
+
+    want = _jaccard_pairs(docs_rows, 0.9)
+    got = {(r["i"], r["j"]): r["jac"] for r in minhash_lsh_pairs(docs_sdf, 0.9).collect()}
+    # exact verification removes false positives; banding must not lose
+    # any true pair at this threshold on this corpus
+    assert set(got) == set(want)
+    assert want
+
+
+def test_simhash_properties(spark):
+    from cis555_search_engine_spark.operators.dedup import simhash64, simhash_pairs
+
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta"),
+        (1, "zeta alpha theta beta eta gamma epsilon delta"),  # permutation -> same tf
+        (2, "alpha beta gamma delta epsilon zeta eta iota"),   # one token swapped
+        (3, "completely different words entirely unrelated content here now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sims = {r["id"]: r["simhash"] for r in simhash64(df).collect()}
+    assert sims[0] == sims[1]  # tf-multiset identical -> identical simhash
+    ham = lambda a, b: bin((a ^ b) & (2**64 - 1)).count("1")  # noqa: E731
+    assert ham(sims[0], sims[2]) < ham(sims[0], sims[3])
+    pairs = {(r["i"], r["j"]): r["hamming"] for r in simhash_pairs(df, max_hamming=3).collect()}
+    assert pairs.get((0, 1)) == 0
+
+
+def test_simhash_pairs_complete_vs_bruteforce(docs_sdf):
+    """Chunk-join candidate generation must find every pair with
+    Hamming <= 3 (pigeonhole over 4x16-bit chunks)."""
+    from cis555_search_engine_spark.operators.dedup import simhash64, simhash_pairs
+
+    sims = {r["id"]: r["simhash"] for r in simhash64(docs_sdf).collect()}
+    ham = lambda a, b: bin((a ^ b) & (2**64 - 1)).count("1")  # noqa: E731
+    want = {
+        (i, j): ham(si, sj)
+        for (i, si), (j, sj) in itertools.combinations(sorted(sims.items()), 2)
+        if ham(si, sj) <= 3
+    }
+    got = {(r["i"], r["j"]): r["hamming"] for r in simhash_pairs(docs_sdf, 3).collect()}
+    assert got == want

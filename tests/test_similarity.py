@@ -1,0 +1,100 @@
+"""Similarity-search tests vs numpy oracles on real testdata."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb_sdf(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb_np(emb_sdf):
+    rows = emb_sdf.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    order = np.argsort(ids)
+    return ids[order], mat[order]
+
+
+def _cosine_matrix(mat):
+    norms = np.linalg.norm(mat, axis=1)
+    return (mat @ mat.T) / np.outer(norms, norms)
+
+
+def test_bruteforce_topk_matches_numpy(emb_sdf, emb_np):
+    from cis555_search_engine_spark.operators.similarity import ann_topk_bruteforce
+
+    ids, mat = emb_np
+    sims = _cosine_matrix(mat)
+    q = 0
+    cand = [(float(sims[q, t]), int(ids[t])) for t in range(len(ids)) if ids[t] != ids[q]]
+    want = sorted(cand, key=lambda x: (-round(x[0], 6), x[1]))[:15]
+    got = [(r["cos"], r["vec_id"]) for r in ann_topk_bruteforce(emb_sdf, 0, k=15).collect()]
+    assert [v for _, v in got] == [v for _, v in want]
+    for (gc, _), (wc, _) in zip(got, want):
+        assert abs(gc - wc) < 1e-5
+
+
+def test_cosine_pairs_match_numpy(emb_sdf, emb_np):
+    from cis555_search_engine_spark.operators.similarity import cosine_near_dup_pairs
+
+    ids, mat = emb_np
+    sims = _cosine_matrix(mat)
+    thr = 0.4
+    want = {
+        (int(ids[a]), int(ids[b])): sims[a, b]
+        for a in range(len(ids))
+        for b in range(a + 1, len(ids))
+        if sims[a, b] >= thr
+    }
+    got = {(r["i"], r["j"]): r["cos"] for r in cosine_near_dup_pairs(emb_sdf, thr).collect()}
+    assert set(got) == set(want)
+    for p, c in got.items():
+        assert abs(c - want[p]) < 1e-5
+    assert want, "fixture must contain cosine pairs >= 0.4"
+
+
+def test_ivf_exact_within_probed_cells_and_decent_recall(emb_sdf, emb_np):
+    from cis555_search_engine_spark.operators.similarity import (
+        ann_topk_bruteforce,
+        ann_topk_ivf,
+        assign_ivf_cells,
+    )
+
+    cents, assigned = assign_ivf_cells(emb_sdf, n_centroids=10)
+    assigned = assigned.cache()
+    got = [r["vec_id"] for r in ann_topk_ivf(
+        emb_sdf, 0, k=10, n_probe=3, assigned=assigned, centroids=cents
+    ).collect()]
+    brute = [r["vec_id"] for r in ann_topk_bruteforce(emb_sdf, 0, k=10).collect()]
+    recall = len(set(got) & set(brute)) / len(brute)
+    assert recall >= 0.3, (recall, got, brute)
+
+    # probing all cells == brute force exactly
+    got_all = [r["vec_id"] for r in ann_topk_ivf(
+        emb_sdf, 0, k=10, n_probe=10, assigned=assigned, centroids=cents
+    ).collect()]
+    assert got_all == brute
+
+
+def test_ivf_assignment_is_argmax(emb_sdf, emb_np):
+    from cis555_search_engine_spark.operators.similarity import assign_ivf_cells
+
+    ids, mat = emb_np
+    cents, assigned = assign_ivf_cells(emb_sdf, n_centroids=10)
+    cent_rows = sorted(
+        [(r["cent_id"], np.array(r["cvec"], dtype=np.float64)) for r in cents.collect()]
+    )
+    cmat = np.array([v for _, v in cent_rows])
+    cids = np.array([c for c, _ in cent_rows])
+    sims = (mat @ cmat.T) / np.outer(np.linalg.norm(mat, axis=1), np.linalg.norm(cmat, axis=1))
+    want = {int(ids[i]): int(cids[np.argmax(sims[i])]) for i in range(len(ids))}
+    got = {r["vec_id"]: r["cell"] for r in assigned.select("vec_id", "cell").collect()}
+    # ties broken by lowest cent_id on both sides (argmax picks first max)
+    assert got == want

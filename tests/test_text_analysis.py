@@ -1,0 +1,166 @@
+"""Text-analysis + multimodal + pagerank operator tests."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_sdf(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def docs_rows(docs_sdf):
+    return [(r["doc_id"], r["text"]) for r in docs_sdf.select("doc_id", "text").collect()]
+
+
+def test_lang_id_matches_oracle(docs_sdf, docs_rows):
+    from cis555_search_engine_spark.operators.text_analysis import (
+        LANG_ORDER,
+        LANG_STOPWORDS,
+        lang_id,
+    )
+
+    def oracle(text):
+        toks = text.lower().split()
+        hits = {lang: sum(t in ws for t in toks) for lang, ws in LANG_STOPWORDS.items()}
+        best = max(hits.values())
+        if best == 0:
+            return "und", 0
+        for lang in LANG_ORDER:
+            if hits[lang] == best:
+                return lang, best
+        raise AssertionError
+
+    want = {i: oracle(t) for i, t in docs_rows}
+    got = {r["id"]: (r["pred_lang"], r["hits"]) for r in lang_id(docs_sdf).collect()}
+    assert got == want
+
+
+def test_quality_score_matches_oracle(docs_sdf, docs_rows):
+    from cis555_search_engine_spark.operators.text_analysis import (
+        LANG_STOPWORDS,
+        quality_score,
+    )
+
+    all_stop = {w for ws in LANG_STOPWORDS.values() for w in ws}
+    got = {r["id"]: r for r in quality_score(docs_sdf).collect()}
+    for i, t in docs_rows:
+        toks = t.lower().split()
+        n = len(toks)
+        stop_ratio = sum(tk in all_stop for tk in toks) / n
+        ttr = len(set(toks)) / n
+        score = 0.4 * min(n / 50.0, 1.0) + 0.3 * min(stop_ratio * 5, 1.0) + 0.3 * ttr
+        r = got[i]
+        assert r["n_tokens"] == n
+        # compare against unrounded values: Spark rounds half-up, Python
+        # round() half-even — both within 1e-6 of the true value
+        assert abs(r["stop_ratio"] - stop_ratio) < 1e-6
+        assert abs(r["ttr"] - ttr) < 1e-6
+        assert abs(r["score"] - score) < 1e-6
+
+
+def test_token_counts_matches_oracle(docs_sdf, docs_rows):
+    from cis555_search_engine_spark.operators.text_analysis import token_counts
+
+    got = {r["id"]: (r["ws_tokens"], r["subword_tokens"]) for r in token_counts(docs_sdf).collect()}
+    pat = re.compile(r"[a-z]+|[0-9]+|[^a-z0-9\s]")
+    for i, t in docs_rows:
+        assert got[i] == (len(t.strip().split()), len(pat.findall(t.lower())))
+
+
+def test_fingerprint_matches_oracle_and_is_order_sensitive(spark, docs_sdf, docs_rows):
+    from cis555_search_engine_spark.operators.text_analysis import fingerprint
+
+    def code(tok):
+        return 7 * ord(tok[0]) + 13 * len(tok) + 3 * ord(tok[-1])
+
+    def fp(text):
+        toks = text.lower().split()
+        return sum(code(t) * (1 + (i % 97)) for i, t in enumerate(toks))
+
+    got = {r["id"]: r["fp"] for r in fingerprint(docs_sdf).collect()}
+    for i, t in docs_rows:
+        assert got[i] == fp(t)
+
+    df = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "gamma beta alpha")], "doc_id long, text string"
+    )
+    two = {r["id"]: r["fp"] for r in fingerprint(df).collect()}
+    assert two[0] != two[1]
+
+
+# ------------------------------------------------------------ multimodal
+
+def test_multimodal_meta_roundtrip(docs_sdf, docs_rows):
+    from cis555_search_engine_spark.operators.multimodal import extract_meta, with_payload
+
+    got = {r["id"]: r for r in extract_meta(with_payload(docs_sdf)).collect()}
+    for i, t in docs_rows:
+        b = t.encode("utf-8")
+        r = got[i]
+        assert r["n_bytes"] == len(b)
+        assert r["digest"] == hashlib.md5(b).hexdigest()
+        assert r["head_byte"] == b[0]
+
+
+def test_multimodal_frame_sampling(spark):
+    from cis555_search_engine_spark.operators.multimodal import sample_frames, with_payload
+
+    df = spark.createDataFrame([(0, "x" * 1000), (1, "y" * 10)], "doc_id long, text string")
+    frames = sample_frames(with_payload(df), frame_size=64, stride=256).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r["id"], []).append(r)
+    assert len(by_doc[0]) == 4  # ceil(1000/256)
+    assert len(by_doc[1]) == 1
+    f0 = sorted(by_doc[0], key=lambda r: r["frame_idx"])
+    assert bytes(f0[0]["frame"]) == b"x" * 64
+    assert bytes(f0[3]["frame"]) == b"x" * 64  # offset 768, 64 bytes remain
+
+
+def test_decode_media_is_stubbed():
+    from cis555_search_engine_spark.operators.multimodal import decode_media
+
+    with pytest.raises(NotImplementedError):
+        decode_media(b"\x89PNG", "image/png")
+
+
+# -------------------------------------------------------------- pagerank
+
+def _pagerank_numpy(edges, n_iter=10):
+    edges = sorted({(s, d) for s, d in edges if s != d})
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    pos = {n: i for i, n in enumerate(nodes)}
+    deg = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    r = np.ones(len(nodes))
+    for _ in range(n_iter):
+        nxt = np.zeros(len(nodes))
+        for s, d in edges:
+            nxt[pos[d]] += r[pos[s]] / deg[s]
+        r = 0.15 + 0.85 * nxt
+    return {n: r[pos[n]] for n in nodes}
+
+
+def test_pagerank_matches_numpy(spark):
+    from cis555_search_engine_spark.operators.pagerank import pagerank
+
+    rng = np.random.default_rng(7)
+    raw = [(int(rng.integers(0, 40)), int(rng.integers(0, 40))) for _ in range(300)]
+    raw += raw[:20]  # duplicate edges (must be dropped)
+    raw += [(5, 5), (7, 7)]  # self-loops (must be dropped)
+    edges = spark.createDataFrame(raw, "src long, dst long")
+    got = {r["id"]: r["rank"] for r in pagerank(edges, n_iter=10).collect()}
+    want = _pagerank_numpy(raw, n_iter=10)
+    assert set(got) == set(want)
+    for n in want:
+        assert abs(got[n] - want[n]) < 1e-9, n
