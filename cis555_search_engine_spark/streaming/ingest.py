@@ -1,0 +1,133 @@
+"""Structured-Streaming ingest: the reference's continuous dataflow,
+re-expressed with event-time semantics it never had.
+
+Reference (SURVEY.md §2.9): StormLite spout/bolt topology — frontier
+queue spout (ST1), stateful URL dedup (ST2), per-host politeness state
+(ST3), field-hash routing (ST4), periodic BDB checkpoints every 100 docs
+(ST6). No watermarks, no event time, no exactly-once.
+
+Spark rebuild:
+
+- `incremental_index_build`: `readStream` over arriving transcript files
+  -> `foreachBatch` that tokenizes/aggregates the micro-batch with the
+  SAME batch operators (index_build.build_postings_long — one spec, two
+  execution modes) and appends postings partitioned by epoch. Streaming
+  checkpointing (`checkpointLocation`) + per-epoch output dirs give
+  exactly-once-per-epoch idempotence — the BDB-checkpoint analog (ST6),
+  handled by the engine instead of hand-rolled serialization.
+- `streaming_dedup`: watermarked `dropDuplicates` on the doc key — ST2's
+  seen-set with bounded state instead of an unbounded concurrent set.
+- `windowed_event_counts`: tumbling event-time window + watermark — the
+  streaming twin of entry_queries.q_events_window (late rows beyond the
+  watermark are dropped, the semantics the reference lacked).
+
+Tests drive these with file sources + `trigger(availableNow=True)` and
+assert the result equals the batch operators on the same data
+(tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators.index_build import DOC_KEY, build_postings_long
+
+TRANSCRIPT_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("role", T.StringType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("tool", T.StringType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+    ]
+)
+
+
+def read_transcript_stream(
+    spark: SparkSession, input_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream of transcript parquet (ST1 analog; rate control
+    via maxFilesPerTrigger = the frontier's task cap / backpressure)."""
+    reader = spark.readStream.schema(TRANSCRIPT_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(input_dir)
+
+
+def streaming_dedup(
+    stream: DataFrame,
+    doc_key: Sequence[str] = DOC_KEY,
+    watermark_col: str = "ts",
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked streaming dedup on the doc key (ST2: seen-set with
+    bounded state — keys older than the watermark are evicted)."""
+    return stream.withWatermark(watermark_col, delay).dropDuplicates(list(doc_key))
+
+
+def incremental_index_build(
+    stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    doc_key: Sequence[str] = DOC_KEY,
+    stem: bool = True,
+    available_now: bool = True,
+):
+    """Start a streaming query that builds long postings per micro-batch.
+
+    Each epoch writes `<out>/postings_long/epoch=<id>/` with
+    mode=overwrite — re-delivered epochs (restart after crash) rewrite
+    the same directory, so output is idempotent per epoch. The streaming
+    checkpoint tracks which input files are consumed.
+    """
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        postings = build_postings_long(batch_df, doc_key=doc_key, stem=stem)
+        postings.write.mode("overwrite").parquet(
+            os.path.join(out_dir, "postings_long", f"epoch={epoch_id}")
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_incremental_postings(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Merge all epochs back into one long-postings DataFrame."""
+    return spark.read.parquet(os.path.join(out_dir, "postings_long")).drop("epoch")
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked tumbling-window counts over an event stream — works on
+    both a streaming and a batch DataFrame (same plan)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("bucket_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )

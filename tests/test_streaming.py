@@ -1,0 +1,123 @@
+"""Structured-Streaming tests: file source + availableNow triggers,
+asserting streaming results == batch operators on the same data."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+
+@pytest.fixture()
+def staged_corpus(tmp_path, corpus_pdf, spark):
+    """Corpus written as 3 parquet files arriving in one stream dir."""
+    d = str(tmp_path / "arrivals")
+    os.makedirs(d)
+    pdf = corpus_pdf.copy()
+    # parquet TIMESTAMP(MICROS) so Spark's reader accepts the column
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    n = len(pdf)
+    cuts = [0, n // 3, 2 * n // 3, n]
+    for i in range(3):
+        part = pdf.iloc[cuts[i] : cuts[i + 1]]
+        part.to_parquet(f"{d}/part-{i}.parquet", index=False)
+    return d
+
+
+def test_incremental_index_equals_batch(spark, staged_corpus, corpus_sdf, spark_index, tmp_path):
+    from cis555_search_engine_spark.streaming.ingest import (
+        incremental_index_build,
+        read_incremental_postings,
+        read_transcript_stream,
+    )
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    stream = read_transcript_stream(spark, staged_corpus, max_files_per_trigger=1)
+    q = incremental_index_build(stream, out, ckpt)
+    q.awaitTermination(300)
+
+    got = {
+        (r["conv_id"], r["turn_idx"], r["term"]): (r["tf"], tuple(r["positions"]))
+        for r in read_incremental_postings(spark, out).collect()
+    }
+    want = {
+        (r["conv_id"], r["turn_idx"], r["term"]): (r["tf"], tuple(r["positions"]))
+        for r in spark_index.postings.collect()
+    }
+    assert got == want
+
+    # restart with same checkpoint: no files left -> no new epochs/dirs
+    epochs_before = set(os.listdir(os.path.join(out, "postings_long")))
+    q2 = incremental_index_build(
+        read_transcript_stream(spark, staged_corpus, max_files_per_trigger=1), out, ckpt
+    )
+    q2.awaitTermination(300)
+    epochs_after = set(os.listdir(os.path.join(out, "postings_long")))
+    assert {e for e in epochs_after if e.startswith("epoch=")} == {
+        e for e in epochs_before if e.startswith("epoch=")
+    }
+
+
+def test_streaming_dedup_drops_replayed_rows(spark, tmp_path, corpus_pdf):
+    from cis555_search_engine_spark.streaming.ingest import (
+        read_transcript_stream,
+        streaming_dedup,
+    )
+
+    d = str(tmp_path / "dup_arrivals")
+    os.makedirs(d)
+    part = corpus_pdf.iloc[:50].copy()
+    part["ts"] = part["ts"].astype("datetime64[us]")
+    part.to_parquet(f"{d}/a.parquet", index=False)
+    part.to_parquet(f"{d}/b.parquet", index=False)  # exact replay
+
+    stream = streaming_dedup(read_transcript_stream(spark, d))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("dedup_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    n = spark.sql("SELECT count(*) c FROM dedup_sink").collect()[0]["c"]
+    assert n == 50
+
+
+def test_windowed_counts_stream_equals_batch(spark, tmp_path):
+    from cis555_search_engine_spark.streaming.ingest import windowed_event_counts
+
+    from pyspark.sql import functions as F
+
+    # watermarks require TIMESTAMP (tz-aware); testdata ts is NTZ
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    batch = {
+        (r["bucket_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in windowed_event_counts(events).collect()
+    }
+
+    d = str(tmp_path / "ev")
+    events.write.parquet(d, mode="overwrite")
+    stream = spark.readStream.schema(events.schema).parquet(d)
+    q = (
+        windowed_event_counts(stream)
+        .writeStream.format("memory")
+        .queryName("win_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["bucket_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM win_sink").collect()
+    }
+    # append mode only emits windows closed by the watermark; every
+    # emitted window must match the batch result, and most windows close
+    assert got
+    for k, v in got.items():
+        assert batch[k] == v
+    assert len(got) >= len(batch) - 3  # at most the tail windows open
