@@ -51,6 +51,26 @@ def porter_stem_udf(terms: pd.Series) -> pd.Series:
     return terms.map(lambda t: porter_stem(t) if isinstance(t, str) else t)
 
 
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def stem_tokens_udf(tok_arrays: pd.Series) -> pd.Series:
+    """Arrow-vectorized per-array stemming with a per-batch memo dict —
+    effective cost is one Porter run per distinct token per batch (the
+    `stemmer`-dictionary trick, stem.java:74-157, without the join)."""
+    cache: dict[str, str] = {}
+
+    def stem_list(toks):
+        out = []
+        for t in toks:
+            s = cache.get(t)
+            if s is None:
+                s = porter_stem(t)
+                cache[t] = s
+            out.append(s)
+        return out
+
+    return tok_arrays.map(stem_list)
+
+
 def tokenize_turns(
     corpus: DataFrame,
     doc_key: Sequence[str] = DOC_KEY,
@@ -105,6 +125,59 @@ def build_postings_long(
     if with_positions:
         aggs.append(F.array_sort(F.collect_list("pos")).alias("positions"))
     return toks.groupBy(*doc_key, "term").agg(*aggs)
+
+
+def build_postings_doclocal(
+    corpus: DataFrame,
+    doc_key: Sequence[str] = DOC_KEY,
+    text_col: str = "text",
+    stem: bool = True,
+    use_pandas_udf: bool = False,
+    with_positions: bool = True,
+) -> DataFrame:
+    """Shuffle-free postings build — the scale path.
+
+    TF and positions are doc-local facts: instead of explode +
+    groupBy(doc, term) (which shuffles every token occurrence —
+    ~10^13 rows at the 10^12-turn target), compute them per document
+    with native higher-order array functions inside ONE narrow map:
+
+        toks      = tokenize (native) [+ stem via Arrow UDF]
+        terms     = array_distinct(toks)
+        per term  : tf = |filter(toks, = t)|,
+                    positions = filter(indexes, toks[i] = t)
+        explode the per-doc posting structs -> final long rows
+
+    No shuffle anywhere; the only later shuffles in an index build are
+    the (tiny, partially-aggregated) df/corpus-stats rollups. Per-doc
+    cost is O(|distinct| * |toks|) — fine for transcript-turn-sized
+    docs; for book-length docs prefer `build_postings_long`.
+
+    Property-tested identical to `build_postings_long`
+    (tests/test_index_parity.py::test_doclocal_equals_groupby).
+    """
+    tok = tokenize_udf(F.col(text_col)) if use_pandas_udf else tokenize_col(F.col(text_col))
+    if stem:
+        tok = stem_tokens_udf(tok)
+    doc = corpus.select(*doc_key, tok.alias("toks"))
+    idx = F.sequence(F.lit(0), F.size("toks") - 1)
+    post_struct = lambda t: F.struct(  # noqa: E731
+        t.alias("term"),
+        F.size(F.filter("toks", lambda x: x == t)).cast("int").alias("tf"),
+        *(
+            [
+                F.filter(idx, lambda i: F.element_at("toks", i + 1) == t)
+                .cast("array<int>")
+                .alias("positions")
+            ]
+            if with_positions
+            else []
+        ),
+    )
+    parr = F.transform(F.array_distinct("toks"), post_struct)
+    out = doc.select(*doc_key, F.explode(parr).alias("p"))
+    cols = [*doc_key, "p.term", "p.tf"] + (["p.positions"] if with_positions else [])
+    return out.select(*cols)
 
 
 def doc_stats(postings: DataFrame, doc_key: Sequence[str] = DOC_KEY) -> DataFrame:

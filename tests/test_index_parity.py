@@ -92,3 +92,24 @@ def test_salted_df_equals_plain(spark_index):
         for r in document_frequency_salted(spark_index.postings, 8).collect()
     }
     assert plain == salted
+
+
+@pytest.mark.parametrize("stem", [True, False])
+def test_doclocal_equals_groupby(corpus_sdf, stem):
+    """The shuffle-free doc-local build (native higher-order array ops)
+    must produce exactly the explode+groupBy postings."""
+    from cis555_search_engine_spark.operators.index_build import (
+        build_postings_doclocal,
+        build_postings_long,
+    )
+
+    key = lambda r: (r["conv_id"], r["turn_idx"], r["term"])  # noqa: E731
+    a = {
+        key(r): (r["tf"], tuple(r["positions"]))
+        for r in build_postings_long(corpus_sdf, stem=stem).collect()
+    }
+    b = {
+        key(r): (r["tf"], tuple(r["positions"]))
+        for r in build_postings_doclocal(corpus_sdf, stem=stem).collect()
+    }
+    assert a == b

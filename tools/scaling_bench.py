@@ -1,0 +1,184 @@
+#!/usr/bin/env python
+"""North-rule scaling experiment: the SAME index-build job via
+spark-submit --py-files at local[N] and local[4N] on the same corpus.
+
+    python tools/scaling_bench.py [--small-cores 4] [--big-cores 16]
+                                  [--n-convs 12000] [--runs 2]
+
+Stages a deterministic synthetic transcript corpus once, zips the
+package, launches `tools/index_build_job.py` under spark-submit at both
+parallelism levels (fresh JVM each — no warm-cache bleed), and reports
+throughput at both plus scaling efficiency
+    eta = (T_small / T_big) / (big/small).
+Writes the result table to BENCH/BASELINE.md.
+
+Sandbox proxy for N vs 4N executors per the driver instructions; the
+reference's own two-cluster-size experiment (pagerank 4 vs 6 cores,
+eta=0.807, report p.6) is the template.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+import zipfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def stage_corpus(path: str, n_convs: int, seed: int = 42, replicate: int = 8) -> int:
+    """Generate the synthetic corpus and replicate it `replicate`x via
+    Spark (conv_id suffixed per replica — deterministic), so the measured
+    job is minutes, not seconds: small jobs measure scheduler overhead
+    and JIT warmup, not scaling."""
+    from cis555_search_engine_spark.synth import generate_transcripts
+
+    pdf = generate_transcripts(n_convs=n_convs, seed=seed)
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    base = path + "_base"
+    os.makedirs(base, exist_ok=True)
+    pdf.to_parquet(f"{base}/part-00.parquet", index=False)
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .appName("stage_corpus")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    b = spark.read.parquet(base)
+    reps = spark.range(replicate).select(F.col("id").alias("rep"))
+    big = b.crossJoin(reps).select(
+        F.concat_ws("_", "conv_id", "rep").alias("conv_id"),
+        "turn_idx", "role", "text", "tool", "ts",
+    )
+    big.repartition(128).write.mode("overwrite").parquet(path)
+    n = spark.read.parquet(path).count()
+    spark.stop()
+    return n
+
+
+def zip_package(dest: str) -> str:
+    pkg = os.path.join(REPO, "cis555_search_engine_spark")
+    with zipfile.ZipFile(dest, "w", zipfile.ZIP_DEFLATED) as z:
+        for root, _dirs, files in os.walk(pkg):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, REPO))
+    return dest
+
+
+def run_job(cores: int, corpus: str, out: str, pkg_zip: str) -> dict:
+    import pyspark
+
+    spark_submit = os.path.join(os.path.dirname(pyspark.__file__), "bin", "spark-submit")
+    cmd = [
+        spark_submit,
+        "--master", f"local[{cores}]",
+        "--driver-memory", "16g",
+        "--py-files", pkg_zip,
+        os.path.join(REPO, "tools", "index_build_job.py"),
+        "--corpus", corpus,
+        "--out", out,
+        "--shuffle-partitions", str(max(cores * 8, 64)),
+    ]
+    t0 = time.time()
+    proc = subprocess.run(cmd, capture_output=True, text=True, timeout=1800)
+    wall = time.time() - t0
+    last_json = None
+    for line in proc.stdout.splitlines():
+        line = line.strip()
+        if line.startswith("{") and line.endswith("}"):
+            last_json = line
+    if proc.returncode != 0 or last_json is None:
+        sys.stderr.write(proc.stdout[-3000:] + "\n" + proc.stderr[-3000:] + "\n")
+        raise RuntimeError(f"job at local[{cores}] failed")
+    rec = json.loads(last_json)
+    rec["total_wall_s"] = round(wall, 3)
+    return rec
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--small-cores", type=int, default=4)
+    ap.add_argument("--big-cores", type=int, default=16)
+    ap.add_argument("--n-convs", type=int, default=12000)
+    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--work", default="/tmp/scaling_bench")
+    ap.add_argument("--no-write-md", action="store_true")
+    args = ap.parse_args()
+
+    work = args.work
+    shutil.rmtree(work, ignore_errors=True)
+    corpus = os.path.join(work, "corpus")
+    print(f"# staging corpus n_convs={args.n_convs} ...", file=sys.stderr)
+    n_rows = stage_corpus(corpus, args.n_convs)
+    pkg_zip = zip_package(os.path.join(work, "pkg.zip"))
+    print(f"# corpus rows={n_rows}", file=sys.stderr)
+
+    results: dict[int, dict] = {}
+    for cores in (args.small_cores, args.big_cores):
+        best = None
+        for r in range(args.runs):
+            rec = run_job(cores, corpus, os.path.join(work, f"out_{cores}_{r}"), pkg_zip)
+            print(f"# local[{cores}] run{r}: {rec}", file=sys.stderr)
+            if best is None or rec["build_s"] < best["build_s"]:
+                best = rec
+        results[cores] = best
+
+    small, big = results[args.small_cores], results[args.big_cores]
+    ratio = args.big_cores / args.small_cores
+    speedup = small["build_s"] / big["build_s"]
+    eta = speedup / ratio
+    summary = {
+        "metric": "index_build_scaling",
+        "corpus_rows": n_rows,
+        "small": small,
+        "big": big,
+        "speedup": round(speedup, 3),
+        "core_ratio": ratio,
+        "scaling_efficiency": round(eta, 3),
+    }
+    print(json.dumps(summary))
+
+    if not args.no_write_md:
+        md_dir = os.path.join(REPO, "BENCH")
+        os.makedirs(md_dir, exist_ok=True)
+        with open(os.path.join(md_dir, "BASELINE.md"), "w") as f:
+            f.write(
+                f"""# BENCH/BASELINE — index-build scaling evidence (north rule)
+
+Same job (`tools/index_build_job.py`, full tokenize→stem→postings→stats
+build + parquet writes over {n_rows:,} synthetic transcript turns, seed
+42), launched via `spark-submit --py-files pkg.zip` in a fresh JVM at two
+parallelism levels on the same machine — the sandbox proxy for N vs 4N
+executors. Template: the reference's own 4-vs-6-core pagerank experiment
+(eta = 0.807, report p.6; `pagerank/ExperimentResults.java:14-18`).
+
+| master | shuffle partitions | build s | turns/sec | total wall s (incl. JVM) |
+|---|---|---|---|---|
+| local[{args.small_cores}] | {args.small_cores*8} | {small['build_s']} | {small['docs_per_sec']} | {small['total_wall_s']} |
+| local[{args.big_cores}] | {args.big_cores*8} | {big['build_s']} | {big['docs_per_sec']} | {big['total_wall_s']} |
+
+- speedup {args.small_cores}→{args.big_cores} cores: **{speedup:.3f}×** on {ratio:.0f}× cores
+- **scaling efficiency η = {eta:.3f}** (target ≥ 0.8)
+
+Reproduce: `python tools/scaling_bench.py --n-convs {args.n_convs}`.
+"""
+            )
+        print(f"# wrote BENCH/BASELINE.md (eta={eta:.3f})", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
