@@ -378,6 +378,23 @@ GROUP BY 1, 2
 """
 
 
+_BLOCK_CACHE: dict[str, object] = {}
+
+
+def q_bm25_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-80 served from the COMPRESSED block index (delta+varint
+    blobs, block-max pruning) — same oracle as bm25_topk, proving the
+    codec + pruning path exact against ANSI SQL."""
+    from .operators.postings_codec import bm25_topk_blocks, build_blocks
+
+    bidx = _BLOCK_CACHE.get(sf_dir)
+    if bidx is None:
+        bidx = build_blocks(get_index(spark, sf_dir), block_span=256).cache()
+        _BLOCK_CACHE[sf_dir] = bidx
+    out = bm25_topk_blocks(bidx, BM25_QUERY, k=80, stem=False)
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"), F.round("score", 4).alias("score"))
+
+
 # ------------------------------------------------ training-data ops
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -716,6 +733,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_stats": q_corpus_stats,
     "wordcount": q_wordcount,
     "bm25_topk": q_bm25_topk,
+    "bm25_blocks": q_bm25_blocks,
     "tfidf_topk": q_tfidf_topk,
     "term_semi_join": q_term_semi_join,
     "topk_join_meta": q_topk_join_meta,
@@ -745,6 +763,7 @@ ORACLES: dict[str, str] = {
     "corpus_stats": SQL_CORPUS_STATS,
     "wordcount": SQL_WORDCOUNT,
     "bm25_topk": SQL_BM25_TOPK,
+    "bm25_blocks": SQL_BM25_TOPK,
     "tfidf_topk": SQL_TFIDF_TOPK,
     "term_semi_join": SQL_TERM_SEMI_JOIN,
     "topk_join_meta": SQL_TOPK_JOIN_META,

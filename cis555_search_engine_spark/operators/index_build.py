@@ -258,9 +258,14 @@ def build_index(
     stem: bool = True,
     use_pandas_udf: bool = False,
     cache: bool = True,
+    doc_local: bool = True,
 ) -> InvertedIndex:
-    """End-to-end batch index build (SURVEY.md §7 step 2/3)."""
-    postings = build_postings_long(corpus, doc_key, text_col, stem, use_pandas_udf)
+    """End-to-end batch index build (SURVEY.md §7 step 2/3).
+
+    ``doc_local=True`` (default) uses the shuffle-free postings build;
+    both paths are property-tested identical."""
+    build = build_postings_doclocal if doc_local else build_postings_long
+    postings = build(corpus, doc_key, text_col, stem, use_pandas_udf)
     if cache:
         postings = postings.cache()
     stats = doc_stats(postings, doc_key)
