@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .operators.index_build import InvertedIndex, build_index
-from .operators.scoring import bm25_topk, tfidf_ref_topk
+from .operators.scoring import bm25_topk, cosine_ref_topk, tfidf_ref_topk
 
 # ---------------------------------------------------------------- helpers
 
@@ -200,6 +200,39 @@ LIMIT 80
 )
 
 
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: the reference's cosine ranker, top-40. Ordered on the ROUNDED
+    score so the k-cutoff is stable across engines at float ties."""
+    idx = get_index(spark, sf_dir)
+    allr = cosine_ref_topk(idx, TFIDF_QUERY, k=1 << 30, stem=False)
+    return (
+        allr.select("doc_id", F.round("score", 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(40)
+    )
+
+
+SQL_COSINE_TOPK = (
+    SQL_TOK
+    + """
+, w AS (
+  SELECT p.doc_id,
+         (1.0 + ln(p.tf)) / (1.0 + ln(ds.max_tf)) * ln(tot.n_postings / cs.df) AS weight,
+         ln(tot.n_postings / cs.df) AS idf
+  FROM postings p, cs, ds, tot
+  WHERE p.term = cs.term AND p.doc_id = ds.doc_id
+    AND p.term IN ('window', 'sort')
+)
+SELECT doc_id,
+       round(sum(weight * idf) / sqrt(sum(weight * weight)), 4) AS score
+FROM w
+GROUP BY doc_id
+ORDER BY round(sum(weight * idf) / sqrt(sum(weight * weight)), 4) DESC, doc_id ASC
+LIMIT 40
+"""
+)
+
+
 def q_term_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1: posting ∩ query-terms semi-join -> matching documents."""
     idx = get_index(spark, sf_dir)
@@ -375,6 +408,87 @@ SELECT strftime(time_bucket(INTERVAL '5 minutes', ts), '%Y-%m-%d %H:%M:%S') AS b
        round(sum(value), 4) AS sum_value
 FROM events
 GROUP BY 1, 2
+"""
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization over the events stream table: a new session starts
+    after a >30-minute gap per user (lag + running sum of session-start
+    flags — the batch shape of F.session_window)."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    flagged = ev.withColumn(
+        "new_sess",
+        F.when((epoch - F.lag(epoch).over(w)) > 1800, 1).otherwise(0),
+    ).withColumn("sess_idx", F.sum("new_sess").over(w))
+    return (
+        flagged.groupBy("user_id", "sess_idx")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("sess_start"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select("user_id", F.col("sess_idx").cast("long").alias("sess_idx"),
+                "n_events", "sess_start", "sum_value")
+    )
+
+
+SQL_SESSIONIZE = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w > 1800 THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts, value,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess_idx
+  FROM flagged
+)
+SELECT user_id, sess_idx::BIGINT AS sess_idx,
+       count(*)::BIGINT AS n_events,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS sess_start,
+       round(sum(value), 4) AS sum_value
+FROM sess GROUP BY user_id, sess_idx
+"""
+
+
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window functions (SURVEY §2.5): top-3 docs per lang by n_chars,
+    with per-lang rank and a running char total."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        docs.withColumn("rnk", F.row_number().over(w))
+        .withColumn(
+            "running_chars",
+            F.sum("n_chars").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .filter(F.col("rnk") <= 3)
+        .select("lang", F.col("rnk").cast("long").alias("rnk"), "doc_id",
+                F.col("n_chars").cast("long").alias("n_chars"),
+                F.col("running_chars").cast("long").alias("running_chars"))
+    )
+
+
+SQL_WINDOW_RANK = """
+WITH r AS (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER w AS rnk,
+         sum(n_chars) OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC
+                            ROWS UNBOUNDED PRECEDING) AS running_chars
+  FROM documents
+  WINDOW w AS (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC)
+)
+SELECT lang, rnk::BIGINT AS rnk, doc_id, n_chars::BIGINT AS n_chars,
+       running_chars::BIGINT AS running_chars
+FROM r WHERE rnk <= 3
 """
 
 
@@ -735,12 +849,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_topk": q_bm25_topk,
     "bm25_blocks": q_bm25_blocks,
     "tfidf_topk": q_tfidf_topk,
+    "cosine_topk": q_cosine_topk,
     "term_semi_join": q_term_semi_join,
     "topk_join_meta": q_topk_join_meta,
     "prior_blend": q_prior_blend,
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
     "events_window": q_events_window,
+    "sessionize": q_sessionize,
+    "window_rank": q_window_rank,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -765,12 +882,15 @@ ORACLES: dict[str, str] = {
     "bm25_topk": SQL_BM25_TOPK,
     "bm25_blocks": SQL_BM25_TOPK,
     "tfidf_topk": SQL_TFIDF_TOPK,
+    "cosine_topk": SQL_COSINE_TOPK,
     "term_semi_join": SQL_TERM_SEMI_JOIN,
     "topk_join_meta": SQL_TOPK_JOIN_META,
     "prior_blend": SQL_PRIOR_BLEND,
     "tpch_q1": SQL_TPCH_Q1,
     "tpch_q3": SQL_TPCH_Q3,
     "events_window": SQL_EVENTS_WINDOW,
+    "sessionize": SQL_SESSIONIZE,
+    "window_rank": SQL_WINDOW_RANK,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM,
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH,

@@ -79,6 +79,40 @@ def bm25_topk(index: InvertedIndex, query: str, k: int = 80, stem: bool = True) 
     return _topk(scored, key, k)
 
 
+def cosine_ref_topk(
+    index: InvertedIndex, query: str, k: int = 40, stem: bool = True
+) -> DataFrame:
+    """The reference's SECOND ranker — cosine similarity
+    (frontend/SearchHelperYezheng.java:226-242, SURVEY §2.4 A9):
+
+        per doc:  innerProduct = Σ_t weight(t,doc) · idf_ref(t)
+                  sumOfSquare  = Σ_t weight(t,doc)²
+        score = innerProduct / sqrt(sumOfSquare)
+
+    (the query vector's own norm is constant per query, so the reference
+    drops it). Match terms = stem(q) ∪ raw(q), same as the tf-idf ranker;
+    top-k = 40 there (TreeMap cut, SearchHelperYezheng.java:252).
+    """
+    terms = ref_query_terms(query) if stem else list(dict.fromkeys(tokenize_py(query)))
+    key = list(index.doc_key)
+    matched = index.postings.filter(F.col("term").isin(terms))
+    scored = (
+        matched.join(F.broadcast(index.corpus_stats.filter(F.col("term").isin(terms))), "term")
+        .join(index.doc_stats.select(*key, "max_tf"), key)
+        .withColumn(
+            "weight",
+            (1.0 + F.log("tf")) / (1.0 + F.log("max_tf")) * F.col("idf_ref"),
+        )
+        .groupBy(*key)
+        .agg(
+            F.sum(F.col("weight") * F.col("idf_ref")).alias("inner_product"),
+            F.sum(F.col("weight") * F.col("weight")).alias("sum_of_square"),
+        )
+        .select(*key, (F.col("inner_product") / F.sqrt("sum_of_square")).alias("score"))
+    )
+    return _topk(scored, key, k)
+
+
 def tfidf_ref_topk(
     index: InvertedIndex,
     query: str,

@@ -105,6 +105,30 @@ def score_tfidf_ref(
     return [(c, t, s) for (c, t), s in ranked[:k]]
 
 
+def score_cosine_ref(
+    idx: OracleIndex, query: str, k: int = 40
+) -> list[tuple[str, int, float]]:
+    """Reference cosine ranker (SearchHelperYezheng.java:226-252):
+    score = Σ(w·idf) / sqrt(Σ w²) over matching terms."""
+    terms = query_terms(query)
+    inner: dict[tuple[str, int], float] = {}
+    sumsq: dict[tuple[str, int], float] = {}
+    for t in terms:
+        dfreq = idx.df.get(t)
+        if not dfreq:
+            continue
+        idf = math.log(idx.n_postings / dfreq)
+        for key, tf in idx.doc_tf.items():
+            c = tf.get(t)
+            if c:
+                w = (1.0 + math.log(c)) / (1.0 + math.log(idx.max_tf[key])) * idf
+                inner[key] = inner.get(key, 0.0) + w * idf
+                sumsq[key] = sumsq.get(key, 0.0) + w * w
+    scores = {key: inner[key] / math.sqrt(sumsq[key]) for key in inner}
+    ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+    return [(c, t, s) for (c, t), s in ranked[:k]]
+
+
 def score_bm25(
     idx: OracleIndex, query: str, k: int = 80
 ) -> list[tuple[str, int, float]]:

@@ -113,3 +113,24 @@ def test_doclocal_equals_groupby(corpus_sdf, stem):
         for r in build_postings_doclocal(corpus_sdf, stem=stem).collect()
     }
     assert a == b
+
+
+@pytest.mark.parametrize("query", REFERENCE_QUERIES[:8])
+def test_cosine_ref_rank_identical(spark_index, oracle_index, query):
+    """Cosine divides by sqrt(sum-of-squares), so mathematically-tied
+    docs differ in the last ULP between engines; compare at 1e-9-rounded
+    precision: the rounded score sequence must be identical and every
+    returned doc must carry the oracle's score for that doc."""
+    from cis555_search_engine_spark.operators.scoring import cosine_ref_topk
+    from cis555_search_engine_spark.oracle import score_cosine_ref
+
+    got = [
+        ((r["conv_id"], r["turn_idx"]), round(r["score"], 9))
+        for r in cosine_ref_topk(spark_index, query, k=40).collect()
+    ]
+    oracle_all = {(c, t): round(s, 9) for c, t, s in
+                  score_cosine_ref(oracle_index, query, k=1 << 30)}
+    want_scores = sorted(oracle_all.values(), reverse=True)[: len(got)]
+    assert [s for _, s in got] == want_scores
+    for key, s in got:
+        assert oracle_all[key] == s, key

@@ -1,0 +1,104 @@
+"""Physical-plan quality assertions (the plans we'd want at 100 TB).
+
+These lock in the scale-relevant properties of the physical plans:
+filters pushed to the parquet scan, column pruning, broadcast joins on
+small sides, TakeOrderedAndProject for top-k (never a global sort), and
+the shuffle-free guarantee of the doc-local postings build.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+
+def explain_str(df, mode: str = "formatted") -> str:
+    jdf = df._jdf
+    jvm = df.sparkSession._jvm
+    em = jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    return jdf.queryExecution().explainString(em)
+
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_doclocal_build_has_no_shuffle(spark, corpus_sdf):
+    from cis555_search_engine_spark.operators.index_build import build_postings_doclocal
+
+    plan = explain_str(build_postings_doclocal(corpus_sdf, stem=True))
+    assert "Exchange" not in plan  # narrow map end-to-end
+    # and the groupBy variant DOES shuffle (sanity of the assertion)
+    from cis555_search_engine_spark.operators.index_build import build_postings_long
+
+    assert "Exchange" in explain_str(build_postings_long(corpus_sdf, stem=True))
+
+
+def test_topk_plans_take_ordered_not_global_sort(spark_index):
+    from cis555_search_engine_spark.operators.scoring import bm25_topk
+
+    plan = explain_str(bm25_topk(spark_index, "rice noodle", k=80))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan  # corpus-stats side broadcast
+
+
+def test_filter_pushdown_and_column_pruning(spark):
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    q = (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag")
+        .agg(F.sum("l_quantity").alias("s"))
+    )
+    plan = explain_str(q)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # projection reaches the scan: only the 3 needed columns are read
+    assert "ReadSchema: struct<l_quantity:double,l_returnflag:string,l_shipdate:timestamp" in plan
+
+
+def test_semi_join_is_broadcast(spark, spark_index):
+    from pyspark.sql import functions as F
+
+    terms = spark.createDataFrame([("rice",), ("noodl",)], "term string")
+    j = spark_index.postings.join(F.broadcast(terms), "term", "left_semi")
+    plan = explain_str(j)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_whole_stage_codegen_covers_native_tokenize(spark, corpus_sdf, tmp_path):
+    from cis555_search_engine_spark.operators.index_build import tokenize_turns
+
+    # parquet-backed so the plan is a real scan, not a LocalTableScan
+    p = str(tmp_path / "corpus")
+    corpus_sdf.write.parquet(p)
+    corpus = spark.read.parquet(p)
+
+    plan = explain_str(tokenize_turns(corpus))
+    # formatted mode marks codegen'd operators with '* '
+    assert "* ColumnarToRow" in plan or "WholeStageCodegen" in plan
+    assert "ArrowEvalPython" not in plan  # native path stays JVM-side
+    codegen = explain_str(tokenize_turns(corpus), "codegen")
+    assert "WholeStageCodegen subtrees" in codegen
+
+    plan_udf = explain_str(tokenize_turns(corpus, use_pandas_udf=True))
+    assert "ArrowEvalPython" in plan_udf  # the UDF path is Arrow, not row Python
+    assert "BatchEvalPython" not in plan_udf
+
+
+def test_block_query_broadcasts_survivor_filter(spark_index):
+    from cis555_search_engine_spark.operators.postings_codec import build_blocks
+
+    bidx = build_blocks(spark_index, block_span=64)
+    from cis555_search_engine_spark.operators.postings_codec import decode_blocks
+
+    plan = explain_str(decode_blocks(bidx.blocks, 64))
+    # decode path is mapInPandas over blocks: Arrow, no row-Python
+    assert "MapInPandas" in plan or "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_tpch_q3_builds_broadcast_join(spark):
+    import cis555_search_engine_spark.entry_queries as EQ
+
+    plan = explain_str(EQ.q_tpch_q3(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
