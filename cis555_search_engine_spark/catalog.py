@@ -1,0 +1,89 @@
+"""Thin table-catalog abstraction: Iceberg when configured, parquet
+directories otherwise (SURVEY.md §7).
+
+The target deployment reads/writes Iceberg tables (the north rule's
+corpus is "Iceberg tables of multi-turn transcripts"); this sandbox has
+no Iceberg jars, so the catalog keeps the Iceberg path honest — same
+schema, same partitioning intent, same idempotent-overwrite semantics —
+while executing against parquet locally:
+
+- Iceberg mode (`catalog="<name>"`, requires the runtime to be launched
+  with the Iceberg spark-runtime jar + catalog conf):
+  `spark.read.format("iceberg").load(f"{cat}.{db}.{tbl}")`,
+  `df.writeTo(...).append()` / `.overwritePartitions()`.
+- Parquet mode (`catalog=None`): tables are `<root>/<tbl>` directories;
+  `overwrite_partitions` maps to dynamic partitionOverwriteMode, the
+  closest parquet analog of Iceberg's idempotent partition rewrite
+  (reference analog: `ON DUPLICATE KEY UPDATE` batch INSERTs,
+  `indexer/Indexer.java:228-264`).
+
+`target_file_rows` maps to `maxRecordsPerFile` — the reference's tuned
+INSERT batch size (32-url batches peaked at 2,000 urls/min, report p.5)
+becomes a file-size target.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class Catalog:
+    spark: SparkSession
+    root: str | None = None          # parquet mode: directory root
+    catalog: str | None = None       # iceberg mode: catalog name
+    database: str = "default"
+
+    def _ident(self, table: str) -> str:
+        return f"{self.catalog}.{self.database}.{table}"
+
+    def is_iceberg(self) -> bool:
+        return self.catalog is not None
+
+    def read(self, table: str) -> DataFrame:
+        if self.is_iceberg():
+            return self.spark.read.format("iceberg").load(self._ident(table))
+        return self.spark.read.parquet(f"{self.root}/{table}")
+
+    def write(
+        self,
+        df: DataFrame,
+        table: str,
+        mode: str = "overwrite",
+        partition_by: list[str] | None = None,
+        target_file_rows: int | None = None,
+    ) -> None:
+        if self.is_iceberg():
+            w = df.writeTo(self._ident(table)).using("iceberg")
+            if partition_by:
+                from pyspark.sql import functions as F
+
+                w = w.partitionedBy(*[F.col(c) for c in partition_by])
+            if mode == "append":
+                w.append()
+            else:
+                w.createOrReplace()
+            return
+        writer = df.write.mode(mode)
+        if target_file_rows:
+            writer = writer.option("maxRecordsPerFile", target_file_rows)
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(f"{self.root}/{table}")
+
+    def overwrite_partitions(
+        self, df: DataFrame, table: str, partition_by: list[str]
+    ) -> None:
+        """Idempotent partition rewrite: Iceberg `overwritePartitions()`,
+        parquet dynamic partition overwrite."""
+        if self.is_iceberg():
+            df.writeTo(self._ident(table)).overwritePartitions()
+            return
+        (
+            df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*partition_by)
+            .parquet(f"{self.root}/{table}")
+        )

@@ -766,6 +766,7 @@ SQL_MULTIMODAL_META = """
 SELECT doc_id AS id,
        octet_length(encode(text))::BIGINT AS n_bytes,
        md5(text) AS digest,
+       sha256(text) AS sha,
        ascii(text)::INT AS head_byte
 FROM documents
 """

@@ -34,6 +34,7 @@ META_SCHEMA = T.StructType(
         T.StructField("id", T.LongType()),
         T.StructField("n_bytes", T.LongType()),
         T.StructField("digest", T.StringType()),
+        T.StructField("sha", T.StringType()),
         T.StructField("head_byte", T.IntegerType()),
     ]
 )
@@ -49,9 +50,16 @@ def decode_media(payload: bytes, media_type: str):
     )
 
 
-def fake_decode_meta(payload: bytes) -> tuple[int, str, int]:
-    """Deterministic stand-in for decode: (n_bytes, md5 hex, first byte)."""
-    return (len(payload), hashlib.md5(payload).hexdigest(), payload[0] if payload else -1)
+def fake_decode_meta(payload: bytes) -> tuple[int, str, str, int]:
+    """Deterministic stand-in for decode: (n_bytes, md5 hex, sha256 hex
+    — the content-address key, reference: sha1(url) S3 keys,
+    S3Wrapper.java:68 — and first byte)."""
+    return (
+        len(payload),
+        hashlib.md5(payload).hexdigest(),
+        hashlib.sha256(payload).hexdigest(),
+        payload[0] if payload else -1,
+    )
 
 
 def with_payload(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -81,7 +89,8 @@ def extract_meta(payloads: DataFrame, decoder=fake_decode_meta) -> DataFrame:
                     "id": pdf["id"].to_numpy(),
                     "n_bytes": [m[0] for m in metas],
                     "digest": [m[1] for m in metas],
-                    "head_byte": [m[2] for m in metas],
+                    "sha": [m[2] for m in metas],
+                    "head_byte": [m[3] for m in metas],
                 }
             )
 

@@ -108,6 +108,7 @@ def test_multimodal_meta_roundtrip(docs_sdf, docs_rows):
         r = got[i]
         assert r["n_bytes"] == len(b)
         assert r["digest"] == hashlib.md5(b).hexdigest()
+        assert r["sha"] == hashlib.sha256(b).hexdigest()
         assert r["head_byte"] == b[0]
 
 
