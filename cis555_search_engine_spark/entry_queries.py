@@ -177,6 +177,35 @@ LIMIT 80
 )
 
 
+def q_bm25_and_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule AND semantics: posting-list intersection — doc must
+    contain every query term."""
+    idx = get_index(spark, sf_dir)
+    out = bm25_topk(idx, BM25_QUERY, k=80, stem=False, conjunctive=True)
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+SQL_BM25_AND_TOPK = (
+    SQL_TOK
+    + """
+SELECT p.doc_id,
+       round(sum(ln((tot.n_docs - cs.df + 0.5) / (cs.df + 0.5) + 1.0)
+                 * p.tf * 2.2
+                 / (p.tf + 1.2 * (0.25 + 0.75 * ds.doc_len / tot.avg_len))), 4) AS score
+FROM postings p, cs, ds, tot
+WHERE p.term = cs.term AND p.doc_id = ds.doc_id
+  AND p.term IN ('hash', 'join', 'merge')
+GROUP BY p.doc_id
+HAVING count(DISTINCT p.term) = 3
+ORDER BY sum(ln((tot.n_docs - cs.df + 0.5) / (cs.df + 0.5) + 1.0)
+             * p.tf * 2.2
+             / (p.tf + 1.2 * (0.25 + 0.75 * ds.doc_len / tot.avg_len))) DESC,
+         p.doc_id ASC
+LIMIT 80
+"""
+)
+
+
 def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F4/F5/A6/T1: the reference tf-idf ranker, top-80."""
     idx = get_index(spark, sf_dir)
@@ -849,6 +878,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "wordcount": q_wordcount,
     "bm25_topk": q_bm25_topk,
     "bm25_blocks": q_bm25_blocks,
+    "bm25_and_topk": q_bm25_and_topk,
     "tfidf_topk": q_tfidf_topk,
     "cosine_topk": q_cosine_topk,
     "term_semi_join": q_term_semi_join,
@@ -882,6 +912,7 @@ ORACLES: dict[str, str] = {
     "wordcount": SQL_WORDCOUNT,
     "bm25_topk": SQL_BM25_TOPK,
     "bm25_blocks": SQL_BM25_TOPK,
+    "bm25_and_topk": SQL_BM25_AND_TOPK,
     "tfidf_topk": SQL_TFIDF_TOPK,
     "cosine_topk": SQL_COSINE_TOPK,
     "term_semi_join": SQL_TERM_SEMI_JOIN,

@@ -258,17 +258,31 @@ def decode_blocks(blocks: DataFrame, block_span: int, with_positions: bool = Tru
 
 # ---------------------------------------------------------------- query
 
-def _score_decoded(decoded: DataFrame, corpus_stats: DataFrame, terms: list[str], avg_len: float) -> DataFrame:
-    """(term, docid, tf, doc_len) rows -> (docid, score)."""
+def _score_decoded(
+    decoded: DataFrame,
+    corpus_stats: DataFrame,
+    terms: list[str],
+    avg_len: float,
+    conjunctive: bool = False,
+) -> DataFrame:
+    """(term, docid, tf, doc_len) rows -> (docid, score). With
+    ``conjunctive`` only docs containing every term survive (posting-list
+    intersection folded into the hash agg)."""
     idf = corpus_stats.filter(F.col("term").isin(terms)).select("term", "idf_bm25")
     tfd = F.col("tf").cast("double")
     denom = tfd + K1 * (1.0 - B + B * F.col("doc_len") / F.lit(avg_len))
-    return (
+    grouped = (
         decoded.join(F.broadcast(idf), "term")
         .withColumn("partial", F.col("idf_bm25") * tfd * (K1 + 1.0) / denom)
         .groupBy("docid")
-        .agg(F.sum("partial").alias("score"))
+        .agg(
+            F.sum("partial").alias("score"),
+            F.count_distinct(F.col("term")).alias("nt"),
+        )
     )
+    if conjunctive:
+        grouped = grouped.filter(F.col("nt") == len(terms))
+    return grouped.select("docid", "score")
 
 
 def bm25_topk_blocks(
@@ -278,6 +292,7 @@ def bm25_topk_blocks(
     stem: bool = True,
     prune: bool = True,
     seed_blocks: int = 8,
+    conjunctive: bool = False,
 ) -> DataFrame:
     """Top-k BM25 from compressed blocks, block-max pruned, EXACT.
 
@@ -312,7 +327,7 @@ def bm25_topk_blocks(
         seed = tblocks.filter(F.col("block_id").isin([int(b) for b in chosen]))
         seed_scores = _score_decoded(
             decode_blocks(seed, bidx.block_span, with_positions=False),
-            bidx.corpus_stats, terms, bidx.avg_doc_len,
+            bidx.corpus_stats, terms, bidx.avg_doc_len, conjunctive,
         )
         kth = (
             seed_scores.orderBy(F.desc("score")).limit(k)
@@ -328,7 +343,7 @@ def bm25_topk_blocks(
 
     scores = _score_decoded(
         decode_blocks(live, bidx.block_span, with_positions=False),
-        bidx.corpus_stats, terms, bidx.avg_doc_len,
+        bidx.corpus_stats, terms, bidx.avg_doc_len, conjunctive,
     )
     top = scores.orderBy(F.desc("score"), F.asc("docid")).limit(k)
     key = list(bidx.doc_key)
@@ -343,6 +358,51 @@ def _empty_topk(bidx: BlockIndex) -> DataFrame:
     key_schema = bidx.docid_map.select(*bidx.doc_key).schema
     fields = key_schema.fields + [T.StructField("score", T.DoubleType())]
     return bidx.docid_map.sparkSession.createDataFrame([], T.StructType(fields))
+
+
+def phrase_match_blocks(
+    bidx: BlockIndex, phrase: str, stem: bool = True
+) -> DataFrame:
+    """Exact phrase search served from the compressed blobs — the
+    capability positions are stored for (north rule). Returns
+    (doc_key..., n_occurrences > 0).
+
+    Start positions of the phrase = { p : toks[p+i] = term_i ∀i },
+    computed per doc with native array lambdas over the decoded
+    positions arrays; the per-term decodes join on docid (doc-range
+    blocks co-partition the terms, so the join keys align block-wise).
+    """
+    toks = tokenize_py(phrase)
+    terms = [porter_stem(t) for t in toks] if stem else toks
+    if not terms:
+        return _empty_topk(bidx).select(*bidx.doc_key)
+    tblocks = bidx.blocks.filter(F.col("term").isin(list(set(terms))))
+    decoded = decode_blocks(tblocks, bidx.block_span, with_positions=True)
+    joined = None
+    for i, t in enumerate(terms):
+        ti = decoded.filter(F.col("term") == t).select(
+            "docid", F.col("positions").alias(f"p{i}")
+        )
+        joined = ti if joined is None else joined.join(ti, "docid")
+    def _follows(i: int):
+        # one-arg lambda: a (c, idx) lambda would make Spark bind the
+        # second arg as the element-index column
+        return lambda c: F.array_contains(F.col(f"p{i}"), c + i)
+
+    starts = F.col("p0")
+    for i in range(1, len(terms)):
+        starts = F.filter(starts, _follows(i))
+    out = (
+        joined.withColumn("n_occurrences", F.size(starts).cast("long"))
+        .filter(F.col("n_occurrences") > 0)
+        .select("docid", "n_occurrences")
+    )
+    key = list(bidx.doc_key)
+    return (
+        out.join(bidx.docid_map, "docid")
+        .select(*key, "n_occurrences")
+        .orderBy(*[F.asc(c) for c in key])
+    )
 
 
 def count_live_blocks(bidx: BlockIndex, query: str, k: int = 80, stem: bool = True) -> tuple[int, int]:

@@ -58,15 +58,28 @@ def bm25_score_col(tf: Column, idf: Column, doc_len: Column, avg_len: float) -> 
     return idf * tf * (K1 + 1.0) / denom
 
 
-def bm25_topk(index: InvertedIndex, query: str, k: int = 80, stem: bool = True) -> DataFrame:
+def bm25_topk(
+    index: InvertedIndex,
+    query: str,
+    k: int = 80,
+    stem: bool = True,
+    conjunctive: bool = False,
+) -> DataFrame:
     """Top-k docs by BM25. Returns (doc_key..., score).
 
     ``stem=False`` matches raw tokens (for indexes built with stem=False).
+    ``conjunctive=True`` = posting-list INTERSECTION (doc must contain
+    every query term; north-rule AND semantics) — expressed as the same
+    hash agg plus ``HAVING count(distinct term) = |terms|``, which
+    Catalyst folds into the aggregate: no second pass. The reference is
+    OR-semantics (Σ over whatever terms hit, SearchHelper.java:167-177).
     """
     terms = bm25_query_terms(query) if stem else list(dict.fromkeys(tokenize_py(query)))
+    if not terms:
+        return _empty(index)
     key = list(index.doc_key)
     matched = index.postings.filter(F.col("term").isin(terms))
-    scored = (
+    grouped = (
         matched.join(F.broadcast(index.corpus_stats.filter(F.col("term").isin(terms))), "term")
         .join(index.doc_stats.select(*key, "doc_len"), key)
         .withColumn(
@@ -74,9 +87,23 @@ def bm25_topk(index: InvertedIndex, query: str, k: int = 80, stem: bool = True) 
             bm25_score_col(F.col("tf"), F.col("idf_bm25"), F.col("doc_len"), index.avg_doc_len),
         )
         .groupBy(*key)
-        .agg(F.sum("partial").alias("score"))
+        .agg(
+            F.sum("partial").alias("score"),
+            F.count_distinct(F.col("term")).alias("n_terms_hit"),
+        )
     )
-    return _topk(scored, key, k)
+    if conjunctive:
+        grouped = grouped.filter(F.col("n_terms_hit") == len(terms))
+    return _topk(grouped.select(*key, "score"), key, k)
+
+
+def _empty(index: InvertedIndex) -> DataFrame:
+    from pyspark.sql import types as T
+
+    fields = index.doc_stats.select(*index.doc_key).schema.fields + [
+        T.StructField("score", T.DoubleType())
+    ]
+    return index.postings.sparkSession.createDataFrame([], T.StructType(fields))
 
 
 def cosine_ref_topk(

@@ -151,3 +151,61 @@ def test_empty_query_returns_empty(block_index):
 
     assert bm25_topk_blocks(block_index, "", k=5).collect() == []
     assert bm25_topk_blocks(block_index, "zzzqqq", k=5).collect() == []
+
+
+def test_conjunctive_blob_matches_longform(spark_index, block_index):
+    from cis555_search_engine_spark.operators.postings_codec import bm25_topk_blocks
+    from cis555_search_engine_spark.operators.scoring import bm25_topk
+
+    q = "rice noodle"
+    want = [
+        (r["conv_id"], r["turn_idx"], round(r["score"], 9))
+        for r in bm25_topk(spark_index, q, k=20, conjunctive=True).collect()
+    ]
+    got = [
+        (r["conv_id"], r["turn_idx"], round(r["score"], 9))
+        for r in bm25_topk_blocks(block_index, q, k=20, conjunctive=True).collect()
+    ]
+    assert got == want
+    # AND results are a subset of OR results' doc set
+    or_docs = {(r["conv_id"], r["turn_idx"])
+               for r in bm25_topk(spark_index, q, k=10**6).collect()}
+    assert {(c, t) for c, t, _ in want} <= or_docs
+
+
+def test_conjunctive_requires_all_terms(spark_index, oracle_index):
+    from cis555_search_engine_spark.operators.scoring import bm25_topk
+
+    q = "rice noodle"
+    rows = bm25_topk(spark_index, q, k=10**6, conjunctive=True).collect()
+    from cis555_search_engine_spark.functions.porter import porter_stem
+
+    terms = {porter_stem(t) for t in q.split()}
+    for r in rows:
+        tf = oracle_index.doc_tf[(r["conv_id"], r["turn_idx"])]
+        assert all(t in tf for t in terms), (r, terms)
+
+
+def test_phrase_from_blobs_matches_oracle(block_index, oracle_index):
+    from cis555_search_engine_spark.operators.postings_codec import phrase_match_blocks
+    from cis555_search_engine_spark.functions.porter import porter_stem
+
+    # derive a phrase guaranteed to occur: the first two stemmed tokens
+    # of the lexicographically-first doc (positions 0,1 are adjacent)
+    first_key = min(oracle_index.doc_pos)
+    by_pos = {p: t for t, ps in oracle_index.doc_pos[first_key].items() for p in ps}
+    phrase = f"{by_pos[0]} {by_pos[1]}"
+    terms = [porter_stem(t) for t in phrase.split()]
+    want = {}
+    for key, pos in oracle_index.doc_pos.items():
+        p0 = pos.get(terms[0], [])
+        p1 = set(pos.get(terms[1], []))
+        n = sum(1 for p in p0 if p + 1 in p1)
+        if n:
+            want[key] = n
+    got = {
+        (r["conv_id"], r["turn_idx"]): r["n_occurrences"]
+        for r in phrase_match_blocks(block_index, phrase).collect()
+    }
+    assert got == want
+    assert want, "fixture must contain the phrase"
