@@ -23,8 +23,9 @@ Design decisions, all for 10^12-doc scale:
   by the north rule — the salt is the doc range, which makes it useful
   at query time too (below) instead of a throwaway shard key.
 
-- **Doc-range-aligned blocks across terms** make block-max pruning sound
-  AND exact: every doc in block b scores at most
+- **Doc-range-aligned blocks across terms** make block-max pruning
+  (the block-max WAND idea of Ding & Suel, SIGIR 2011 — public
+  literature) sound AND exact here: every doc in block b scores at most
   ``ub(b) = Σ_t max_impact(t, b)`` over the query's terms, because each
   term's contribution inside b is bounded by that term's block max.
   Query path: (1) exact-score the few highest-ub blocks to get a

@@ -110,6 +110,77 @@ def read_incremental_postings(spark: SparkSession, out_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(out_dir, "postings_long")).drop("epoch")
 
 
+RATE_STATE_SCHEMA = "n_seen long, last_emit_epoch long"
+RATE_OUT_SCHEMA = (
+    "host string, n_emitted long, n_dropped long"
+)
+
+
+def politeness_rate_limit(
+    stream,
+    key_col: str = "tool",
+    ts_col: str = "ts",
+    min_gap_s: int = 60,
+    timeout_s: int | None = None,
+):
+    """Custom stateful operator via ``applyInPandasWithState``: per-key
+    politeness rate limiting — at most one emitted row per `min_gap_s`
+    per key, the rest counted as dropped.
+
+    Reference analog ST3: the crawler's per-host `lastAccess`/`hostDelay`
+    maps (`crawler/XPathCrawler.java:66-68,396-401`) — mutable driver-side
+    dicts there; bounded, checkpointed keyed state here. State: (rows
+    seen, last emit epoch). Output per trigger: (key, n_emitted,
+    n_dropped).
+
+    ``timeout_s``: idle-key state eviction via ProcessingTimeTimeout for
+    long-running deployments. Leave None under trigger(availableNow) —
+    a pending processing-time timeout forces the engine to keep running
+    empty micro-batches until it fires, so the one-shot trigger never
+    terminates.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        import pandas as pd  # noqa: PLC0415 (executor-side import)
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n_seen, last_emit = state.get if state.exists else (0, -(10**12))
+        emitted = dropped = 0
+        for pdf in pdfs:
+            for e in sorted(int(t.timestamp()) for t in pdf[ts_col]):
+                n_seen += 1
+                if e - last_emit >= min_gap_s:
+                    emitted += 1
+                    last_emit = e
+                else:
+                    dropped += 1
+        state.update((n_seen, last_emit))
+        if timeout_s is not None:
+            state.setTimeoutDuration(timeout_s * 1000)
+        yield pd.DataFrame(
+            {"host": [key[0]], "n_emitted": [emitted], "n_dropped": [dropped]}
+        )
+
+    conf = (
+        GroupStateTimeout.NoTimeout
+        if timeout_s is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
+    return (
+        stream.groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=RATE_OUT_SCHEMA,
+            stateStructType=RATE_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=conf,
+        )
+    )
+
+
 def windowed_event_counts(
     events: DataFrame,
     window: str = "5 minutes",

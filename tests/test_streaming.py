@@ -121,3 +121,46 @@ def test_windowed_counts_stream_equals_batch(spark, tmp_path):
     for k, v in got.items():
         assert batch[k] == v
     assert len(got) >= len(batch) - 3  # at most the tail windows open
+
+
+def test_politeness_rate_limit_stateful(spark, tmp_path, corpus_pdf):
+    """applyInPandasWithState custom operator: per-key min-gap emission."""
+    from cis555_search_engine_spark.streaming.ingest import (
+        politeness_rate_limit,
+        read_transcript_stream,
+    )
+
+    d = str(tmp_path / "rl")
+    os.makedirs(d)
+    part = corpus_pdf.iloc[:120].copy()
+    part["tool"] = ["h" + str(i % 3) for i in range(len(part))]  # 3 hosts
+    part["ts"] = part["ts"].astype("datetime64[us]")
+    part.to_parquet(f"{d}/a.parquet", index=False)
+
+    out = politeness_rate_limit(
+        read_transcript_stream(spark, d), key_col="tool", min_gap_s=300
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("rl_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    rows = {r["host"]: (r["n_emitted"], r["n_dropped"])
+            for r in spark.sql("SELECT * FROM rl_sink").collect()}
+    assert set(rows) == {"h0", "h1", "h2"}
+    # python oracle: same min-gap pass over each host's sorted epochs
+    for h, (emitted, dropped) in rows.items():
+        epochs = sorted(
+            int(t.timestamp()) for t, tool in zip(part["ts"], part["tool"]) if tool == h
+        )
+        last, e_want, d_want = -(10**12), 0, 0
+        for e in epochs:
+            if e - last >= 300:
+                e_want += 1
+                last = e
+            else:
+                d_want += 1
+        assert (emitted, dropped) == (e_want, d_want), h
