@@ -55,17 +55,22 @@ def pagerank(
     Fixed `n_iter` with `check_every=None` is fully deterministic — the
     mode used for oracle parity.
     """
-    e = clean_edges(edges).cache()
-    nodes = e.select("src").union(e.select(F.col("dst").alias("src"))).distinct().select(
-        F.col("src").alias("id")
+    e = clean_edges(edges)
+    nodes = (
+        e.select("src").union(e.select(F.col("dst").alias("src"))).distinct()
+        .select(F.col("src").alias("id"))
+        .cache()
     )
     degrees = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # pre-join out-degrees once — the loop then does ONE join per
+    # iteration instead of two (the reference's groupByKey adjacency
+    # cache, SparkAppMain.java:78-80, without materializing arrays)
+    ed = e.join(degrees, "src").select("src", "dst", "deg").cache()
     ranks = nodes.select("id", F.lit(1.0).alias("rank")).cache()
 
     for i in range(n_iter):
         contribs = (
-            e.join(degrees, "src")
-            .join(ranks.withColumnRenamed("id", "src"), "src")
+            ed.join(ranks.withColumnRenamed("id", "src"), "src")
             .select(F.col("dst").alias("id"), (F.col("rank") / F.col("deg")).alias("c"))
         )
         new_ranks = (
