@@ -209,3 +209,14 @@ def test_phrase_from_blobs_matches_oracle(block_index, oracle_index):
     }
     assert got == want
     assert want, "fixture must contain the phrase"
+
+
+def test_hot_term_spreads_across_blocks(spark_index, block_index):
+    """Skew guarantee: no (term, block) group exceeds block_span postings,
+    and the hottest term occupies >1 block — the doc-range salt is real."""
+    rows = block_index.blocks.select("term", "block_id", "df_block").collect()
+    per_term: dict[str, int] = {}
+    for r in rows:
+        assert r["df_block"] <= block_index.block_span, (r["term"], r["block_id"])
+        per_term[r["term"]] = per_term.get(r["term"], 0) + 1
+    assert max(per_term.values()) > 1, "corpus must have a term spanning blocks"
