@@ -132,7 +132,11 @@ def checkpointed_postings_build(
         _lineage_append(
             out_dir,
             {"stage": "postings", "group": g, "status": "built",
-             "rows": n_rows, "wall_s": round(wall, 3), "fingerprint": fp},
+             "rows": n_rows, "wall_s": round(wall, 3),
+             "rows_per_sec": round(n_rows / wall, 1) if wall else None,
+             "docs": fp["rows"],
+             "docs_per_sec": round(fp["rows"] / wall, 1) if wall else None,
+             "fingerprint": fp},
         )
     return results
 

@@ -251,6 +251,52 @@ class InvertedIndex:
     avg_doc_len: float
 
 
+def merge_indexes(a: InvertedIndex, b: InvertedIndex) -> InvertedIndex:
+    """Merge two indexes over DISJOINT document sets (segment merge —
+    the north rule's posting-list merge; reference analog: 17 manually
+    sharded indexer JVMs all writing one MySQL table, report p.3).
+
+    Scale-right: postings and doc-stats are unions (no recompute);
+    corpus stats merge at the STATS level — df(term) = df_a + df_b via
+    one outer join over the (small) vocabularies, never re-aggregating
+    the posting rows. IDFs are recomputed from the merged totals.
+    """
+    if a.doc_key != b.doc_key:
+        raise ValueError(f"doc_key mismatch: {a.doc_key} vs {b.doc_key}")
+    postings = a.postings.unionByName(b.postings)
+    stats = a.doc_stats.unionByName(b.doc_stats)
+    n_docs = a.n_docs + b.n_docs
+    n_postings = a.n_postings + b.n_postings
+    total_len = a.avg_doc_len * a.n_docs + b.avg_doc_len * b.n_docs
+    avg_len = total_len / n_docs if n_docs else 0.0
+    dfa = a.corpus_stats.select("term", F.col("df").alias("dfa"))
+    dfb = b.corpus_stats.select("term", F.col("df").alias("dfb"))
+    merged_df = (
+        dfa.join(dfb, "term", "full_outer")
+        .select(
+            "term",
+            (F.coalesce("dfa", F.lit(0)) + F.coalesce("dfb", F.lit(0))).alias("df"),
+        )
+    )
+    cstats = merged_df.select(
+        "term",
+        "df",
+        F.log(F.lit(float(n_postings)) / F.col("df")).alias("idf_ref"),
+        F.log(
+            (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+        ).alias("idf_bm25"),
+    )
+    return InvertedIndex(
+        postings=postings,
+        doc_stats=stats,
+        corpus_stats=cstats,
+        doc_key=a.doc_key,
+        n_docs=n_docs,
+        n_postings=n_postings,
+        avg_doc_len=avg_len,
+    )
+
+
 def build_index(
     corpus: DataFrame,
     doc_key: Sequence[str] = DOC_KEY,

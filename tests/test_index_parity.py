@@ -134,3 +134,31 @@ def test_cosine_ref_rank_identical(spark_index, oracle_index, query):
     assert [s for _, s in got] == want_scores
     for key, s in got:
         assert oracle_all[key] == s, key
+
+
+def test_merge_indexes_equals_full_build(spark, corpus_sdf, spark_index):
+    """Segment merge over disjoint doc sets == one-shot build: postings,
+    stats-level corpus merge, and query results all identical."""
+    from pyspark.sql import functions as F
+
+    from cis555_search_engine_spark.operators.index_build import build_index, merge_indexes
+    from cis555_search_engine_spark.operators.scoring import bm25_topk
+
+    half = F.pmod(F.xxhash64("conv_id"), F.lit(2))
+    a = build_index(corpus_sdf.filter(half == 0))
+    b = build_index(corpus_sdf.filter(half == 1))
+    m = merge_indexes(a, b)
+
+    assert m.n_docs == spark_index.n_docs
+    assert m.n_postings == spark_index.n_postings
+    assert abs(m.avg_doc_len - spark_index.avg_doc_len) < 1e-9
+
+    got_df = {r["term"]: r["df"] for r in m.corpus_stats.collect()}
+    want_df = {r["term"]: r["df"] for r in spark_index.corpus_stats.collect()}
+    assert got_df == want_df
+
+    got = [(r["conv_id"], r["turn_idx"], round(r["score"], 9))
+           for r in bm25_topk(m, "rice noodle", k=20).collect()]
+    want = [(r["conv_id"], r["turn_idx"], round(r["score"], 9))
+            for r in bm25_topk(spark_index, "rice noodle", k=20).collect()]
+    assert got == want
