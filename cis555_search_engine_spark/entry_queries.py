@@ -801,6 +801,41 @@ FROM documents
 """
 
 
+def q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed curation pipeline: quality >= 0.55, lang in (en, de),
+    exact-dedup representative (operators/curation.py)."""
+    from .operators.curation import curate
+
+    return curate(load(spark, sf_dir, "documents"))
+
+
+def _sql_curate() -> str:
+    from .operators.text_analysis import LANG_STOPWORDS
+
+    all_stop = sorted({w for ws in LANG_STOPWORDS.values() for w in ws})
+    lang_sql = _sql_lang_id()
+    quality_sql = _sql_quality()
+    return f"""
+WITH qual AS ({quality_sql}),
+lang AS ({lang_sql}),
+keyed AS (
+  SELECT doc_id AS id,
+         list_aggr(list_sort(list_distinct(string_split(text, ' '))), 'string_agg', ' ') AS ckey
+  FROM documents
+),
+reps AS (SELECT ckey, min(id) AS rep_id FROM keyed GROUP BY ckey)
+SELECT q.id, l.pred_lang, q.score
+FROM qual q
+JOIN lang l ON q.id = l.id
+JOIN keyed k ON q.id = k.id
+JOIN reps r ON k.ckey = r.ckey AND k.id = r.rep_id
+WHERE q.score >= 0.55 AND l.pred_lang IN ('en', 'de')
+"""
+
+
+SQL_CURATE = _sql_curate()
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DataFrame-native PageRank, 10 fixed iterations, over a
     deterministic edge set derived from orders (operators/pagerank.py)."""
@@ -901,6 +936,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_counts": q_token_counts,
     "fingerprint": q_fingerprint,
     "multimodal_meta": q_multimodal_meta,
+    "curate": q_curate,
     "pagerank": q_pagerank,
     "phrase_match": q_phrase_match,
 }
@@ -935,6 +971,7 @@ ORACLES: dict[str, str] = {
     "token_counts": SQL_TOKEN_COUNTS,
     "fingerprint": SQL_FINGERPRINT,
     "multimodal_meta": SQL_MULTIMODAL_META,
+    "curate": SQL_CURATE,
     "pagerank": SQL_PAGERANK,
     "phrase_match": SQL_PHRASE_MATCH,
 }

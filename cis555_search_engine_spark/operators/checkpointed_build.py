@@ -154,7 +154,11 @@ def finalize_index(
     reference's one-time MySQL tf/weight/corpus post-pass (report p.3).
     """
     t0 = time.perf_counter()
-    postings = spark.read.parquet(os.path.join(out_dir, "postings_long")).drop("group")
+    # accepts both the batch checkpoint layout (group=N) and the
+    # streaming ingest layout (epoch=N) — drop() ignores absent columns
+    postings = spark.read.parquet(os.path.join(out_dir, "postings_long")).drop(
+        "group", "epoch"
+    )
     stats = doc_stats(postings, doc_key).cache()
     totals = stats.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("doc_len").alias("total_len")

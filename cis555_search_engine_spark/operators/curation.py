@@ -1,0 +1,49 @@
+"""Corpus curation: the composed training-data filter pipeline.
+
+One declarative pass combining the individual operators —
+`text_analysis.quality_score`, `text_analysis.lang_id`,
+`dedup.exact_dedup` — into the keep/drop decision a pretraining
+pipeline applies before tokenization:
+
+    kept = docs
+      WHERE quality.score >= min_score
+        AND pred_lang IN langs
+        AND doc is its dedup-group representative (min id per
+            canonical token-set key)
+
+Everything is native column expressions + two hash aggs (the dedup
+group-min and nothing else); the quality/lang features are narrow maps,
+so Catalyst fuses the whole predicate into the scan-side filter.
+Returns (id, pred_lang, score) for kept docs — deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import tokens_col
+from .text_analysis import lang_id, quality_score
+
+
+def curate(
+    docs: DataFrame,
+    min_score: float = 0.55,
+    langs: tuple[str, ...] = ("en", "de"),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    q = quality_score(docs, id_col, text_col).select("id", "score")
+    lang = lang_id(docs, id_col, text_col).select("id", "pred_lang")
+    ckey = F.array_join(
+        F.array_sort(F.array_distinct(tokens_col(F.col(text_col)))), " "
+    )
+    keyed = docs.select(F.col(id_col).alias("id"), ckey.alias("ckey"))
+    reps = keyed.groupBy("ckey").agg(F.min("id").alias("rep_id"))
+    kept_ids = keyed.join(reps, "ckey").filter(F.col("id") == F.col("rep_id")).select("id")
+    return (
+        q.join(lang, "id")
+        .join(kept_ids, "id", "left_semi")
+        .filter((F.col("score") >= min_score) & F.col("pred_lang").isin(list(langs)))
+        .select("id", "pred_lang", "score")
+    )

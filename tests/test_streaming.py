@@ -164,3 +164,26 @@ def test_politeness_rate_limit_stateful(spark, tmp_path, corpus_pdf):
             else:
                 d_want += 1
         assert (emitted, dropped) == (e_want, d_want), h
+
+
+def test_streamed_index_is_queryable(spark, staged_corpus, spark_index, tmp_path):
+    """Full loop: stream ingest -> finalize -> SearchEngine queries match
+    the batch-built index."""
+    from cis555_search_engine_spark.engine import SearchEngine
+    from cis555_search_engine_spark.operators.scoring import bm25_topk
+    from cis555_search_engine_spark.streaming.ingest import (
+        incremental_index_build,
+        read_transcript_stream,
+    )
+
+    out = str(tmp_path / "sidx")
+    q = incremental_index_build(
+        read_transcript_stream(spark, staged_corpus), out, str(tmp_path / "ck")
+    )
+    q.awaitTermination(300)
+    eng = SearchEngine.load(spark, out)
+    got = [(r["conv_id"], r["turn_idx"], round(r["score"], 9))
+           for r in eng.search("coronavirus", k=10).collect()]
+    want = [(r["conv_id"], r["turn_idx"], round(r["score"], 9))
+            for r in bm25_topk(spark_index, "coronavirus", k=10).collect()]
+    assert got == want
