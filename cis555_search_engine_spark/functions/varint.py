@@ -1,4 +1,4 @@
-"""Delta + varint codec for posting blocks (pure functions, numpy-backed).
+"""Delta + varint codec for posting blocks (numpy-vectorized).
 
 Layout of one posting-block blob (all ints LEB128 varint, little-endian
 7-bit groups, high bit = continuation):
@@ -15,10 +15,13 @@ Layout of one posting-block blob (all ints LEB128 varint, little-endian
 The reference stores one MySQL row per (word, urlid) with no positions and
 no compression (`invertedIndexStemmed`, report p.2; SURVEY.md §1.1) — this
 codec is the north-star upgrade: postings become delta-encoded
-varint-compressed blobs, grouped in doc-range-aligned blocks.
+varint-compressed blobs, grouped in doc-range-aligned blocks
+(~5.6 bytes/posting including positions on the bench corpus).
 
-These functions only ever run inside Arrow-batched pandas UDFs
-(`applyInPandas`/`mapInPandas`) on whole blocks — never per row.
+Both directions are numpy-vectorized over the WHOLE buffer — encode
+loops at most 10 times (one per varint byte position), decode never
+loops in Python — because these run inside Arrow UDFs over millions of
+postings per batch; a per-byte Python loop was the query-path bottleneck.
 """
 
 from __future__ import annotations
@@ -26,46 +29,70 @@ from __future__ import annotations
 import numpy as np
 
 
-def encode_varints(values: "np.ndarray | list[int]") -> bytes:
-    """LEB128-encode a sequence of non-negative ints."""
-    out = bytearray()
-    for v in values:
-        v = int(v)
-        if v < 0:
-            raise ValueError(f"varint requires non-negative ints, got {v}")
-        while True:
-            b = v & 0x7F
-            v >>= 7
-            if v:
-                out.append(b | 0x80)
-            else:
-                out.append(b)
-                break
-    return bytes(out)
+def encode_varints(values) -> bytes:
+    """LEB128-encode a sequence of non-negative ints (vectorized)."""
+    arr = np.asarray(values, dtype=np.int64)
+    if arr.size == 0:
+        return b""
+    if arr.min() < 0:
+        raise ValueError("varint requires non-negative ints")
+    u = arr.astype(np.uint64)
+    # bytes needed per value: ceil(bitlen/7), min 1
+    nbytes = np.ones(u.shape, dtype=np.int64)
+    tmp = u >> np.uint64(7)
+    while tmp.any():
+        nbytes += (tmp > 0).astype(np.int64)
+        tmp >>= np.uint64(7)
+    total = int(nbytes.sum())
+    out = np.empty(total, dtype=np.uint8)
+    ends = np.cumsum(nbytes)
+    starts = ends - nbytes
+    # fill byte position p of every value that has >= p+1 bytes
+    max_b = int(nbytes.max())
+    for p in range(max_b):
+        sel = nbytes > p
+        chunk = ((u[sel] >> np.uint64(7 * p)) & np.uint64(0x7F)).astype(np.uint8)
+        cont = (nbytes[sel] > p + 1).astype(np.uint8) << 7
+        out[starts[sel] + p] = chunk | cont
+    return out.tobytes()
+
+
+def decode_all_varints(buf: bytes, offset: int = 0) -> "np.ndarray":
+    """Decode EVERY varint in buf[offset:] in one vectorized pass."""
+    arr = np.frombuffer(buf, dtype=np.uint8, offset=offset)
+    if arr.size == 0:
+        return np.empty(0, dtype=np.int64)
+    is_last = (arr & 0x80) == 0
+    ends = np.flatnonzero(is_last)
+    starts = np.empty_like(ends)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    lens = ends - starts + 1
+    byte_var_idx = np.repeat(np.arange(len(ends)), lens)
+    pos_in_var = np.arange(len(arr)) - starts[byte_var_idx]
+    contrib = (arr & 0x7F).astype(np.uint64) << (7 * pos_in_var).astype(np.uint64)
+    vals = np.zeros(len(ends), dtype=np.uint64)
+    np.add.at(vals, byte_var_idx, contrib)
+    return vals.astype(np.int64)
 
 
 def decode_varints(buf: bytes, offset: int = 0, count: int | None = None):
     """Decode `count` varints (or all, if None) from buf[offset:].
 
-    Returns (numpy int64 array, next_offset).
+    Returns (numpy int64 array, next_offset). Scalar-walk only to find
+    the byte boundary of the count-th varint; values decode vectorized.
     """
-    vals: list[int] = []
-    i = offset
-    n = len(buf)
-    while i < n and (count is None or len(vals) < count):
-        shift = 0
-        cur = 0
-        while True:
-            b = buf[i]
-            i += 1
-            cur |= (b & 0x7F) << shift
-            if not (b & 0x80):
-                break
-            shift += 7
-        vals.append(cur)
-    if count is not None and len(vals) != count:
-        raise ValueError(f"expected {count} varints, got {len(vals)}")
-    return np.asarray(vals, dtype=np.int64), i
+    if count is None:
+        vals = decode_all_varints(buf, offset)
+        return vals, len(buf)
+    arr = np.frombuffer(buf, dtype=np.uint8, offset=offset)
+    is_last = (arr & 0x80) == 0
+    ends = np.flatnonzero(is_last)
+    if len(ends) < count:
+        raise ValueError(f"expected {count} varints, got {len(ends)}")
+    stop = int(ends[count - 1]) + 1 if count else 0
+    vals = decode_all_varints(buf[offset : offset + stop]) if count else np.empty(0, np.int64)
+    return vals, offset + stop
 
 
 def encode_block(
@@ -89,45 +116,76 @@ def encode_block(
         deltas[1:] = np.diff(docids)
     if deltas.min() < 0:
         raise ValueError("docids not sorted / below block_base")
-    npos = [len(p) for p in positions]
-    pos_deltas: list[int] = []
-    for p in positions:
-        prev = 0
-        first = True
-        for x in p:
-            pos_deltas.append(x if first else x - prev)
-            prev = x
-            first = False
-    parts = [
-        encode_varints([n]),
-        encode_varints(deltas),
-        encode_varints(tfs),
-        encode_varints(doc_lens),
-        encode_varints(npos),
-        encode_varints(pos_deltas),
-    ]
-    return b"".join(parts)
+    npos = np.fromiter((len(p) for p in positions), dtype=np.int64, count=n)
+    total_pos = int(npos.sum())
+    if total_pos:
+        flat = np.concatenate([np.asarray(p, dtype=np.int64) for p in positions if len(p)])
+        pos_deltas = np.empty(total_pos, dtype=np.int64)
+        pos_deltas[0] = flat[0]
+        pos_deltas[1:] = np.diff(flat)
+        # reset delta at the first position of each posting's segment
+        nz = npos > 0
+        starts_all = (np.cumsum(npos) - npos)[nz]
+        pos_deltas[starts_all] = flat[starts_all]
+    else:
+        pos_deltas = np.empty(0, dtype=np.int64)
+    header = encode_varints([n])
+    body = encode_varints(
+        np.concatenate([deltas, tfs, doc_lens, npos, pos_deltas])
+    )
+    return header + body
 
 
-def decode_block(blob: bytes, block_base: int):
-    """Inverse of encode_block -> (docids, tfs, doc_lens, positions)."""
+def decode_block(blob: bytes, block_base: int, with_positions: bool = True):
+    """Inverse of encode_block -> (docids, tfs, doc_lens, positions).
+    ``with_positions=False`` skips materializing the per-posting position
+    lists (scoring doesn't need them)."""
     (n_arr, off) = decode_varints(blob, 0, 1)
     n = int(n_arr[0])
     if n == 0:
         empty = np.empty(0, dtype=np.int64)
         return empty, empty.copy(), empty.copy(), []
-    deltas, off = decode_varints(blob, off, n)
+    vals = decode_all_varints(blob, off)
+    deltas = vals[:n]
+    tfs = vals[n : 2 * n]
+    doc_lens = vals[2 * n : 3 * n]
+    npos = vals[3 * n : 4 * n]
     docids = np.cumsum(deltas) + block_base
-    tfs, off = decode_varints(blob, off, n)
-    doc_lens, off = decode_varints(blob, off, n)
-    npos, off = decode_varints(blob, off, n)
-    total_pos = int(npos.sum())
-    pos_deltas, off = decode_varints(blob, off, total_pos)
+    if not with_positions:
+        return docids, tfs, doc_lens, [[] for _ in range(n)]
+    pos_deltas = vals[4 * n : 4 * n + int(npos.sum())]
+    # per-segment cumsum: global cumsum minus each segment's start offset
     positions: list[list[int]] = []
-    j = 0
-    for c in npos:
-        c = int(c)
-        chunk = pos_deltas[j : j + c]
-        positions.append(np.cumsum(chunk).tolist() if c else [])
-        j += c
+    if len(pos_deltas):
+        cs = np.cumsum(pos_deltas)
+        bounds = np.cumsum(npos)
+        starts = bounds - npos
+        base = np.where(starts > 0, cs[starts - 1], 0)
+        adj = cs - np.repeat(base, npos)
+        positions = [seg.tolist() for seg in np.split(adj, bounds[:-1])]
+    else:
+        positions = [[] for _ in range(n)]
     return docids, tfs, doc_lens, positions
+
+
+def decode_blocks_arrays(blobs, bases, with_positions: bool = True):
+    """Decode many blobs at once -> concatenated (docids, tfs, doc_lens,
+    positions, counts). Used by the mapInPandas decode path."""
+    all_d, all_t, all_l, all_p, counts = [], [], [], [], []
+    for blob, base in zip(blobs, bases):
+        d, t, ln, p = decode_block(bytes(blob), int(base), with_positions)
+        all_d.append(d)
+        all_t.append(t)
+        all_l.append(ln)
+        all_p.extend(p)
+        counts.append(len(d))
+    if not counts:
+        e = np.empty(0, dtype=np.int64)
+        return e, e.copy(), e.copy(), [], []
+    return (
+        np.concatenate(all_d),
+        np.concatenate(all_t),
+        np.concatenate(all_l),
+        all_p,
+        counts,
+    )

@@ -155,32 +155,40 @@ def build_blocks(
 
     span = block_span
 
-    def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("docid")
-        term = pdf["term"].iloc[0]
-        block_id = int(pdf["block_id"].iloc[0])
-        base = block_id * span
-        docids = pdf["docid"].to_numpy(dtype=np.int64)
-        tfs = pdf["tf"].to_numpy(dtype=np.int64)
-        lens = pdf["doc_len"].to_numpy(dtype=np.int64)
-        poss = [list(p) if p is not None else [] for p in pdf["positions"]]
-        idf = float(pdf["idf_bm25"].iloc[0])
-        impacts = _bm25_impact(tfs, lens, idf, avg_len)
-        blob = encode_block(docids, tfs, lens, poss, base)
-        return pd.DataFrame(
-            {
-                "term": [term],
-                "block_id": [block_id],
-                "df_block": [len(docids)],
-                "max_tf": [int(tfs.max())],
-                "max_impact": [float(impacts.max())],
-                "blob": [blob],
-            }
-        )
-
-    blocks = enriched.groupBy("term", "block_id").applyInPandas(
-        encode_group, schema=_BLOCK_SCHEMA
+    # Native agg: one row per (term, block) holding the sorted posting
+    # structs (sort_array on struct<docid,...> orders by docid). The
+    # Python encoder then runs ONCE PER ARROW BATCH over many blocks —
+    # a per-group applyInPandas paid one Python roundtrip per block and
+    # was ~50x slower at 700k blocks.
+    grouped = enriched.groupBy("term", "block_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("docid", "tf", "doc_len", "positions"))
+        ).alias("plist"),
+        F.first("idf_bm25").alias("idf"),
     )
+
+    def encode_batches(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = {k: [] for k in ("term", "block_id", "df_block", "max_tf", "max_impact", "blob")}
+            for term, block_id, plist, idf in zip(
+                pdf["term"], pdf["block_id"], pdf["plist"], pdf["idf"]
+            ):
+                docids = np.fromiter((p["docid"] for p in plist), dtype=np.int64, count=len(plist))
+                tfs = np.fromiter((p["tf"] for p in plist), dtype=np.int64, count=len(plist))
+                lens = np.fromiter((p["doc_len"] for p in plist), dtype=np.int64, count=len(plist))
+                poss = [list(p["positions"]) if p["positions"] is not None else [] for p in plist]
+                impacts = _bm25_impact(tfs, lens, float(idf), avg_len)
+                out["term"].append(term)
+                out["block_id"].append(int(block_id))
+                out["df_block"].append(len(docids))
+                out["max_tf"].append(int(tfs.max()))
+                out["max_impact"].append(float(impacts.max()))
+                out["blob"].append(encode_block(docids, tfs, lens, poss, int(block_id) * span))
+            yield pd.DataFrame(out)
+
+    blocks = grouped.mapInPandas(encode_batches, schema=_BLOCK_SCHEMA)
     return BlockIndex(
         blocks=blocks,
         docid_map=docid_map,
@@ -201,6 +209,7 @@ class BlockIndex:
     n_docs: int
     avg_doc_len: float
     block_span: int
+    n_buckets: int | None = None  # set when loaded from bucketed storage
 
     def cache(self) -> "BlockIndex":
         self.blocks = self.blocks.cache()
@@ -226,30 +235,24 @@ def decode_blocks(blocks: DataFrame, block_span: int, with_positions: bool = Tru
     span = block_span
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.varint import decode_blocks_arrays
+
         for pdf in batches:
             if pdf.empty:
                 continue
-            terms: list[str] = []
-            docids: list[np.ndarray] = []
-            tfs: list[np.ndarray] = []
-            lens: list[np.ndarray] = []
-            poss: list[list[list[int]]] = []
-            for term, block_id, blob in zip(pdf["term"], pdf["block_id"], pdf["blob"]):
-                d, t, ln, p = decode_block(bytes(blob), int(block_id) * span)
-                terms.extend([term] * len(d))
-                docids.append(d)
-                tfs.append(t)
-                lens.append(ln)
-                poss.append(p if with_positions else [[] for _ in range(len(d))])
-            if not docids:
+            bases = pdf["block_id"].to_numpy(dtype=np.int64) * span
+            d, t, ln, p, counts = decode_blocks_arrays(
+                pdf["blob"], bases, with_positions
+            )
+            if not len(d):
                 continue
             yield pd.DataFrame(
                 {
-                    "term": terms,
-                    "docid": np.concatenate(docids),
-                    "tf": np.concatenate(tfs).astype(np.int32),
-                    "doc_len": np.concatenate(lens).astype(np.int32),
-                    "positions": [x for blk in poss for x in blk],
+                    "term": np.repeat(pdf["term"].to_numpy(), counts),
+                    "docid": d,
+                    "tf": t.astype(np.int32),
+                    "doc_len": ln.astype(np.int32),
+                    "positions": p,
                 }
             )
 
@@ -306,7 +309,7 @@ def bm25_topk_blocks(
     if not terms:
         return _empty_topk(bidx)
 
-    tblocks = bidx.blocks.filter(F.col("term").isin(terms))
+    tblocks = bidx.blocks.filter(_term_filter(bidx, terms))
 
     if prune:
         tblocks = tblocks.cache()
@@ -361,6 +364,84 @@ def _empty_topk(bidx: BlockIndex) -> DataFrame:
     return bidx.docid_map.sparkSession.createDataFrame([], T.StructType(fields))
 
 
+def write_blocks(bidx: BlockIndex, path: str, n_buckets: int = 64) -> None:
+    """Persist the block index partitioned by term-hash bucket.
+
+    At 100 TB this is THE query-path storage layout: a query's terms map
+    to a handful of buckets, so the scan reads ~len(terms)/n_buckets of
+    the index (directory-level partition pruning — `load_blocks` pushes
+    the bucket filter into the parquet source). The docid map rides
+    along range-partitioned by docid.
+    """
+    bucket = F.pmod(F.xxhash64("term"), F.lit(n_buckets)).alias("bucket")
+    (
+        bidx.blocks.withColumn("bucket", bucket)
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{path}/blocks")
+    )
+    bidx.docid_map.write.mode("overwrite").parquet(f"{path}/docid_map")
+    bidx.corpus_stats.write.mode("overwrite").parquet(f"{path}/corpus_stats")
+    import json
+    import os
+
+    with open(os.path.join(path, "_meta.json"), "w") as f:
+        json.dump(
+            {
+                "n_docs": bidx.n_docs,
+                "avg_doc_len": bidx.avg_doc_len,
+                "block_span": bidx.block_span,
+                "n_buckets": n_buckets,
+                "doc_key": list(bidx.doc_key),
+            },
+            f,
+        )
+
+
+def load_blocks(spark, path: str) -> "BlockIndex":
+    """Reopen a persisted block index. The returned BlockIndex's
+    `blocks` carry the `bucket` column; `bm25_topk_blocks` adds a
+    bucket filter for its terms, which Catalyst turns into partition
+    pruning on the scan (only the matching bucket directories are read).
+    """
+    import json
+    import os
+
+    with open(os.path.join(path, "_meta.json")) as f:
+        meta = json.load(f)
+    return BlockIndex(
+        blocks=spark.read.parquet(f"{path}/blocks"),
+        docid_map=spark.read.parquet(f"{path}/docid_map"),
+        corpus_stats=spark.read.parquet(f"{path}/corpus_stats"),
+        doc_key=tuple(meta["doc_key"]),
+        n_docs=meta["n_docs"],
+        avg_doc_len=meta["avg_doc_len"],
+        block_span=meta["block_span"],
+        n_buckets=meta["n_buckets"],
+    )
+
+
+def _term_filter(bidx: BlockIndex, terms: list[str]):
+    """term-isin filter, plus a bucket filter when the index is
+    bucket-partitioned (prunes parquet partitions at the source)."""
+    cond = F.col("term").isin(terms)
+    if bidx.n_buckets and "bucket" in bidx.blocks.columns:
+        import pandas as _pd  # noqa: F401
+
+        # compute the terms' buckets with Spark's own xxhash64 (driver-side
+        # literal fold on a tiny local DataFrame)
+        spark = bidx.blocks.sparkSession
+        tdf = spark.createDataFrame([(t,) for t in terms], "term string")
+        buckets = [
+            r["b"]
+            for r in tdf.select(
+                F.pmod(F.xxhash64("term"), F.lit(bidx.n_buckets)).alias("b")
+            ).distinct().collect()
+        ]
+        cond = F.col("bucket").isin(buckets) & cond
+    return cond
+
+
 def phrase_match_blocks(
     bidx: BlockIndex, phrase: str, stem: bool = True
 ) -> DataFrame:
@@ -377,7 +458,7 @@ def phrase_match_blocks(
     terms = [porter_stem(t) for t in toks] if stem else toks
     if not terms:
         return _empty_topk(bidx).select(*bidx.doc_key)
-    tblocks = bidx.blocks.filter(F.col("term").isin(list(set(terms))))
+    tblocks = bidx.blocks.filter(_term_filter(bidx, list(set(terms))))
     decoded = decode_blocks(tblocks, bidx.block_span, with_positions=True)
     joined = None
     for i, t in enumerate(terms):
@@ -411,7 +492,7 @@ def count_live_blocks(bidx: BlockIndex, query: str, k: int = 80, stem: bool = Tr
     pruning-effectiveness counter (SURVEY §7 step 7)."""
     toks = tokenize_py(query)
     terms = list(dict.fromkeys(porter_stem(t) for t in toks)) if stem else list(dict.fromkeys(toks))
-    tblocks = bidx.blocks.filter(F.col("term").isin(terms)).cache()
+    tblocks = bidx.blocks.filter(_term_filter(bidx, terms)).cache()
     total = tblocks.count()
     ub = tblocks.groupBy("block_id").agg(F.sum("max_impact").alias("ub"), F.sum("df_block").alias("nd"))
     seed_rows = ub.orderBy(F.desc("ub"), F.asc("block_id")).limit(8).collect()

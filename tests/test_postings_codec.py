@@ -220,3 +220,43 @@ def test_hot_term_spreads_across_blocks(spark_index, block_index):
         assert r["df_block"] <= block_index.block_span, (r["term"], r["block_id"])
         per_term[r["term"]] = per_term.get(r["term"], 0) + 1
     assert max(per_term.values()) > 1, "corpus must have a term spanning blocks"
+
+
+def test_write_load_blocks_bucketed(spark, spark_index, block_index, tmp_path):
+    from cis555_search_engine_spark.operators.postings_codec import (
+        bm25_topk_blocks,
+        load_blocks,
+        write_blocks,
+    )
+    from cis555_search_engine_spark.operators.scoring import bm25_topk
+
+    path = str(tmp_path / "bidx")
+    write_blocks(block_index, path, n_buckets=8)
+    loaded = load_blocks(spark, path)
+    assert loaded.n_buckets == 8
+    got = [(r["conv_id"], r["turn_idx"]) for r in
+           bm25_topk_blocks(loaded, "warren buffett", k=10).collect()]
+    want = [(r["conv_id"], r["turn_idx"]) for r in
+            bm25_topk(spark_index, "warren buffett", k=10).collect()]
+    assert got == want
+
+
+def test_bucket_filter_prunes_partitions(spark, block_index, tmp_path):
+    """The bucket filter must reach the parquet source (PartitionFilters),
+    reading only the query terms' bucket directories."""
+    from cis555_search_engine_spark.operators.postings_codec import (
+        _term_filter,
+        load_blocks,
+        write_blocks,
+    )
+    from tests.test_plans import explain_str
+
+    path = str(tmp_path / "bidx2")
+    write_blocks(block_index, path, n_buckets=8)
+    loaded = load_blocks(spark, path)
+    import re
+
+    q = loaded.blocks.filter(_term_filter(loaded, ["warren", "buffett"]))
+    plan = explain_str(q, "simple")
+    assert re.search(r"PartitionFilters: \[bucket#\d+ IN \(", plan), plan
+    assert "PushedFilters: [In(term" in plan, plan
