@@ -411,6 +411,36 @@ LIMIT 10
 """
 
 
+def q_tpch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP aggregation (returnflag -> linestatus ->
+    grand total). The reference has no grouping sets (SURVEY §2.4); added
+    for analytics completeness."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
+            "sum_qty",
+            "n_rows",
+        )
+    )
+
+
+SQL_TPCH_ROLLUP = """
+SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       count(*)::BIGINT AS n_rows
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
 def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 5-minute window aggregation over the events stream table
     (the batch shape of the Structured-Streaming path)."""
@@ -921,6 +951,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "prior_blend": q_prior_blend,
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
+    "tpch_rollup": q_tpch_rollup,
     "events_window": q_events_window,
     "sessionize": q_sessionize,
     "window_rank": q_window_rank,
@@ -956,6 +987,7 @@ ORACLES: dict[str, str] = {
     "prior_blend": SQL_PRIOR_BLEND,
     "tpch_q1": SQL_TPCH_Q1,
     "tpch_q3": SQL_TPCH_Q3,
+    "tpch_rollup": SQL_TPCH_ROLLUP,
     "events_window": SQL_EVENTS_WINDOW,
     "sessionize": SQL_SESSIONIZE,
     "window_rank": SQL_WINDOW_RANK,
