@@ -637,12 +637,45 @@ SQL_DEDUP_MINHASH = SQL_SHINGLES + SQL_JACCARD_BODY.format(thr=0.9)
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (Hamming <= 3). Hash-dependent output —
-    no SQL oracle (rows-only check); properties covered in pytest
-    (tests/test_dedup.py: completeness vs brute-force Hamming)."""
+    """SimHash near-dup pairs (Hamming <= 3). The 60-bit fingerprint is
+    built on an SQL-reproducible base hash (md5 hex prefix ->
+    BIGINT, dedup.simhash_base_hash), so the DuckDB twin computes
+    IDENTICAL fingerprints and the output is fully oracle-checked
+    (round 1 shipped this rows-only). Candidate generation stays the
+    pigeonhole 4x15-bit chunk join; completeness vs brute force is
+    additionally property-tested in tests/test_dedup.py."""
     from .operators.dedup import simhash_pairs
 
-    return simhash_pairs(load(spark, sf_dir, "documents"), max_hamming=3)
+    out = simhash_pairs(load(spark, sf_dir, "documents"), max_hamming=3)
+    return out.select("i", "j", F.col("hamming").cast("int").alias("hamming"))
+
+
+def _sql_simhash_pairs(max_hamming: int = 3) -> str:
+    from .operators.dedup import SIMHASH_BITS
+
+    bit_sums = ",\n         ".join(
+        f"sum(tf * (CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END)) AS b{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    sim_expr = " | ".join(
+        f"(CASE WHEN b{b} > 0 THEN (1::BIGINT << {b}) ELSE 0::BIGINT END)"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+tf AS (SELECT id, tok, count(*)::BIGINT AS tf FROM toks GROUP BY id, tok),
+hashed AS (SELECT id, tf, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tf),
+sums AS (SELECT id, {bit_sums} FROM hashed GROUP BY id),
+sims AS (SELECT id, {sim_expr} AS simhash FROM sums)
+SELECT a.id AS i, b.id AS j, bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+FROM sims a JOIN sims b ON a.id < b.id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""
+
+
+SQL_DEDUP_SIMHASH = _sql_simhash_pairs(3)
 
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -994,7 +1027,7 @@ ORACLES: dict[str, str] = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM,
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH,
-    # dedup_simhash: hash-dependent output -> no SQL oracle (rows-only)
+    "dedup_simhash": SQL_DEDUP_SIMHASH,
     "ann_topk": SQL_ANN_TOPK,
     "ann_ivf": SQL_ANN_IVF,
     "cosine_pairs": SQL_COSINE_PAIRS,

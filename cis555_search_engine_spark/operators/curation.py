@@ -35,12 +35,21 @@ def curate(
 ) -> DataFrame:
     q = quality_score(docs, id_col, text_col).select("id", "score")
     lang = lang_id(docs, id_col, text_col).select("id", "pred_lang")
+    # dedup-group key = double xxhash64 of the canonical token-set string
+    # (128 bits, computed map-side): the shuffle key is 16 bytes/row, not
+    # the full canonical string — same rationale as dedup.exact_dedup.
     ckey = F.array_join(
         F.array_sort(F.array_distinct(tokens_col(F.col(text_col)))), " "
     )
-    keyed = docs.select(F.col(id_col).alias("id"), ckey.alias("ckey"))
-    reps = keyed.groupBy("ckey").agg(F.min("id").alias("rep_id"))
-    kept_ids = keyed.join(reps, "ckey").filter(F.col("id") == F.col("rep_id")).select("id")
+    keyed = docs.select(
+        F.col(id_col).alias("id"),
+        F.xxhash64(ckey).alias("k1"),
+        F.xxhash64(ckey, F.lit(1)).alias("k2"),
+    )
+    reps = keyed.groupBy("k1", "k2").agg(F.min("id").alias("rep_id"))
+    kept_ids = (
+        keyed.join(reps, ["k1", "k2"]).filter(F.col("id") == F.col("rep_id")).select("id")
+    )
     return (
         q.join(lang, "id")
         .join(kept_ids, "id", "left_semi")

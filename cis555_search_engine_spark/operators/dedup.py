@@ -10,19 +10,18 @@ Four families, all over a `documents(doc_id, text, ...)` table:
   on the shingle, count shared per pair. At 100 TB the shingle join is
   the classic "inverted-index join": each shingle's posting list is
   bounded by hot-shingle capping (`max_shingle_df`).
-- **MinHash + LSH**: k min-hashes over shingles (one Arrow-vectorized
-  UDF pass: per-shingle base hash + numpy affine family — no explode),
-  banded into b bands of r rows;
-  candidate pairs = bucket collisions; survivors verified with exact
-  Jaccard. Hash-independent OUTPUT (verified pairs ≥ threshold), so the
-  result is comparable against an exact SQL oracle; band parameters are
-  chosen so recall at the threshold is 1.0 (1-(1-s^r)^b ≈ 1 for s≥0.8
-  with r=2, b=16).
-- **SimHash**: 64-bit sign-sum fingerprint of token frequencies, all
-  native bit arithmetic; near-dup candidates = equal 16-bit chunk
-  (Hamming ≤ 3 guarantee via pigeonhole over 4 chunks), verified by
-  Hamming distance. Hash-dependent output -> covered by pytest
-  properties, not the SQL oracle.
+- **MinHash + LSH**: per-shingle base hash = NATIVE xxhash64; the k-fold
+  affine family + per-doc min is one Arrow-vectorized numpy pass; banded
+  into b bands of r rows; candidate pairs = bucket collisions; survivors
+  verified with exact Jaccard. Hash-independent OUTPUT (verified pairs
+  ≥ threshold), so the result is comparable against an exact SQL oracle;
+  band parameters are chosen so recall at the threshold is 1.0
+  (1-(1-s^r)^b ≈ 1 for s≥0.8 with r=2, b=16).
+- **SimHash**: 60-bit sign-sum fingerprint of token frequencies on an
+  SQL-reproducible base hash (md5 hex prefix -> 60-bit int, computable
+  identically in DuckDB), all native bit arithmetic; near-dup candidates
+  = equal 15-bit chunk (Hamming ≤ 3 guarantee via pigeonhole over 4
+  chunks), verified by Hamming distance. Fully oracle-checkable.
 
 Scale notes: every pair-generating join is keyed (shingle / band bucket /
 chunk) — never a cross join. Hot keys are capped or salted. Outputs are
@@ -30,8 +29,6 @@ deterministic: pairs always (i < j), ordered.
 """
 
 from __future__ import annotations
-
-import hashlib
 
 import numpy as np
 import pandas as pd
@@ -48,14 +45,23 @@ def tokens_col(text=None):
 
 
 def shingles_col(text=None, n: int = 3):
-    """Distinct word n-gram shingles as array<string> (native, no UDF)."""
+    """Distinct word n-gram shingles as array<string> (native, no UDF).
+
+    Docs with fewer than ``n`` tokens yield an EMPTY array: without the
+    guard, ``sequence(0, size-n)`` counts DOWN when size<n (Spark picks
+    step -1), producing index 0/-1 and an ANSI element_at error. The
+    DuckDB twin's ``range(1, len-1)`` is empty for the same docs, so the
+    guard is also what keeps oracle parity on short documents.
+    """
     toks = tokens_col(F.col("text") if text is None else text)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
     sh = F.transform(
         idx,
         lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
     )
-    return F.array_distinct(sh)
+    return F.when(F.size(toks) >= n, F.array_distinct(sh)).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 # ------------------------------------------------------------------ exact
@@ -67,14 +73,22 @@ def exact_dedup(
     return (rep_id, dup_id) for every non-representative duplicate.
     Representative = min id per group (deterministic).
 
-    The hash-groupBy exact-dedup: one shuffle on the content key, with
-    map-side partial agg. At scale, key by a hash of the canonical form
-    (`xxhash64`) instead of the form itself to bound shuffle width.
+    The hash-groupBy exact-dedup: one shuffle on the content key. The
+    shuffle key is NOT the canonical string (arbitrarily wide at scale)
+    but two independent 64-bit hashes of it (xxhash64 with two salts =
+    128 bits total). The probability of two distinct canonical forms
+    colliding on both hashes is ~n²/2^129 — cryptographically negligible
+    (n = 10^12 docs -> ~1e-15); the double hash IS the in-group
+    verification, computed map-side so only 16 bytes/row shuffle.
     """
     key = F.array_join(F.array_sort(F.array_distinct(tokens_col(F.col(text_col)))), " ")
-    keyed = docs.select(F.col(id_col).alias("id"), key.alias("ckey"))
+    keyed = docs.select(
+        F.col(id_col).alias("id"),
+        F.xxhash64(key).alias("k1"),
+        F.xxhash64(key, F.lit(1)).alias("k2"),
+    )
     groups = (
-        keyed.groupBy("ckey")
+        keyed.groupBy("k1", "k2")
         .agg(F.min("id").alias("rep_id"), F.collect_list("id").alias("ids"))
         .filter(F.size("ids") > 1)
     )
@@ -93,36 +107,79 @@ def ngram_jaccard_pairs(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None = 1000,
 ) -> DataFrame:
     """(i, j, jac) for all pairs with shingle-Jaccard >= threshold, i < j.
 
     Exact — pairs with jac > 0 must share a shingle, so the shingle-keyed
-    self-join enumerates every qualifying pair. ``max_shingle_df`` drops
-    shingles appearing in more than that many docs (hot-key cap; a
-    shingle shared by thousands of docs contributes O(df²) candidate
-    pairs — the standard scale guard, disclosed as a coverage cap).
+    self-join enumerates every qualifying pair. Three scale guards:
+
+    - **Hot-shingle cap (ON by default)**: ``max_shingle_df`` removes
+      shingles appearing in more than that many docs BEFORE pair
+      generation — one hot boilerplate shingle shared by d docs would
+      contribute O(d²) candidate rows. The heavy-hitter set is by
+      definition tiny (≤ n_shingle_occurrences / cap), so it is collected
+      and subtracted from each doc's shingle ARRAY natively
+      (array_except) — per-doc shingle-set sizes are therefore the
+      post-cap sizes and the reported Jaccard is exact over the KEPT
+      shingle sets. Dropped shingles are logged (no silent caps).
+    - **Length filter**: jac(A,B) <= min/max of the set sizes, so the
+      join prunes pairs whose sizes are outside ratio ``threshold``
+      before the pair aggregation.
+    - **Hashed join key**: the self-join + shuffle run on
+      ``xxhash64(shingle)`` (8 bytes) rather than the shingle string
+      (collision odds ~n_shingles²/2^65 — negligible, disclosed).
+
+    Sizes ride along with the exploded rows (computed natively from the
+    capped array — no extra join), so the pair aggregation groups by
+    (i, j, na, nb) and the Jaccard needs no size backfill joins.
     """
-    sh = docs.select(
-        F.col(id_col).alias("id"), F.explode(shingles_col(F.col(text_col), n)).alias("shingle")
+    arr = docs.select(
+        F.col(id_col).alias("id"), shingles_col(F.col(text_col), n).alias("sh_arr")
     )
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     if max_shingle_df is not None:
-        hot = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("sdf")).filter(
-            F.col("sdf") > max_shingle_df
+        exploded = arr.select(F.explode("sh_arr").alias("shingle"))
+        hot_rows = (
+            exploded.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("sdf"))
+            .filter(F.col("sdf") > max_shingle_df)
+            .select("shingle")
+            .collect()
         )
-        sh = sh.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
-    a = sh.alias("a")
-    b = sh.alias("b")
+        hot = sorted(r["shingle"] for r in hot_rows)
+        if hot:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "ngram_jaccard_pairs: dropping %d hot shingles with df > %d "
+                "(coverage cap; pairs sharing ONLY these are not reported)",
+                len(hot), max_shingle_df,
+            )
+            arr = arr.withColumn("sh_arr", F.array_except("sh_arr", F.lit(hot)))
+    sized = arr.select(
+        "id", F.size("sh_arr").alias("nsh"), F.explode("sh_arr").alias("shingle")
+    ).select("id", "nsh", F.xxhash64("shingle").alias("h"))
+    a = sized.alias("a")
+    b = sized.alias("b")
+    thr = float(threshold)
     shared = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("i"), F.col("b.id").alias("j"))
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.id") < F.col("b.id"))
+            & (F.col("b.nsh") >= thr * F.col("a.nsh"))
+            & (F.col("a.nsh") >= thr * F.col("b.nsh")),
+        )
+        .groupBy(
+            F.col("a.id").alias("i"),
+            F.col("b.id").alias("j"),
+            F.col("a.nsh").alias("na"),
+            F.col("b.nsh").alias("nb"),
+        )
         .agg(F.count(F.lit(1)).alias("shared"))
     )
-    sa = sizes.select(F.col("id").alias("i"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("id").alias("j"), F.col("n_sh").alias("nb"))
     return (
-        shared.join(sa, "i").join(sb, "j")
+        shared
         .withColumn("jac", F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")))
         .filter(F.col("jac") >= threshold)
         .select("i", "j", F.round("jac", 6).alias("jac"))
@@ -131,46 +188,67 @@ def ngram_jaccard_pairs(
 
 # --------------------------------------------------------- MinHash + LSH
 
-def minhash_signature_udf(num_hashes: int = 32):
-    """Factory: Arrow-vectorized minhash UDF, array<string> shingles ->
-    array<long> of k min-hashes.
+def minhash_affine_min_udf(num_hashes: int = 32):
+    """Factory: Arrow-vectorized affine-family min, array<long> base
+    hashes -> array<long> of k min-hashes.
 
-    One 64-bit base hash per shingle (blake2b-8), then the k-fold affine
-    family ``h_i(x) = a_i*x + b_i (mod 2^64)`` minimized per row in one
-    numpy broadcast — O(k·|shingles|) vectorized, ONE pass over the data.
+    The base hash per shingle is NATIVE ``xxhash64`` (JVM-side, codegen);
+    this UDF only applies the k-fold affine family
+    ``h_i(x) = a_i*x + b_i (mod 2^64)`` and takes per-row minima in one
+    numpy broadcast (uint64 wrap-around is the mod). No Python string
+    hashing anywhere — the round-1 per-shingle blake2b loop was the
+    signature bottleneck.
 
-    (A first native-expression attempt — k × array_min(transform(...,
-    xxhash64)) — was catastrophically slow: Catalyst inlines the whole
-    32-hash signature expression into each of the 16 band columns, giving
-    a plan too large to print and quadratic re-evaluation. Signature
-    hashing is the textbook case for an Arrow UDF.)
+    (A fully-native attempt — k × array_min(transform(..., xxhash64)) —
+    was catastrophically slow: Catalyst inlines the whole 32-hash
+    signature expression into each of the 16 band columns, giving a plan
+    too large to print and quadratic re-evaluation. And ANSI mode forbids
+    native wrapping multiply. The affine fold is the textbook Arrow-UDF
+    case.)
     """
     rng = np.random.default_rng(20200553)  # fixed seed: deterministic family
     A = rng.integers(1, 2**63, size=num_hashes, dtype=np.uint64) * np.uint64(2) + np.uint64(1)
     B = rng.integers(0, 2**63, size=num_hashes, dtype=np.uint64)
-    EMPTY = np.full(num_hashes, np.iinfo(np.int64).max, dtype=np.int64)
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
-    def _sig(shingle_arrays: pd.Series) -> pd.Series:
-        cache: dict[str, int] = {}
-
-        def base(s: str) -> int:
-            v = cache.get(s)
-            if v is None:
-                v = int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "little")
-                cache[s] = v
-            return v
-
-        def one(shingles) -> list[int]:
-            if shingles is None or len(shingles) == 0:
-                return EMPTY.tolist()
-            x = np.fromiter((base(s) for s in shingles), dtype=np.uint64, count=len(shingles))
+    def _sig(hash_arrays: pd.Series) -> pd.Series:
+        def one(hs) -> list[int] | None:
+            if hs is None or len(hs) == 0:
+                return None
+            x = np.asarray(hs, dtype=np.int64).astype(np.uint64)
             mins = (A[:, None] * x[None, :] + B[:, None]).min(axis=1)
             return mins.astype(np.int64).tolist()
 
-        return shingle_arrays.map(one)
+        return hash_arrays.map(one)
 
     return _sig
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    num_hashes: int = 32,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, sig array<long>) minhash signatures.
+
+    Pipeline: shingles (native) -> explode -> xxhash64 (native) ->
+    collect_list keyed by doc (map-side partial agg, doc key = no skew)
+    -> one Arrow UDF pass for the affine-family min. Docs with no
+    shingles (< n tokens) produce NO row — previously they all shared a
+    constant sentinel signature and collided pairwise in every LSH band
+    (O(m²) candidates among short docs); dropping them is semantically
+    right too: an empty shingle set has no well-defined Jaccard.
+    """
+    hashed = docs.select(
+        F.col(id_col).alias("id"), F.explode(shingles_col(F.col(text_col), n)).alias("shingle")
+    ).select("id", F.xxhash64("shingle").alias("h"))
+    return (
+        hashed.groupBy("id")
+        .agg(F.collect_list("h").alias("hs"))
+        .select("id", minhash_affine_min_udf(num_hashes)(F.col("hs")).alias("sig"))
+    )
 
 
 def minhash_lsh_pairs(
@@ -193,10 +271,7 @@ def minhash_lsh_pairs(
     `ngram_jaccard_pairs` is the exact small-scale baseline.
     """
     r = num_hashes // bands
-    sig = docs.select(
-        F.col(id_col).alias("id"),
-        minhash_signature_udf(num_hashes)(shingles_col(F.col(text_col), n)).alias("sig"),
-    )
+    sig = minhash_signatures(docs, num_hashes, n, id_col, text_col)
     band_cols = [
         F.xxhash64(*[F.element_at("sig", b * r + k + 1) for k in range(r)], F.lit(b)).alias("bh")
         for b in range(bands)
@@ -241,28 +316,46 @@ def minhash_lsh_pairs(
 
 # -------------------------------------------------------------- SimHash
 
-def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(id, simhash long) — 64-bit sign-sum over token frequencies.
+SIMHASH_BITS = 60          # 15 hex chars of md5 — fits a positive BIGINT
+SIMHASH_CHUNKS = 4         # 15-bit chunks; pigeonhole covers Hamming <= 3
 
-    All native: explode tokens -> per-token xxhash64 -> for each bit,
-    sum(tf * (+1/-1)) -> sign -> assemble bits with shiftleft/bitwise-or.
-    The per-bit sums are one hash-agg keyed by doc (64 agg columns), with
-    map-side partial aggregation — no UDF, no skew (key = doc).
+
+def simhash_base_hash(tok):
+    """SQL-reproducible 60-bit token hash: first 15 hex chars of md5.
+
+    Spark: conv(substring(md5(tok),1,15),16,10)::long.
+    DuckDB twin: ('0x' || substr(md5(tok),1,15))::BIGINT.
+    Both are < 2^60, so no sign/overflow divergence — this is what makes
+    the simhash output hash-IDENTICAL across engines and therefore
+    oracle-checkable (round 1 used Spark-private xxhash64 and shipped
+    without an oracle).
+    """
+    return F.conv(F.substring(F.md5(tok.cast("binary")), 1, 15), 16, 10).cast("long")
+
+
+def simhash60(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, simhash long) — 60-bit sign-sum over token frequencies.
+
+    All native: explode tokens -> per-token md5-based 60-bit hash -> for
+    each bit, sum(tf * (+1/-1)) -> sign -> assemble bits with
+    shiftleft/bitwise-or. The per-bit sums are one hash-agg keyed by doc
+    (60 agg columns), with map-side partial aggregation — no UDF, no
+    skew (key = doc).
     """
     toks = docs.select(
         F.col(id_col).alias("id"), F.explode(tokens_col(F.col(text_col))).alias("tok")
     )
     tf = toks.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("tf"))
-    h = F.xxhash64("tok")
+    h = simhash_base_hash(F.col("tok"))
     bit_aggs = [
         F.sum(
             F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.col("tf")).otherwise(-F.col("tf"))
         ).alias(f"b{b}")
-        for b in range(64)
+        for b in range(SIMHASH_BITS)
     ]
     sums = tf.groupBy("id").agg(*bit_aggs)
     sim = F.lit(0).cast("long")
-    for b in range(64):
+    for b in range(SIMHASH_BITS):
         sim = sim.bitwiseOR(
             F.when(F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(F.lit(0).cast("long"))
         )
@@ -277,12 +370,13 @@ def simhash_pairs(
 ) -> DataFrame:
     """(i, j, hamming) pairs with Hamming(simhash) <= max_hamming.
 
-    Candidate generation: split the 64-bit hash into 4 16-bit chunks; by
+    Candidate generation: split the 60-bit hash into 4 15-bit chunks; by
     pigeonhole any pair within Hamming 3 agrees on >= 1 chunk, so the
     chunk-keyed equi-join finds ALL qualifying pairs without a cross
-    join. Verification = popcount of xor.
+    join. Verification = popcount of xor. Output is oracle-checkable
+    because the base hash is SQL-reproducible (simhash_base_hash).
     """
-    sims = simhash64(docs, id_col, text_col)
+    sims = simhash60(docs, id_col, text_col)
     chunks = sims.select(
         "id",
         "simhash",
@@ -291,9 +385,9 @@ def simhash_pairs(
                 *[
                     F.struct(
                         F.lit(c).alias("c"),
-                        F.shiftright("simhash", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("v"),
+                        F.shiftright("simhash", c * 15).bitwiseAND(F.lit(0x7FFF)).alias("v"),
                     )
-                    for c in range(4)
+                    for c in range(SIMHASH_CHUNKS)
                 ]
             )
         ).alias("ch"),

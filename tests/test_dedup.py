@@ -80,7 +80,7 @@ def test_minhash_lsh_full_recall_at_threshold(docs_sdf, docs_rows):
 
 
 def test_simhash_properties(spark):
-    from cis555_search_engine_spark.operators.dedup import simhash64, simhash_pairs
+    from cis555_search_engine_spark.operators.dedup import simhash60, simhash_pairs
 
     rows = [
         (0, "alpha beta gamma delta epsilon zeta eta theta"),
@@ -89,9 +89,9 @@ def test_simhash_properties(spark):
         (3, "completely different words entirely unrelated content here now"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
-    sims = {r["id"]: r["simhash"] for r in simhash64(df).collect()}
+    sims = {r["id"]: r["simhash"] for r in simhash60(df).collect()}
     assert sims[0] == sims[1]  # tf-multiset identical -> identical simhash
-    ham = lambda a, b: bin((a ^ b) & (2**64 - 1)).count("1")  # noqa: E731
+    ham = lambda a, b: bin((a ^ b) & (2**60 - 1)).count("1")  # noqa: E731
     assert ham(sims[0], sims[2]) < ham(sims[0], sims[3])
     pairs = {(r["i"], r["j"]): r["hamming"] for r in simhash_pairs(df, max_hamming=3).collect()}
     assert pairs.get((0, 1)) == 0
@@ -99,11 +99,11 @@ def test_simhash_properties(spark):
 
 def test_simhash_pairs_complete_vs_bruteforce(docs_sdf):
     """Chunk-join candidate generation must find every pair with
-    Hamming <= 3 (pigeonhole over 4x16-bit chunks)."""
-    from cis555_search_engine_spark.operators.dedup import simhash64, simhash_pairs
+    Hamming <= 3 (pigeonhole over 4x15-bit chunks)."""
+    from cis555_search_engine_spark.operators.dedup import simhash60, simhash_pairs
 
-    sims = {r["id"]: r["simhash"] for r in simhash64(docs_sdf).collect()}
-    ham = lambda a, b: bin((a ^ b) & (2**64 - 1)).count("1")  # noqa: E731
+    sims = {r["id"]: r["simhash"] for r in simhash60(docs_sdf).collect()}
+    ham = lambda a, b: bin((a ^ b) & (2**60 - 1)).count("1")  # noqa: E731
     want = {
         (i, j): ham(si, sj)
         for (i, si), (j, sj) in itertools.combinations(sorted(sims.items()), 2)
@@ -111,3 +111,52 @@ def test_simhash_pairs_complete_vs_bruteforce(docs_sdf):
     }
     got = {(r["i"], r["j"]): r["hamming"] for r in simhash_pairs(docs_sdf, 3).collect()}
     assert got == want
+
+
+def test_short_docs_do_not_crash_dedup(spark):
+    """Docs with < n tokens must yield empty shingle sets (regression:
+    sequence(0, size-n) counted DOWN for short docs and hit an ANSI
+    element_at error) and must not pair with each other."""
+    from pyspark.sql import functions as F
+
+    from cis555_search_engine_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        shingles_col,
+        simhash_pairs,
+    )
+
+    rows = [
+        (0, "one"),
+        (1, "two words"),
+        (2, "three tokens here"),
+        (3, "alpha beta gamma delta epsilon"),
+        (4, "alpha beta gamma delta epsilon"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = {r["doc_id"]: r["s"] for r in df.select("doc_id", shingles_col(n=3).alias("s")).collect()}
+    assert sh[0] == [] and sh[1] == [] and sh[5] == []
+    assert sh[2] == ["three tokens here"]
+    jac = {(r["i"], r["j"]) for r in ngram_jaccard_pairs(df, 0.5).collect()}
+    assert jac == {(3, 4)}
+    lsh = {(r["i"], r["j"]) for r in minhash_lsh_pairs(df, 0.9).collect()}
+    assert lsh == {(3, 4)}
+    # simhash over tokens (not shingles): doc 0/1 survive; empty doc 5 must not crash
+    simhash_pairs(df, 3).collect()
+
+
+def test_jaccard_hot_shingle_cap_sizes(spark):
+    """With the cap active, Jaccard must be exact over the KEPT shingle
+    sets (sizes computed after the cap, not before)."""
+    from cis555_search_engine_spark.operators.dedup import ngram_jaccard_pairs
+
+    hot = "the terms of service apply"  # shingles shared by every doc
+    rows = [(i, f"{hot} unique{i} filler{i} text{i} body{i}") for i in range(4)]
+    rows += [(10, f"{hot} same tail words here"), (11, f"{hot} same tail words here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # cap of 3: every shingle of `hot` appears in 6 docs -> dropped
+    got = {(r["i"], r["j"]): r["jac"] for r in ngram_jaccard_pairs(df, 0.9, max_shingle_df=3).collect()}
+    # docs 10/11 share ALL kept shingles -> jac exactly 1.0 over kept sets
+    assert set(got) == {(10, 11)}
+    assert abs(got[(10, 11)] - 1.0) < 1e-9

@@ -260,3 +260,21 @@ def test_bucket_filter_prunes_partitions(spark, block_index, tmp_path):
     plan = explain_str(q, "simple")
     assert re.search(r"PartitionFilters: \[bucket#\d+ IN \(", plan), plan
     assert "PushedFilters: [In(term" in plan, plan
+
+
+def test_mint_doc_ids_stable_across_recompute(spark, spark_index):
+    """docids must be a pure function of the key order — identical across
+    independent recomputations with all caches dropped in between
+    (regression: round-1 minting depended on repartitionByRange keeping
+    its sampled boundaries cached between the count and rank jobs)."""
+    from cis555_search_engine_spark.operators.postings_codec import mint_doc_ids
+
+    out = mint_doc_ids(spark_index.doc_stats, num_partitions=7)
+    a = {(r["conv_id"], r["turn_idx"]): r["docid"] for r in out.collect()}
+    spark.catalog.clearCache()  # evict everything: force full recompute
+    b = {(r["conv_id"], r["turn_idx"]): r["docid"] for r in out.collect()}
+    # doc_stats/postings caches are session-scoped fixtures - restore them
+    spark_index.postings.cache(); spark_index.doc_stats.cache(); spark_index.corpus_stats.cache()
+    assert a == b
+    ids = sorted(b.values())
+    assert ids == list(range(len(ids)))
