@@ -66,6 +66,17 @@ def main() -> None:
     build_s = time.perf_counter() - t0
     timings["index_build"] = round(build_s, 3)
 
+    # ---- block-index build + persist (bucketed parquet layout) ---------
+    # timed separately so `bm25_blocks` below measures SERVING from the
+    # persisted index (the reference's index-once/query-many split) —
+    # round 1 folded the whole in-memory rebuild into the query time.
+    import shutil
+
+    t0 = time.perf_counter()
+    shutil.rmtree(EQ._block_index_path(sf_dir), ignore_errors=True)  # force cold build
+    EQ.ensure_block_index(spark, sf_dir)
+    timings["blocks_build"] = round(time.perf_counter() - t0, 3)
+
     # ---- per-query timings (index now cached) ---------------------------
     for name, fn in entry_mod.queries().items():
         t0 = time.perf_counter()

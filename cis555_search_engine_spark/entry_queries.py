@@ -551,19 +551,64 @@ FROM r WHERE rnk <= 3
 """
 
 
-_BLOCK_CACHE: dict[str, object] = {}
+_BLOCK_CACHE: dict[tuple[str, str], object] = {}
+
+
+def _block_index_path(sf_dir: str) -> str:
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    name = os.path.basename(sf_dir.rstrip("/")) or "default"
+    return os.path.join(repo, ".blockidx", name)
+
+
+def ensure_block_index(spark: SparkSession, sf_dir: str):
+    """Return the PERSISTED block index for sf_dir, building + writing it
+    (bucketed parquet layout) only when absent or stale.
+
+    This is the reference's serving model — index once, query many
+    (frontend/SearchHelper.java:155-188 queries a persistent MySQL
+    index) — and the round-2 fix for the round-1 anti-pattern of
+    rebuilding the compressed blocks in memory per process. Staleness is
+    detected via the source corpus file mtime recorded in the index
+    metadata. The returned BlockIndex reads from the bucket-partitioned
+    parquet, so each query's scan is pruned to its terms' buckets.
+    """
+    import json
+    import os
+
+    from .operators.postings_codec import build_blocks, load_blocks, write_blocks
+
+    skey = (spark.sparkContext.applicationId, sf_dir)
+    cached = _BLOCK_CACHE.get(skey)
+    if cached is not None:
+        return cached
+    path = _block_index_path(sf_dir)
+    src_mtime = os.path.getmtime(f"{sf_dir}/documents.parquet")
+    meta_path = os.path.join(path, "_meta.json")
+    fresh = False
+    if os.path.exists(meta_path):
+        try:
+            with open(meta_path) as f:
+                fresh = json.load(f).get("source_mtime") == src_mtime
+        except (OSError, ValueError):
+            fresh = False
+    if not fresh:
+        bidx = build_blocks(get_index(spark, sf_dir), block_span=256)
+        write_blocks(bidx, path, n_buckets=16, extra_meta={"source_mtime": src_mtime})
+    loaded = load_blocks(spark, path)
+    _BLOCK_CACHE[skey] = loaded
+    return loaded
 
 
 def q_bm25_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 top-80 served from the COMPRESSED block index (delta+varint
-    blobs, block-max pruning) — same oracle as bm25_topk, proving the
-    codec + pruning path exact against ANSI SQL."""
-    from .operators.postings_codec import bm25_topk_blocks, build_blocks
+    """BM25 top-80 SERVED from the persisted compressed block index
+    (delta+varint blobs in bucket-partitioned parquet, block-max
+    pruning) — same oracle as bm25_topk, proving the codec + pruning +
+    persistence path exact against ANSI SQL."""
+    from .operators.postings_codec import bm25_topk_blocks
 
-    bidx = _BLOCK_CACHE.get(sf_dir)
-    if bidx is None:
-        bidx = build_blocks(get_index(spark, sf_dir), block_span=256).cache()
-        _BLOCK_CACHE[sf_dir] = bidx
+    bidx = ensure_block_index(spark, sf_dir)
     out = bm25_topk_blocks(bidx, BM25_QUERY, k=80, stem=False)
     return out.select(F.col("doc_id").cast("long").alias("doc_id"), F.round("score", 4).alias("score"))
 

@@ -121,10 +121,15 @@ def mint_doc_ids(
     n_part = num_partitions or spark.sparkContext.defaultParallelism
     keyed = docs.select(*doc_key).distinct()
     bounds = _range_boundaries(keyed, doc_key, n_part)
+    key_fields = keyed.schema.fields
     key_struct = F.struct(*[F.col(c) for c in doc_key])
     pid = F.lit(0)
     for b in bounds:
-        lit_b = F.struct(*[F.lit(v) for v in b])
+        # cast literal fields to the key columns' exact types (struct
+        # comparison requires identical field types)
+        lit_b = F.struct(
+            *[F.lit(v).cast(f.dataType).alias(f.name) for v, f in zip(b, key_fields)]
+        )
         pid = pid + F.when(key_struct >= lit_b, 1).otherwise(0)
     bucketed = keyed.withColumn("_pid", pid.cast("int"))
     counts = bucketed.groupBy("_pid").count().collect()  # ≤ n_part rows
@@ -333,6 +338,82 @@ def _score_decoded(
     return grouped.select("docid", "score")
 
 
+def _query_terms(query: str, stem: bool) -> list[str]:
+    toks = tokenize_py(query)
+    return list(dict.fromkeys(porter_stem(t) for t in toks)) if stem else list(dict.fromkeys(toks))
+
+
+def _prune_live_blocks(
+    bidx: BlockIndex,
+    tblocks: DataFrame,
+    terms: list[str],
+    k: int,
+    seed_blocks: int,
+    conjunctive: bool = False,
+) -> tuple[DataFrame, int, int]:
+    """Block-max pruning shared by bm25_topk_blocks / count_live_blocks.
+
+    Returns (live_blocks_df, n_live_rows, n_total_rows) where rows are
+    (term, block) entries. Exactly TWO driver round-trips in the worst
+    case (round 1 paid three):
+
+    1. collect the per-block bounds — ub(b) = Σ_t max_impact(t, b) — a
+       tiny frame (blocks of the query's terms only). Seed choice AND
+       the survivor set both derive from this one collect: survivors
+       become a literal IN-list, so phase 2 needs no broadcast-join
+       subquery and no re-aggregation.
+    2. exact-score the seed blocks -> θ = k-th best exact score.
+
+    When the query's blocks already fit in the seed budget, pruning
+    cannot help — both phases are SKIPPED and the caller decodes
+    everything (one job total, the common case for rare terms).
+    """
+    bounds = (
+        tblocks.groupBy("block_id")
+        .agg(
+            F.sum("max_impact").alias("ub"),
+            F.sum("df_block").alias("nd"),
+            F.count(F.lit(1)).alias("nrows"),
+        )
+        .collect()
+    )
+    n_total = int(sum(r["nrows"] for r in bounds))
+    budget = max(seed_blocks, 4)
+    if len(bounds) <= budget:
+        return tblocks, n_total, n_total
+    ranked = sorted(bounds, key=lambda r: (-r["ub"], r["block_id"]))
+    got, chosen = 0, []
+    for r in ranked[:budget]:
+        chosen.append(int(r["block_id"]))
+        got += int(r["nd"])
+        if got >= k:
+            break
+    seed = tblocks.filter(F.col("block_id").isin(chosen))
+    seed_scores = _score_decoded(
+        decode_blocks(seed, bidx.block_span, with_positions=False),
+        bidx.corpus_stats, terms, bidx.avg_doc_len, conjunctive,
+    )
+    kth = (
+        seed_scores.orderBy(F.desc("score")).limit(k)
+        .agg(F.min("score").alias("m"), F.count(F.lit(1)).alias("c"))
+        .collect()[0]
+    )
+    theta = float(kth["m"]) if (kth["c"] or 0) >= k else float("-inf")
+    live_ids = [int(r["block_id"]) for r in bounds if float(r["ub"]) >= theta]
+    n_live = int(sum(r["nrows"] for r in bounds if float(r["ub"]) >= theta))
+    if len(live_ids) == len(bounds):
+        return tblocks, n_live, n_total
+    # literal IN-list while small; degrade to a broadcast semi-join only
+    # for very wide survivor sets (plan-size guard)
+    if len(live_ids) <= 8192:
+        live = tblocks.filter(F.col("block_id").isin(live_ids))
+    else:
+        spark = tblocks.sparkSession
+        sdf = spark.createDataFrame([(b,) for b in live_ids], "block_id long")
+        live = tblocks.join(F.broadcast(sdf), "block_id", "left_semi")
+    return live, n_live, n_total
+
+
 def bm25_topk_blocks(
     bidx: BlockIndex,
     query: str,
@@ -346,46 +427,19 @@ def bm25_topk_blocks(
 
     Returns (doc_key..., score). With ``prune=False`` decodes every block
     of every query term (the exhaustive baseline the pruned path is
-    tested against).
+    tested against). No per-query ``.cache()``: when the index is served
+    from its bucketed parquet layout (write_blocks/load_blocks), the
+    bounds pass and the decode pass each do one bucket- and term-pruned
+    scan — rescanning a pruned columnar source is cheaper than pinning
+    executor memory per query (round 1 leaked a cached RDD per query).
     """
-    toks = tokenize_py(query)
-    terms = list(dict.fromkeys(porter_stem(t) for t in toks)) if stem else list(dict.fromkeys(toks))
+    terms = _query_terms(query, stem)
     if not terms:
         return _empty_topk(bidx)
 
     tblocks = bidx.blocks.filter(_term_filter(bidx, terms))
-
     if prune:
-        tblocks = tblocks.cache()
-        # per-block upper bound over the query's terms (doc-range aligned)
-        ub = tblocks.groupBy("block_id").agg(
-            F.sum("max_impact").alias("ub"), F.sum("df_block").alias("nd")
-        )
-        # Phase 1: seed threshold from the highest-ub blocks (enough to
-        # hold >= k docs). TakeOrderedAndProject — no global sort.
-        seed_ids_rows = (
-            ub.orderBy(F.desc("ub"), F.asc("block_id")).limit(max(seed_blocks, 4)).collect()
-        )
-        got, chosen = 0, []
-        for r in seed_ids_rows:
-            chosen.append(r["block_id"])
-            got += int(r["nd"])
-            if got >= k:
-                break
-        seed = tblocks.filter(F.col("block_id").isin([int(b) for b in chosen]))
-        seed_scores = _score_decoded(
-            decode_blocks(seed, bidx.block_span, with_positions=False),
-            bidx.corpus_stats, terms, bidx.avg_doc_len, conjunctive,
-        )
-        kth = (
-            seed_scores.orderBy(F.desc("score")).limit(k)
-            .agg(F.min("score").alias("m"), F.count(F.lit(1)).alias("c"))
-            .collect()[0]
-        )
-        theta = float(kth["m"]) if (kth["c"] or 0) >= k else float("-inf")
-        # Phase 2: only blocks whose bound can reach theta
-        survivors = ub.filter(F.col("ub") >= F.lit(theta)).select("block_id")
-        live = tblocks.join(F.broadcast(survivors), "block_id", "left_semi")
+        live, _, _ = _prune_live_blocks(bidx, tblocks, terms, k, seed_blocks, conjunctive)
     else:
         live = tblocks
 
@@ -408,8 +462,22 @@ def _empty_topk(bidx: BlockIndex) -> DataFrame:
     return bidx.docid_map.sparkSession.createDataFrame([], T.StructType(fields))
 
 
-def write_blocks(bidx: BlockIndex, path: str, n_buckets: int = 64) -> None:
-    """Persist the block index partitioned by term-hash bucket.
+def term_bucket(term: str, n_buckets: int) -> int:
+    """Driver-side bucket of a term — MUST match the `crc32` column
+    expression in `write_blocks`. java.util.zip.CRC32 (Spark's crc32)
+    and Python zlib.crc32 are the same standard CRC-32, so the query
+    path computes its terms' buckets locally with zero Spark jobs
+    (round 1 used xxhash64 and paid a mini-job per query to learn the
+    buckets)."""
+    import zlib
+
+    return zlib.crc32(term.encode("utf-8")) % n_buckets
+
+
+def write_blocks(
+    bidx: BlockIndex, path: str, n_buckets: int = 64, extra_meta: dict | None = None
+) -> None:
+    """Persist the block index partitioned by term-crc32 bucket.
 
     At 100 TB this is THE query-path storage layout: a query's terms map
     to a handful of buckets, so the scan reads ~len(terms)/n_buckets of
@@ -417,7 +485,7 @@ def write_blocks(bidx: BlockIndex, path: str, n_buckets: int = 64) -> None:
     the bucket filter into the parquet source). The docid map rides
     along range-partitioned by docid.
     """
-    bucket = F.pmod(F.xxhash64("term"), F.lit(n_buckets)).alias("bucket")
+    bucket = F.pmod(F.crc32(F.encode("term", "utf-8")), F.lit(n_buckets)).alias("bucket")
     (
         bidx.blocks.withColumn("bucket", bucket)
         .write.mode("overwrite")
@@ -429,17 +497,17 @@ def write_blocks(bidx: BlockIndex, path: str, n_buckets: int = 64) -> None:
     import json
     import os
 
+    meta = {
+        "n_docs": bidx.n_docs,
+        "avg_doc_len": bidx.avg_doc_len,
+        "block_span": bidx.block_span,
+        "n_buckets": n_buckets,
+        "doc_key": list(bidx.doc_key),
+        "bucket_fn": "crc32",
+    }
+    meta.update(extra_meta or {})
     with open(os.path.join(path, "_meta.json"), "w") as f:
-        json.dump(
-            {
-                "n_docs": bidx.n_docs,
-                "avg_doc_len": bidx.avg_doc_len,
-                "block_span": bidx.block_span,
-                "n_buckets": n_buckets,
-                "doc_key": list(bidx.doc_key),
-            },
-            f,
-        )
+        json.dump(meta, f)
 
 
 def load_blocks(spark, path: str) -> "BlockIndex":
@@ -467,21 +535,12 @@ def load_blocks(spark, path: str) -> "BlockIndex":
 
 def _term_filter(bidx: BlockIndex, terms: list[str]):
     """term-isin filter, plus a bucket filter when the index is
-    bucket-partitioned (prunes parquet partitions at the source)."""
+    bucket-partitioned (prunes parquet partitions at the source). Buckets
+    are computed driver-side with zlib.crc32 (`term_bucket`) — no Spark
+    job, unlike the round-1 xxhash64 mini-job per query."""
     cond = F.col("term").isin(terms)
     if bidx.n_buckets and "bucket" in bidx.blocks.columns:
-        import pandas as _pd  # noqa: F401
-
-        # compute the terms' buckets with Spark's own xxhash64 (driver-side
-        # literal fold on a tiny local DataFrame)
-        spark = bidx.blocks.sparkSession
-        tdf = spark.createDataFrame([(t,) for t in terms], "term string")
-        buckets = [
-            r["b"]
-            for r in tdf.select(
-                F.pmod(F.xxhash64("term"), F.lit(bidx.n_buckets)).alias("b")
-            ).distinct().collect()
-        ]
+        buckets = sorted({term_bucket(t, bidx.n_buckets) for t in terms})
         cond = F.col("bucket").isin(buckets) & cond
     return cond
 
@@ -531,33 +590,16 @@ def phrase_match_blocks(
     )
 
 
-def count_live_blocks(bidx: BlockIndex, query: str, k: int = 80, stem: bool = True) -> tuple[int, int]:
+def count_live_blocks(
+    bidx: BlockIndex, query: str, k: int = 80, stem: bool = True, seed_blocks: int = 8
+) -> tuple[int, int]:
     """(blocks decoded with pruning, total query-term blocks) — the
-    pruning-effectiveness counter (SURVEY §7 step 7)."""
-    toks = tokenize_py(query)
-    terms = list(dict.fromkeys(porter_stem(t) for t in toks)) if stem else list(dict.fromkeys(toks))
-    tblocks = bidx.blocks.filter(_term_filter(bidx, terms)).cache()
-    total = tblocks.count()
-    ub = tblocks.groupBy("block_id").agg(F.sum("max_impact").alias("ub"), F.sum("df_block").alias("nd"))
-    seed_rows = ub.orderBy(F.desc("ub"), F.asc("block_id")).limit(8).collect()
-    got, chosen = 0, []
-    for r in seed_rows:
-        chosen.append(r["block_id"])
-        got += int(r["nd"])
-        if got >= k:
-            break
-    seed = tblocks.filter(F.col("block_id").isin([int(b) for b in chosen]))
-    seed_scores = _score_decoded(
-        decode_blocks(seed, bidx.block_span, with_positions=False),
-        bidx.corpus_stats, terms, bidx.avg_doc_len,
-    )
-    kth = (
-        seed_scores.orderBy(F.desc("score")).limit(k)
-        .agg(F.min("score").alias("m"), F.count(F.lit(1)).alias("c")).collect()[0]
-    )
-    theta = float(kth["m"]) if (kth["c"] or 0) >= k else float("-inf")
-    live = tblocks.join(
-        F.broadcast(ub.filter(F.col("ub") >= F.lit(theta)).select("block_id")),
-        "block_id", "left_semi",
-    ).count()
-    return int(live), int(total)
+    pruning-effectiveness counter (SURVEY §7 step 7). Shares
+    `_prune_live_blocks` with the query path, so the counter can never
+    drift from the actual pruning logic (round 1 duplicated it)."""
+    terms = _query_terms(query, stem)
+    if not terms:
+        return 0, 0
+    tblocks = bidx.blocks.filter(_term_filter(bidx, terms))
+    _, n_live, n_total = _prune_live_blocks(bidx, tblocks, terms, k, seed_blocks)
+    return n_live, n_total
