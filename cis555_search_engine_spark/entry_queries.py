@@ -354,6 +354,75 @@ FROM blend ORDER BY score DESC, doc_id ASC LIMIT 40
 )
 
 
+BATCH_QUERIES: dict[str, str] = {
+    "q00": "hash join",
+    "q01": "merge sort",
+    "q02": "window agg",
+    "q03": "stream batch",
+    "q04": "shuffle partition",
+    "q05": "column vector",
+    "q06": "table scan",
+    "q07": "group filter",
+    "q08": "order key",
+    "q09": "spark query",
+    "q10": "small big",
+    "q11": "fast slow",
+    "q12": "row line",
+    "q13": "data value",
+    "q14": "customer part",
+    "q15": "join merge sort",
+    "q16": "hash window",
+    "q17": "scan filter agg",
+    "q18": "vector stream",
+    "q19": "query batch group",
+}
+
+
+def q_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch query API: 20 queries scored in ONE job (broadcast
+    (qid, term) frame + one hash agg + per-query window top-k) — the
+    amortized serving path a user with a query log needs
+    (operators/scoring.bm25_topk_many)."""
+    from .operators.scoring import bm25_topk_many
+
+    idx = get_index(spark, sf_dir)
+    out = bm25_topk_many(idx, BATCH_QUERIES, k=10, stem=False)
+    return out.select("qid", "doc_id", F.round("score", 4).alias("score"))
+
+
+def _sql_bm25_batch(k: int = 10) -> str:
+    from .functions.tokenizer import tokenize_py
+
+    vals = []
+    for qid, q in BATCH_QUERIES.items():
+        for t in dict.fromkeys(tokenize_py(q)):
+            vals.append(f"('{qid}', '{t}')")
+    values = ",\n         ".join(vals)
+    return (
+        SQL_TOK
+        + f"""
+, qterms(qid, term) AS (VALUES {values}),
+scored AS (
+  SELECT q.qid, p.doc_id,
+         sum(ln((tot.n_docs - cs.df + 0.5) / (cs.df + 0.5) + 1.0)
+             * p.tf * 2.2
+             / (p.tf + 1.2 * (0.25 + 0.75 * ds.doc_len / tot.avg_len))) AS score
+  FROM postings p JOIN qterms q ON p.term = q.term, cs, ds, tot
+  WHERE p.term = cs.term AND p.doc_id = ds.doc_id
+  GROUP BY q.qid, p.doc_id
+)
+SELECT qid, doc_id, round(score, 4) AS score
+FROM (SELECT qid, doc_id, score,
+             row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS rn
+      FROM scored)
+WHERE rn <= {k}
+"""
+    )
+
+
+SQL_BM25_BATCH = _sql_bm25_batch(10)
+
+
 # ------------------------------------------------ relational coverage
 
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -796,6 +865,25 @@ WHERE a.vec_id < 500 AND b.vec_id < 500
 """
 
 
+def q_cosine_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs (cosine >= 0.4) over ALL ids via
+    random-hyperplane LSH + exact-cosine verification — the scale path
+    (keyed bucket join, no nested-loop). The oracle is the exact
+    all-pairs SQL at the same threshold: equality = recall 1.0 on the
+    gate data (operators/similarity.cosine_lsh_pairs)."""
+    from .operators.similarity import cosine_lsh_pairs
+
+    return cosine_lsh_pairs(load(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+SQL_COSINE_LSH_PAIRS = """
+SELECT a.vec_id AS i, b.vec_id AS j,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+"""
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.text_analysis import lang_id
 
@@ -1022,6 +1110,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_topk": q_bm25_topk,
     "bm25_blocks": q_bm25_blocks,
     "bm25_and_topk": q_bm25_and_topk,
+    "bm25_batch": q_bm25_batch,
     "tfidf_topk": q_tfidf_topk,
     "cosine_topk": q_cosine_topk,
     "term_semi_join": q_term_semi_join,
@@ -1040,6 +1129,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk": q_ann_topk,
     "ann_ivf": q_ann_ivf,
     "cosine_pairs": q_cosine_pairs,
+    "cosine_lsh_pairs": q_cosine_lsh_pairs,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
     "token_counts": q_token_counts,
@@ -1058,6 +1148,7 @@ ORACLES: dict[str, str] = {
     "bm25_topk": SQL_BM25_TOPK,
     "bm25_blocks": SQL_BM25_TOPK,
     "bm25_and_topk": SQL_BM25_AND_TOPK,
+    "bm25_batch": SQL_BM25_BATCH,
     "tfidf_topk": SQL_TFIDF_TOPK,
     "cosine_topk": SQL_COSINE_TOPK,
     "term_semi_join": SQL_TERM_SEMI_JOIN,
@@ -1076,6 +1167,7 @@ ORACLES: dict[str, str] = {
     "ann_topk": SQL_ANN_TOPK,
     "ann_ivf": SQL_ANN_IVF,
     "cosine_pairs": SQL_COSINE_PAIRS,
+    "cosine_lsh_pairs": SQL_COSINE_LSH_PAIRS,
     "lang_id": SQL_LANG_ID,
     "quality_score": SQL_QUALITY,
     "token_counts": SQL_TOKEN_COUNTS,

@@ -21,8 +21,11 @@ tie-break (score DESC, id ASC) everywhere.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _dot(a, b):
@@ -92,6 +95,85 @@ def cosine_near_dup_pairs(
         a.join(b, F.col("i") < F.col("j"))
         .select("i", "j", F.round(cosine_col(F.col("va"), F.col("vb")), 6).alias("cos"))
         .filter(F.col("cos") >= threshold)
+    )
+
+
+def rh_signature_udf(n_bands: int = 64, band_bits: int = 4, seed: int = 20200553):
+    """Factory: Arrow-vectorized random-hyperplane signature UDF.
+
+    array<float> embedding -> array<int> of ``n_bands`` band values, the
+    b-th value packing ``band_bits`` sign bits of seeded Gaussian
+    projections (one numpy matmul per Arrow batch — the whole batch's
+    signatures in a single BLAS call; charikar's SimHash for cosine,
+    STOC'02, public literature). The hyperplane matrix is derived from
+    (seed, dim) so signatures are deterministic across runs/executors.
+    """
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def _sig(vecs: pd.Series) -> pd.Series:
+        M = np.array(vecs.tolist(), dtype=np.float64)
+        if M.ndim != 2 or not len(M):
+            return pd.Series([None] * len(vecs))
+        dim = M.shape[1]
+        rng = np.random.default_rng(seed + dim)
+        R = rng.standard_normal((dim, n_bands * band_bits))
+        bits = (M @ R) > 0.0                       # (n, n_bands*band_bits)
+        bits = bits.reshape(len(M), n_bands, band_bits)
+        weights = (1 << np.arange(band_bits)).astype(np.int64)
+        vals = (bits * weights).sum(axis=2).astype(np.int32)  # (n, n_bands)
+        return pd.Series([row.tolist() for row in vals])
+
+    return _sig
+
+
+def cosine_lsh_pairs(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    n_bands: int = 64,
+    band_bits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 20200553,
+) -> DataFrame:
+    """(i, j, cos) embedding near-dup pairs via random-hyperplane LSH —
+    the SCALE path for `cosine_near_dup_pairs` (which is an exact O(n²)
+    nested-loop baseline, round-1 scale-killer).
+
+    Candidates = pairs agreeing on at least one of ``n_bands`` packed
+    sign-bit band values (equi-join on a hashed (band, value) key —
+    never a cross join); survivors verified by EXACT cosine, so output
+    precision is 1.0 and only recall is probabilistic. For a pair at
+    cosine s, P(sign agreement per hyperplane) p = 1 - acos(s)/π, and
+    P(miss) = (1 - p^band_bits)^n_bands: at the 0.4 gate threshold
+    (p=0.63, 4 bits, 64 bands) that is ~1.6e-5 per pair — empirically
+    recall 1.0 on the gate data (oracle equality vs the exact SQL is
+    the proof). At larger n, raise ``band_bits`` ~ log2(n) to keep
+    bucket sizes bounded; the verification step is always exact.
+    """
+    sig = emb.select(
+        F.col(id_col).alias("id"),
+        rh_signature_udf(n_bands, band_bits, seed)(F.col(vec_col)).alias("bands"),
+    )
+    buckets = sig.select(
+        "id", F.posexplode("bands").alias("band", "v")
+    ).select("id", F.xxhash64("band", "v").alias("bkey"))
+    # the self-join reads buckets twice — materialize the UDF output once
+    buckets = buckets.cache()
+    x = buckets.alias("x")
+    y = buckets.alias("y")
+    cands = (
+        x.join(y, (F.col("x.bkey") == F.col("y.bkey")) & (F.col("x.id") < F.col("y.id")))
+        .select(F.col("x.id").alias("i"), F.col("y.id").alias("j"))
+        .distinct()
+    )
+    # exact verification joins the RAW vectors (no UDF re-evaluation)
+    va = emb.select(F.col(id_col).alias("i"), F.col(vec_col).alias("va"))
+    vb = emb.select(F.col(id_col).alias("j"), F.col(vec_col).alias("vb"))
+    return (
+        cands.join(va, "i")
+        .join(vb, "j")
+        .withColumn("cos_raw", cosine_col(F.col("va"), F.col("vb")))
+        .filter(F.col("cos_raw") >= threshold)  # filter RAW, like the SQL twin
+        .select("i", "j", F.round("cos_raw", 6).alias("cos"))
     )
 
 

@@ -98,3 +98,36 @@ def test_ivf_assignment_is_argmax(emb_sdf, emb_np):
     got = {r["vec_id"]: r["cell"] for r in assigned.select("vec_id", "cell").collect()}
     # ties broken by lowest cent_id on both sides (argmax picks first max)
     assert got == want
+
+
+def test_cosine_lsh_pairs_match_numpy(emb_sdf, emb_np):
+    """Random-hyperplane LSH + exact verification must equal the exact
+    all-pairs result at the 0.4 threshold (recall 1.0 on this corpus;
+    miss probability ~1.6e-5 per boundary pair at these band params)."""
+    from cis555_search_engine_spark.operators.similarity import cosine_lsh_pairs
+
+    ids, mat = emb_np
+    sims = _cosine_matrix(mat)
+    thr = 0.4
+    want = {
+        (int(ids[a]), int(ids[b])): sims[a, b]
+        for a in range(len(ids))
+        for b in range(a + 1, len(ids))
+        if sims[a, b] >= thr
+    }
+    got = {(r["i"], r["j"]): r["cos"] for r in cosine_lsh_pairs(emb_sdf, thr).collect()}
+    assert set(got) == set(want)
+    for p, c in got.items():
+        assert abs(c - want[p]) < 1e-5
+    assert want
+
+
+def test_cosine_lsh_plan_has_no_nested_loop(emb_sdf):
+    """The LSH candidate join must be an equi-join — the exact baseline's
+    BroadcastNestedLoopJoin (cartesian) must not appear anywhere."""
+    from cis555_search_engine_spark.operators.similarity import cosine_lsh_pairs
+    from tests.test_plans import explain_str
+
+    plan = explain_str(cosine_lsh_pairs(emb_sdf, 0.4), "simple")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
