@@ -847,6 +847,87 @@ LIMIT 10
 """
 
 
+def q_ann_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with REAL k-means centroids: 3 Lloyd iterations over
+    integer-quantized vectors (exact integer sums -> bit-identical
+    centroids across engines), then a 3-probe top-10. The oracle unrolls
+    the full k-means in SQL — the driver verifies an ITERATIVE
+    clustering end-to-end (operators/similarity.kmeans_quantized)."""
+    from .operators.similarity import ann_topk_kmeans
+
+    return ann_topk_kmeans(
+        load(spark, sf_dir, "embeddings"),
+        query_vec_id=0, k=10, n_centroids=10, n_iter=3, n_probe=3,
+    )
+
+
+def _sql_ann_kmeans(
+    k_cent: int = 10, n_iter: int = 3, n_probe: int = 3, topk: int = 10, scale: int = 1000
+) -> str:
+    def cos(a: str, b: str) -> str:
+        return (
+            f"(list_dot_product({a},{b}) / "
+            f"(sqrt(list_dot_product({a},{a})) * sqrt(list_dot_product({b},{b}))))"
+        )
+
+    parts = [f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         list_transform(embedding::DOUBLE[], x -> round(x*{scale})::BIGINT) AS vq
+  FROM embeddings
+),
+c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, vq::DOUBLE[] AS cv
+  FROM e ORDER BY vec_id LIMIT {k_cent}
+)"""]
+    prev = "c0"
+    for it in range(1, n_iter + 1):
+        parts.append(f""",
+asg{it} AS (
+  SELECT vec_id, vq, cid AS cell FROM (
+    SELECT e.vec_id, e.vq, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {cos("e.vq::DOUBLE[]", "c.cv")} DESC, c.cid ASC) AS rn
+    FROM e CROSS JOIN {prev} c) WHERE rn = 1
+),
+cs{it} AS (
+  SELECT cell AS cid, list(s ORDER BY pos) AS sv FROM (
+    SELECT a.cell, u.i AS pos, sum(a.vq[u.i])::DOUBLE AS s
+    FROM asg{it} a, unnest(generate_series(1, len(a.vq))) AS u(i)
+    GROUP BY a.cell, u.i)
+  GROUP BY cell
+),
+c{it} AS (
+  SELECT p.cid, coalesce(n.sv, p.cv) AS cv
+  FROM {prev} p LEFT JOIN cs{it} n ON p.cid = n.cid
+)""")
+        prev = f"c{it}"
+    parts.append(f""",
+q AS (SELECT v AS qv, vq::DOUBLE[] AS qvq FROM e WHERE vec_id = 0),
+probe AS (
+  SELECT cid FROM {prev}, q
+  ORDER BY {cos("cv", "qvq")} DESC, cid ASC LIMIT {n_probe}
+),
+fin AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {cos("e.vq::DOUBLE[]", "c.cv")} DESC, c.cid ASC) AS rn
+    FROM e CROSS JOIN {prev} c) WHERE rn = 1
+)
+SELECT e.vec_id,
+       round(list_cosine_similarity(e.v, q.qv), 6) AS cos
+FROM e JOIN fin a ON e.vec_id = a.vec_id, q
+WHERE a.cell IN (SELECT cid FROM probe) AND e.vec_id <> 0
+ORDER BY cos DESC, e.vec_id ASC
+LIMIT {topk}
+""")
+    return "".join(parts)
+
+
+SQL_ANN_KMEANS = _sql_ann_kmeans()
+
+
 def q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs (cosine >= 0.4), ids < 500 (bounded)."""
     from .operators.similarity import cosine_near_dup_pairs
@@ -1128,6 +1209,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": q_dedup_simhash,
     "ann_topk": q_ann_topk,
     "ann_ivf": q_ann_ivf,
+    "ann_kmeans": q_ann_kmeans,
     "cosine_pairs": q_cosine_pairs,
     "cosine_lsh_pairs": q_cosine_lsh_pairs,
     "lang_id": q_lang_id,
@@ -1166,6 +1248,7 @@ ORACLES: dict[str, str] = {
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "ann_topk": SQL_ANN_TOPK,
     "ann_ivf": SQL_ANN_IVF,
+    "ann_kmeans": SQL_ANN_KMEANS,
     "cosine_pairs": SQL_COSINE_PAIRS,
     "cosine_lsh_pairs": SQL_COSINE_LSH_PAIRS,
     "lang_id": SQL_LANG_ID,

@@ -211,6 +211,173 @@ def assign_ivf_cells(
     return cents, assigned
 
 
+def quantized_vec_col(vec, scale: int = 1000):
+    """array<float> -> array<long>, component-wise round(x*scale).
+
+    Integer quantization is what makes the k-means below EXACTLY
+    reproducible across engines: integer sums are order-independent
+    (every intermediate < 2^53 is exact), so Spark's nondeterministic
+    partial-agg order and DuckDB's scan order cannot produce different
+    centroids — the usual float-mean 1-ULP drift is structurally
+    impossible. Spark round() and DuckDB round() both round half away
+    from zero, so the quantization itself is also engine-identical.
+    """
+    return F.transform(vec, lambda x: F.round(x.cast("double") * scale, 0).cast("long"))
+
+
+def _int_cosine_py(a: list[int], b: list[int]) -> float:
+    """Driver-side cosine of integer vectors, structured EXACTLY like
+    `cosine_col` (dot / (sqrt(na2) * sqrt(nb2))) — exact integer sums,
+    one IEEE sqrt/divide, so it bit-matches the engines' value."""
+    import math
+
+    dot = sum(x * y for x, y in zip(a, b))
+    na2 = sum(x * x for x in a)
+    nb2 = sum(y * y for y in b)
+    if not na2 or not nb2:
+        return -2.0
+    return dot / (math.sqrt(na2) * math.sqrt(nb2))
+
+
+def _assign_cells_udf(cents: list[list[int]]):
+    """Arrow-vectorized argmax-cosine assignment against the (tiny,
+    closured) integer centroid matrix — one int64 matmul per batch.
+
+    Exactness: every dot/norm term is an exact int64 (bounds checked by
+    the quantization scale), so numpy's summation order is irrelevant
+    and the resulting float64 cosines are bit-identical to what Spark
+    native folds or DuckDB list_dot_product would produce; np.argmax
+    ties break to the FIRST (lowest) cid, matching the SQL twin's
+    row_number ORDER BY cos DESC, cid ASC. (A first fully-native
+    attempt — array_max over 10 structs each folding a 64-literal
+    zip_with — was correct but paid ~10s of Catalyst codegen per plan.)
+    """
+    C = np.asarray(cents, dtype=np.int64)              # (k, dim)
+    cn = np.sqrt((C.astype(np.float64) ** 2).sum(axis=1))  # exact int sums -> sqrt
+
+    @F.pandas_udf(T.IntegerType())
+    def _cell(vqs: pd.Series) -> pd.Series:
+        M = np.array(vqs.tolist(), dtype=np.int64)     # (n, dim)
+        if M.ndim != 2 or not len(M):
+            return pd.Series([None] * len(vqs), dtype="Int32")
+        dots = (M @ C.T).astype(np.float64)            # exact int64 products
+        mn = np.sqrt((M.astype(np.float64) ** 2).sum(axis=1))
+        cos = dots / (mn[:, None] * cn[None, :])
+        return pd.Series(np.argmax(cos, axis=1).astype(np.int32))
+
+    return _cell
+
+
+def kmeans_quantized(
+    emb: DataFrame,
+    k: int = 10,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> list[list[int]]:
+    """Lloyd's k-means over integer-quantized vectors; returns the final
+    k centroids as integer vectors (index = cell id).
+
+    - init: the first k vectors by id (deterministic seeding);
+    - assign: native argmax cosine against literal centroids (NO join —
+      centroids are always tiny, exactly the IVF coarse-quantizer shape);
+    - update: the new centroid is the component-wise INTEGER SUM of the
+      cell's members (cosine is scale-invariant, so sum ≡ mean — no
+      division, no float drift); one posexplode + hash agg per
+      iteration, k*dim rows collected to the driver (tiny).
+
+    Empty cells keep their previous centroid. Every step is exactly
+    reproducible in ANSI SQL (see SQL_ANN_KMEANS), which is how the
+    driver oracle can verify an ITERATIVE clustering bit-for-bit.
+    """
+    base = emb.select(
+        F.col(id_col).alias("id"), quantized_vec_col(F.col(vec_col), scale).alias("vq")
+    )
+    init = base.orderBy(F.asc("id")).limit(k).collect()
+    cents = [list(r["vq"]) for r in init]
+    dim = len(cents[0]) if cents else 0
+    for _ in range(n_iter):
+        cell = _assign_cells_udf(cents)(F.col("vq"))
+        sums = (
+            base.select(cell.alias("cell"), F.posexplode("vq").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("x").alias("s"))
+            .collect()
+        )
+        acc: dict[int, dict[int, int]] = {}
+        for r in sums:
+            acc.setdefault(int(r["cell"]), {})[int(r["pos"])] = int(r["s"])
+        cents = [
+            [acc[c][p] for p in range(dim)] if c in acc else cents[c]
+            for c in range(len(cents))
+        ]
+    return cents
+
+
+def ann_topk_kmeans(
+    emb: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_centroids: int = 10,
+    n_iter: int = 3,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[int]] | None = None,
+) -> DataFrame:
+    """IVF ANN with REAL k-means centroids (vs `ann_topk_ivf`'s seed
+    vectors): probe the `n_probe` cells nearest the query, exact-cosine
+    only those cells' members. Probe choice runs on the driver against
+    the literal centroids (exact integer arithmetic — zero Spark jobs);
+    at scale `assigned` is persisted partitioned by `cell` so the probe
+    filter becomes directory-level partition pruning (see write_ivf).
+    """
+    if centroids is None:
+        centroids = kmeans_quantized(emb, n_centroids, n_iter, id_col, vec_col)
+    assigned = emb.withColumn(
+        "cell", _assign_cells_udf(centroids)(quantized_vec_col(F.col(vec_col)))
+    )
+    qrow = (
+        emb.filter(F.col(id_col) == query_vec_id)
+        .select(quantized_vec_col(F.col(vec_col)).alias("vq"))
+        .collect()[0]
+    )
+    qvq = [int(v) for v in qrow["vq"]]
+    ranked = sorted(
+        range(len(centroids)), key=lambda i: (-_int_cosine_py(qvq, centroids[i]), i)
+    )
+    probes = ranked[:n_probe]
+    q = emb.filter(F.col(id_col) == query_vec_id).select(F.col(vec_col).alias("qvec"))
+    return (
+        assigned.filter(F.col("cell").isin(probes) & (F.col(id_col) != query_vec_id))
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col(id_col).alias("vec_id"),
+            F.round(cosine_col(F.col(vec_col), F.col("qvec")), 6).alias("cos"),
+        )
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def write_ivf(
+    emb: DataFrame,
+    path: str,
+    centroids: list[list[int]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the IVF assignment partitioned by cell: at 10^12 rows the
+    probe filter prunes to n_probe/n_centroids of the data at the
+    directory level (PartitionFilters on the scan — asserted in
+    tests/test_similarity.py)."""
+    assigned = emb.withColumn(
+        "cell", _assign_cells_udf(centroids)(quantized_vec_col(F.col(vec_col)))
+    )
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+
 def ann_topk_ivf(
     emb: DataFrame,
     query_vec_id: int = 0,

@@ -131,3 +131,51 @@ def test_cosine_lsh_plan_has_no_nested_loop(emb_sdf):
     plan = explain_str(cosine_lsh_pairs(emb_sdf, 0.4), "simple")
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_kmeans_ann_recall_and_full_probe(emb_sdf):
+    """ann_topk_kmeans with all cells probed == brute force exactly;
+    3-probe recall is reasonable; centroids actually move (not the
+    seed vectors)."""
+    from cis555_search_engine_spark.operators.similarity import (
+        ann_topk_bruteforce,
+        ann_topk_kmeans,
+        kmeans_quantized,
+        quantized_vec_col,
+    )
+    from pyspark.sql import functions as F
+
+    cents = kmeans_quantized(emb_sdf, k=8, n_iter=3)
+    init = [
+        list(r["vq"]) for r in emb_sdf.orderBy("vec_id").limit(8)
+        .select(quantized_vec_col(F.col("embedding")).alias("vq")).collect()
+    ]
+    assert cents != init, "3 Lloyd iterations must move the centroids"
+    brute = [r["vec_id"] for r in ann_topk_bruteforce(emb_sdf, 0, k=10).collect()]
+    got_all = [r["vec_id"] for r in ann_topk_kmeans(
+        emb_sdf, 0, k=10, n_centroids=8, n_probe=8, centroids=cents).collect()]
+    assert got_all == brute
+    got3 = [r["vec_id"] for r in ann_topk_kmeans(
+        emb_sdf, 0, k=10, n_centroids=8, n_probe=3, centroids=cents).collect()]
+    recall = len(set(got3) & set(brute)) / len(brute)
+    assert recall >= 0.3, (recall, got3, brute)
+
+
+def test_write_ivf_partition_pruning(spark, emb_sdf, tmp_path):
+    """Persisted IVF assignment must prune at the directory level: the
+    probe filter shows up as PartitionFilters on the parquet scan."""
+    import re
+
+    from cis555_search_engine_spark.operators.similarity import (
+        kmeans_quantized,
+        write_ivf,
+    )
+    from pyspark.sql import functions as F
+    from tests.test_plans import explain_str
+
+    cents = kmeans_quantized(emb_sdf, k=8, n_iter=2)
+    path = str(tmp_path / "ivf")
+    write_ivf(emb_sdf, path, cents)
+    scan = spark.read.parquet(path).filter(F.col("cell").isin([0, 3]))
+    plan = explain_str(scan, "simple")
+    assert re.search(r"PartitionFilters: \[cell#\d+ IN \(0,3\)", plan), plan
