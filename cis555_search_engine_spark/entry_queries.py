@@ -1078,6 +1078,36 @@ FROM documents
 """
 
 
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image-container decode: every doc gets a valid PNG (even id)
+    or JPEG (odd id) payload built from its id; the decoder parses the
+    actual container bytes (PNG IHDR + CRC verification, JPEG SOFn
+    marker scan) inside mapInPandas — no image libraries involved. The
+    oracle recomputes the expected metadata from the id arithmetic
+    (operators/multimodal.decode_image_meta)."""
+    from .operators.multimodal import decode_image_meta, with_media_payload
+
+    return decode_image_meta(with_media_payload(load(spark, sf_dir, "documents")))
+
+
+def _sql_multimodal_decode() -> str:
+    from .operators.multimodal import make_jpeg, make_png
+
+    n_png = len(make_png(1, 1))
+    n_jpg = len(make_jpeg(1, 1))
+    return f"""
+SELECT doc_id AS id,
+       CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS fmt,
+       (doc_id % 300 + 1)::INT AS width,
+       (doc_id % 200 + 1)::INT AS height,
+       (CASE WHEN doc_id % 2 = 0 THEN {n_png} ELSE {n_jpg} END)::BIGINT AS n_bytes
+FROM documents
+"""
+
+
+SQL_MULTIMODAL_DECODE = _sql_multimodal_decode()
+
+
 def q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed curation pipeline: quality >= 0.55, lang in (en, de),
     exact-dedup representative (operators/curation.py)."""
@@ -1217,6 +1247,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_counts": q_token_counts,
     "fingerprint": q_fingerprint,
     "multimodal_meta": q_multimodal_meta,
+    "multimodal_decode": q_multimodal_decode,
     "curate": q_curate,
     "pagerank": q_pagerank,
     "phrase_match": q_phrase_match,
@@ -1256,6 +1287,7 @@ ORACLES: dict[str, str] = {
     "token_counts": SQL_TOKEN_COUNTS,
     "fingerprint": SQL_FINGERPRINT,
     "multimodal_meta": SQL_MULTIMODAL_META,
+    "multimodal_decode": SQL_MULTIMODAL_DECODE,
     "curate": SQL_CURATE,
     "pagerank": SQL_PAGERANK,
     "phrase_match": SQL_PHRASE_MATCH,

@@ -127,11 +127,39 @@ def test_multimodal_frame_sampling(spark):
     assert bytes(f0[3]["frame"]) == b"x" * 64  # offset 768, 64 bytes remain
 
 
-def test_decode_media_is_stubbed():
-    from cis555_search_engine_spark.operators.multimodal import decode_media
+def test_decode_media_images_real_audio_stubbed():
+    """Image decode is a REAL byte-level container parse (round-trip +
+    CRC verification + garbage rejection); audio/video stay stubbed
+    behind the same dispatch."""
+    from cis555_search_engine_spark.operators.multimodal import (
+        decode_media,
+        make_jpeg,
+        make_png,
+    )
 
+    assert decode_media(make_png(640, 480), "image/png") == ("png", 640, 480)
+    assert decode_media(make_jpeg(1920, 1080), "image/jpeg") == ("jpeg", 1920, 1080)
+    with pytest.raises(ValueError):
+        decode_media(b"\x89PNG garbage", "image/png")
+    with pytest.raises(ValueError):
+        decode_media(make_png(2, 2), "image/jpeg")  # wrong container for type
     with pytest.raises(NotImplementedError):
-        decode_media(b"\x89PNG", "image/png")
+        decode_media(b"RIFF....WAVE", "audio/wav")
+
+
+def test_decode_image_meta_spark(spark, docs_sdf):
+    """End-to-end Spark decode: payload gen UDF -> mapInPandas parse."""
+    from cis555_search_engine_spark.operators.multimodal import (
+        decode_image_meta,
+        with_media_payload,
+    )
+
+    out = {r["id"]: (r["fmt"], r["width"], r["height"])
+           for r in decode_image_meta(with_media_payload(docs_sdf)).collect()}
+    for i, meta in out.items():
+        want = ("png" if i % 2 == 0 else "jpeg", i % 300 + 1, i % 200 + 1)
+        assert meta == want, (i, meta, want)
+    assert out
 
 
 # -------------------------------------------------------------- pagerank
