@@ -73,6 +73,61 @@ class Catalog:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(f"{self.root}/{table}")
 
+    def read_jdbc(
+        self,
+        url: str,
+        table: str,
+        partition_column: str | None = None,
+        lower_bound: int | None = None,
+        upper_bound: int | None = None,
+        num_partitions: int | None = None,
+        properties: dict[str, str] | None = None,
+    ) -> DataFrame:
+        """JDBC source (S4): the reference's third storage backend —
+        postings/corpus/pagerank lived in MySQL RDS and the pagerank job
+        read them via JDBC (pagerank/SparkAppMain.java:72-76,
+        storage/RDSWrapper.java). A bounded `partitionColumn` split is
+        mandatory at scale: without it the whole table arrives through
+        ONE connection on one task. Not exercisable in this sandbox (no
+        database/driver jar) — the method is the honest surface, unit
+        tests stop at reader construction.
+        """
+        reader = self.spark.read.format("jdbc").option("url", url).option("dbtable", table)
+        if partition_column is not None:
+            reader = (
+                reader.option("partitionColumn", partition_column)
+                .option("lowerBound", str(lower_bound))
+                .option("upperBound", str(upper_bound))
+                .option("numPartitions", str(num_partitions or 8))
+            )
+        for k, v in (properties or {}).items():
+            reader = reader.option(k, v)
+        return reader.load()
+
+    def write_jdbc(
+        self,
+        df: DataFrame,
+        url: str,
+        table: str,
+        mode: str = "append",
+        batch_size: int = 1000,
+        properties: dict[str, str] | None = None,
+    ) -> None:
+        """JDBC sink (S6): batched INSERTs — `batchsize` is the exact
+        knob the reference hand-tuned (32-row INSERT batches peaked at
+        2,000 urls/min, report p.5; Spark's JDBC writer batches
+        per-partition connections instead of one driver-side loop)."""
+        writer = (
+            df.write.format("jdbc")
+            .option("url", url)
+            .option("dbtable", table)
+            .option("batchsize", str(batch_size))
+            .mode(mode)
+        )
+        for k, v in (properties or {}).items():
+            writer = writer.option(k, v)
+        writer.save()
+
     def overwrite_partitions(
         self, df: DataFrame, table: str, partition_by: list[str]
     ) -> None:

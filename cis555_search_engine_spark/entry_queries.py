@@ -314,6 +314,45 @@ FROM top t LEFT JOIN documents d2 ON t.doc_id = d2.doc_id
 )
 
 
+def q_topk_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Result presentation: BM25 top-20 with a query-centered text
+    snippet projected from the corpus (operators/scoring.with_snippets;
+    reference analog: frontend cached-page previews)."""
+    from .operators.scoring import with_snippets
+
+    idx = get_index(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents")
+    top = bm25_topk(idx, BM25_QUERY, k=20, stem=False)
+    out = with_snippets(top, docs, BM25_QUERY, ("doc_id",))
+    return out.select("doc_id", F.round("score", 4).alias("score"), "snippet")
+
+
+SQL_TOPK_SNIPPETS = (
+    SQL_TOK
+    + """
+, top AS (
+  SELECT p.doc_id,
+         sum(ln((tot.n_docs - cs.df + 0.5) / (cs.df + 0.5) + 1.0)
+             * p.tf * 2.2
+             / (p.tf + 1.2 * (0.25 + 0.75 * ds.doc_len / tot.avg_len))) AS score
+  FROM postings p, cs, ds, tot
+  WHERE p.term = cs.term AND p.doc_id = ds.doc_id
+    AND p.term IN ('hash', 'join', 'merge')
+  GROUP BY p.doc_id
+  ORDER BY score DESC, p.doc_id ASC
+  LIMIT 20
+)
+SELECT t.doc_id, round(t.score, 4) AS score,
+       substr(d2.text,
+              CASE WHEN strpos(lower(d2.text), 'hash') > 0
+                   THEN greatest(1, strpos(lower(d2.text), 'hash') - 30)
+                   ELSE 1 END,
+              90) AS snippet
+FROM top t LEFT JOIN documents d2 ON t.doc_id = d2.doc_id
+"""
+)
+
+
 def q_prior_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3/F3: score + 0.5*coalesce(prior, 0) — the pagerank-blend analog
     (SearchHelper.java:157,182). Prior is a deterministic function of
@@ -1226,6 +1265,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cosine_topk": q_cosine_topk,
     "term_semi_join": q_term_semi_join,
     "topk_join_meta": q_topk_join_meta,
+    "topk_snippets": q_topk_snippets,
     "prior_blend": q_prior_blend,
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
@@ -1266,6 +1306,7 @@ ORACLES: dict[str, str] = {
     "cosine_topk": SQL_COSINE_TOPK,
     "term_semi_join": SQL_TERM_SEMI_JOIN,
     "topk_join_meta": SQL_TOPK_JOIN_META,
+    "topk_snippets": SQL_TOPK_SNIPPETS,
     "prior_blend": SQL_PRIOR_BLEND,
     "tpch_q1": SQL_TPCH_Q1,
     "tpch_q3": SQL_TPCH_Q3,

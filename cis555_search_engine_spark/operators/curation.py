@@ -26,6 +26,29 @@ from .dedup import tokens_col
 from .text_analysis import lang_id, quality_score
 
 
+def sample_filter(
+    docs: DataFrame, rate: float = 0.5, seed: int = 20200553, id_col: str | None = None
+) -> DataFrame:
+    """Random-drop sampling filter (SURVEY §2.2 P6 — the reference
+    crawler dropped a random fraction of discovered URLs to bound the
+    frontier). Two modes:
+
+    - ``id_col=None``: `df.sample` — Bernoulli per row, seeded; fast,
+      but row membership depends on partitioning (Spark's sampler is
+      seeded PER PARTITION), so it is only stable for a fixed layout.
+    - ``id_col`` given: DETERMINISTIC content-keyed sampling —
+      keep iff pmod(xxhash64(id, seed), 10^6) < rate*10^6. Same rows
+      regardless of partitioning/cluster size; this is the variant a
+      reproducible 100 TB pipeline wants (re-runs and retries keep the
+      identical subset).
+    """
+    if id_col is None:
+        return docs.sample(withReplacement=False, fraction=rate, seed=seed)
+    denom = 1_000_000
+    keep = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(denom)) < int(rate * denom)
+    return docs.filter(keep)
+
+
 def curate(
     docs: DataFrame,
     min_score: float = 0.55,

@@ -155,6 +155,37 @@ def bm25_topk_many(
     )
 
 
+def with_snippets(
+    top: DataFrame,
+    docs: DataFrame,
+    query: str,
+    doc_key: Sequence[str],
+    text_col: str = "text",
+    window: int = 90,
+    lead: int = 30,
+) -> DataFrame:
+    """Join top-k results back to the corpus and project a text snippet
+    centered on the first occurrence of the query's FIRST term
+    (reference analog: the frontend's cached-page preview,
+    frontend/SearchHelper.java getCachedPages / XPathApp.java:119-173).
+
+    The join is a broadcast of the (tiny) top-k against the corpus —
+    never the reverse — so the corpus scan stays pruned to the matched
+    keys. Snippet = substring(text, max(1, pos-lead), window), pos =
+    1-based locate of the term (start of text when absent) — expressible
+    identically in ANSI SQL (strpos/substr), hence oracle-checkable.
+    """
+    terms = tokenize_py(query)
+    first = terms[0] if terms else ""
+    key = list(doc_key)
+    pos = F.locate(first, F.lower(F.col(text_col)))
+    start = F.when(pos > 0, F.greatest(F.lit(1), pos - lead)).otherwise(F.lit(1))
+    enriched = docs.select(
+        *key, F.col(text_col).substr(start, F.lit(window)).alias("snippet")
+    )
+    return top.join(enriched, key, "left").select(*top.columns, "snippet")
+
+
 def _empty_many(index: InvertedIndex) -> DataFrame:
     from pyspark.sql import types as T
 
