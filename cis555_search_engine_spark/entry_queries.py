@@ -32,7 +32,31 @@ SEMI_TERMS = ("stream", "batch", "shuffle")
 
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    """Read a testdata table, spreading pathological single-split inputs.
+
+    The sf* parquet files are written as ONE row group, and a row group
+    cannot be split — so every scan-side narrow pipeline (tokenize,
+    shingle, UDF) would run as ONE task on ONE core regardless of
+    local[N]. A cheap up-front repartition restores scan parallelism
+    (found profiling round 2: the whole dedup family was secretly
+    single-threaded). At production scale inputs arrive with many
+    splits and this branch never triggers.
+    """
+    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    p = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < min(p, 16):
+        key = (spark.sparkContext.applicationId, sf_dir, table)
+        cached = _LOAD_CACHE.get(key)
+        if cached is None:
+            # cache the spread copy: self-joining operators evaluate the
+            # scan subplan 2-3x, and these single-split inputs are tiny
+            cached = df.repartition(min(p, 16)).cache()
+            _LOAD_CACHE[key] = cached
+        df = cached
+    return df
+
+
+_LOAD_CACHE: dict[tuple, DataFrame] = {}
 
 
 def get_index(spark: SparkSession, sf_dir: str) -> InvertedIndex:

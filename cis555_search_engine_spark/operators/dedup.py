@@ -44,24 +44,82 @@ def tokens_col(text=None):
     return F.split(F.col("text") if text is None else text, r"\s+")
 
 
-def shingles_col(text=None, n: int = 3):
-    """Distinct word n-gram shingles as array<string> (native, no UDF).
+def shingles_from_tokens(toks, n: int = 3):
+    """Distinct word n-gram shingles from a MATERIALIZED token-array
+    column (native, no UDF).
+
+    ``toks`` must be a bound column attribute, not an inline
+    ``split(...)`` expression: Catalyst does not common-subexpression-
+    eliminate inside lambda bodies, so an inline split would be
+    re-evaluated for every element access (~180 full-text splits per
+    doc — a hidden 10x cost found profiling round 2). Use
+    :func:`with_shingles` to stage the projection.
 
     Docs with fewer than ``n`` tokens yield an EMPTY array: without the
     guard, ``sequence(0, size-n)`` counts DOWN when size<n (Spark picks
-    step -1), producing index 0/-1 and an ANSI element_at error. The
-    DuckDB twin's ``range(1, len-1)`` is empty for the same docs, so the
-    guard is also what keeps oracle parity on short documents.
+    step -1), producing an ANSI element index error. The DuckDB twin's
+    ``range(1, len-1)`` is empty for the same docs, so the guard is also
+    what keeps oracle parity on short documents.
     """
-    toks = tokens_col(F.col("text") if text is None else text)
     idx = F.sequence(F.lit(0), F.size(toks) - n)
-    sh = F.transform(
-        idx,
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
-    )
+    sh = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
     return F.when(F.size(toks) >= n, F.array_distinct(sh)).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def with_shingles(
+    docs: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "sh_arr",
+) -> DataFrame:
+    """(id, <out_col> array<string>): two-stage projection — tokenize
+    ONCE into a column attribute, then shingle from it (see
+    shingles_from_tokens for why the staging matters)."""
+    toks = docs.select(
+        F.col(id_col).alias("id"), tokens_col(F.col(text_col)).alias("toks")
+    )
+    return toks.select("id", shingles_from_tokens(F.col("toks"), n).alias(out_col))
+
+
+def shingles_col(text=None, n: int = 3):
+    """One-expression variant of shingles_from_tokens over raw text —
+    correct but re-evaluates the tokenizer per element (see above);
+    kept for tests/small inputs. Hot paths use :func:`with_shingles`."""
+    toks = tokens_col(F.col("text") if text is None else text)
+    return shingles_from_tokens(toks, n)
+
+
+def with_shingle_hashes(
+    docs: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "shh",
+) -> DataFrame:
+    """(id, <out_col> array<long>): DISTINCT shingle HASHES per doc,
+    never materializing shingle strings.
+
+    Three staged projections (each alias a bound attribute — see
+    shingles_from_tokens on why): tokens -> per-token xxhash64 (each
+    token hashed ONCE) -> shingle hash = xxhash64 over the n-token hash
+    window (slice) -> array_distinct over longs. Identical set semantics
+    to string shingles up to 64-bit hash collisions (~|shingles|²/2^65 —
+    negligible, disclosed); the win is no string allocation, long-only
+    distinct/shuffle, and cheap long-array intersections downstream.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("id"), tokens_col(F.col(text_col)).alias("toks")
+    )
+    th = toks.select("id", F.transform("toks", lambda t: F.xxhash64(t)).alias("th"))
+    idx = F.sequence(F.lit(0), F.size("th") - n)
+    sh = F.transform(idx, lambda i: F.xxhash64(F.slice("th", i + 1, n)))
+    arr = F.when(F.size("th") >= n, F.array_distinct(sh)).otherwise(
+        F.array().cast("array<long>")
+    )
+    return th.select("id", arr.alias(out_col))
 
 
 # ------------------------------------------------------------------ exact
@@ -134,19 +192,19 @@ def ngram_jaccard_pairs(
     capped array — no extra join), so the pair aggregation groups by
     (i, j, na, nb) and the Jaccard needs no size backfill joins.
     """
-    arr = docs.select(
-        F.col(id_col).alias("id"), shingles_col(F.col(text_col), n).alias("sh_arr")
-    )
+    arr = with_shingle_hashes(docs, n, id_col, text_col)
     if max_shingle_df is not None:
-        exploded = arr.select(F.explode("sh_arr").alias("shingle"))
+        exploded = arr.select(F.explode_outer("shh").alias("h")).filter(
+            F.col("h").isNotNull()
+        )
         hot_rows = (
-            exploded.groupBy("shingle")
+            exploded.groupBy("h")
             .agg(F.count(F.lit(1)).alias("sdf"))
             .filter(F.col("sdf") > max_shingle_df)
-            .select("shingle")
+            .select("h")
             .collect()
         )
-        hot = sorted(r["shingle"] for r in hot_rows)
+        hot = sorted(int(r["h"]) for r in hot_rows)
         if hot:
             import logging
 
@@ -155,10 +213,16 @@ def ngram_jaccard_pairs(
                 "(coverage cap; pairs sharing ONLY these are not reported)",
                 len(hot), max_shingle_df,
             )
-            arr = arr.withColumn("sh_arr", F.array_except("sh_arr", F.lit(hot)))
-    sized = arr.select(
-        "id", F.size("sh_arr").alias("nsh"), F.explode("sh_arr").alias("shingle")
-    ).select("id", "nsh", F.xxhash64("shingle").alias("h"))
+            arr = arr.withColumn("shh", F.array_except("shh", F.lit(hot)))
+    # explode_outer + null filter, NOT explode: explode makes the optimizer
+    # infer a size()>0 predicate and push it BELOW the staged projections,
+    # re-inlining the whole shingle expression (with its per-element
+    # tokenizer re-evaluation) into a per-row Filter — a silent ~3x cost
+    # found with .explain (PLANS.md)
+    sized = (
+        arr.select("id", F.size("shh").alias("nsh"), F.explode_outer("shh").alias("h"))
+        .filter(F.col("h").isNotNull())
+    )
     a = sized.alias("a")
     b = sized.alias("b")
     thr = float(threshold)
@@ -233,22 +297,16 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, sig array<long>) minhash signatures.
 
-    Pipeline: shingles (native) -> explode -> xxhash64 (native) ->
-    collect_list keyed by doc (map-side partial agg, doc key = no skew)
-    -> one Arrow UDF pass for the affine-family min. Docs with no
-    shingles (< n tokens) produce NO row — previously they all shared a
-    constant sentinel signature and collided pairwise in every LSH band
-    (O(m²) candidates among short docs); dropping them is semantically
-    right too: an empty shingle set has no well-defined Jaccard.
+    Pipeline: per-doc shingle HASHES (with_shingle_hashes — all native,
+    NO shuffle, no strings) -> one Arrow UDF pass for the affine-family
+    min. Docs with no shingles (< n tokens) produce NO row — previously
+    they all shared a constant sentinel signature and collided pairwise
+    in every LSH band (O(m²) candidates among short docs); dropping them
+    is semantically right too: an empty shingle set has no well-defined
+    Jaccard.
     """
-    hashed = docs.select(
-        F.col(id_col).alias("id"), F.explode(shingles_col(F.col(text_col), n)).alias("shingle")
-    ).select("id", F.xxhash64("shingle").alias("h"))
-    return (
-        hashed.groupBy("id")
-        .agg(F.collect_list("h").alias("hs"))
-        .select("id", minhash_affine_min_udf(num_hashes)(F.col("hs")).alias("sig"))
-    )
+    sh = with_shingle_hashes(docs, n, id_col, text_col).filter(F.size("shh") > 0)
+    return sh.select("id", minhash_affine_min_udf(num_hashes)(F.col("shh")).alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -297,8 +355,10 @@ def minhash_lsh_pairs(
         .distinct()
     )
     # exact verification on the candidate set only
-    sh = docs.select(
-        F.col(id_col).alias("id"), F.array_sort(shingles_col(F.col(text_col), n)).alias("sh")
+    # exact verification over shingle-HASH sets (long arrays — set
+    # semantics identical to string shingles up to 64-bit collisions)
+    sh = with_shingle_hashes(docs, n, id_col, text_col).select(
+        "id", F.array_sort("shh").alias("sh")
     )
     verified = (
         cands.join(sh.withColumnRenamed("id", "i").withColumnRenamed("sh", "sha"), "i")
