@@ -343,6 +343,9 @@ def _query_terms(query: str, stem: bool) -> list[str]:
     return list(dict.fromkeys(porter_stem(t) for t in toks)) if stem else list(dict.fromkeys(toks))
 
 
+DEFAULT_MIN_PRUNE_POSTINGS = 100_000
+
+
 def _prune_live_blocks(
     bidx: BlockIndex,
     tblocks: DataFrame,
@@ -350,6 +353,7 @@ def _prune_live_blocks(
     k: int,
     seed_blocks: int,
     conjunctive: bool = False,
+    min_prune_postings: int = DEFAULT_MIN_PRUNE_POSTINGS,
 ) -> tuple[DataFrame, int, int]:
     """Block-max pruning shared by bm25_topk_blocks / count_live_blocks.
 
@@ -380,6 +384,12 @@ def _prune_live_blocks(
     n_total = int(sum(r["nrows"] for r in bounds))
     budget = max(seed_blocks, 4)
     if len(bounds) <= budget:
+        return tblocks, n_total, n_total
+    # below this posting volume, decoding everything in ONE job beats
+    # paying the seed-scoring round-trip — pruning engages exactly when
+    # the decode it avoids would dominate (always, at production scale)
+    n_postings = int(sum(r["nd"] for r in bounds))
+    if n_postings < min_prune_postings:
         return tblocks, n_total, n_total
     ranked = sorted(bounds, key=lambda r: (-r["ub"], r["block_id"]))
     got, chosen = 0, []
@@ -422,6 +432,7 @@ def bm25_topk_blocks(
     prune: bool = True,
     seed_blocks: int = 8,
     conjunctive: bool = False,
+    min_prune_postings: int = DEFAULT_MIN_PRUNE_POSTINGS,
 ) -> DataFrame:
     """Top-k BM25 from compressed blocks, block-max pruned, EXACT.
 
@@ -439,7 +450,9 @@ def bm25_topk_blocks(
 
     tblocks = bidx.blocks.filter(_term_filter(bidx, terms))
     if prune:
-        live, _, _ = _prune_live_blocks(bidx, tblocks, terms, k, seed_blocks, conjunctive)
+        live, _, _ = _prune_live_blocks(
+            bidx, tblocks, terms, k, seed_blocks, conjunctive, min_prune_postings
+        )
     else:
         live = tblocks
 
@@ -601,5 +614,8 @@ def count_live_blocks(
     if not terms:
         return 0, 0
     tblocks = bidx.blocks.filter(_term_filter(bidx, terms))
-    _, n_live, n_total = _prune_live_blocks(bidx, tblocks, terms, k, seed_blocks)
+    # min_prune_postings=0: this counter exists to MEASURE pruning
+    _, n_live, n_total = _prune_live_blocks(
+        bidx, tblocks, terms, k, seed_blocks, min_prune_postings=0
+    )
     return n_live, n_total

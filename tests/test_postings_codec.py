@@ -124,10 +124,14 @@ def test_blob_bm25_matches_longform(spark_index, block_index, query):
         (r["conv_id"], r["turn_idx"], r["score"])
         for r in bm25_topk(spark_index, query, k=20).collect()
     ]
-    for prune in (False, True):
+    # prune=True with min_prune_postings=0 forces the full seed/theta
+    # pruning machinery even on this tiny corpus
+    for prune, minp in ((False, 0), (True, 0), (True, 10**9)):
         got = [
             (r["conv_id"], r["turn_idx"], r["score"])
-            for r in bm25_topk_blocks(block_index, query, k=20, prune=prune).collect()
+            for r in bm25_topk_blocks(
+                block_index, query, k=20, prune=prune, min_prune_postings=minp
+            ).collect()
         ]
         assert [(c, t) for c, t, _ in got] == [(c, t) for c, t, _ in want], (prune, query)
         for (_, _, gs), (_, _, ws) in zip(got, want):
