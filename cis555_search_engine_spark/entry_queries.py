@@ -745,6 +745,56 @@ def q_bm25_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("doc_id").cast("long").alias("doc_id"), F.round("score", 4).alias("score"))
 
 
+def q_bm25_and_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive (AND) BM25 top-80 served from the persisted block
+    index — posting-list INTERSECTION folded into the decode-side hash
+    agg; same oracle as the long-form AND query."""
+    from .operators.postings_codec import bm25_topk_blocks
+
+    bidx = ensure_block_index(spark, sf_dir)
+    out = bm25_topk_blocks(bidx, BM25_QUERY, k=80, stem=False, conjunctive=True)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"), F.round("score", 4).alias("score")
+    )
+
+
+def q_phrase_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search 'hash join' served from the COMPRESSED blobs
+    (positions decoded from varints — the capability positions are
+    stored for); same oracle as the long-form phrase query."""
+    from .operators.postings_codec import phrase_match_blocks
+
+    bidx = ensure_block_index(spark, sf_dir)
+    out = phrase_match_blocks(bidx, "hash join", stem=False)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_occurrences").cast("long").alias("n_occurrences"),
+    )
+
+
+def q_merge_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment merge under the oracle gate: the corpus is split in two
+    disjoint halves (doc_id parity), indexed separately, merged at the
+    STATS level (df added via one vocab outer join — posting rows never
+    re-aggregated; operators/index_build.merge_indexes). The merged
+    corpus stats must equal a single build over the whole corpus — the
+    same SQL oracle as `corpus_stats`."""
+    from .operators.index_build import build_index, merge_indexes
+
+    docs = load(spark, sf_dir, "documents")
+    a = build_index(docs.filter(F.col("doc_id") % 2 == 0), doc_key=("doc_id",),
+                    text_col="text", stem=False, cache=False)
+    b = build_index(docs.filter(F.col("doc_id") % 2 == 1), doc_key=("doc_id",),
+                    text_col="text", stem=False, cache=False)
+    merged = merge_indexes(a, b)
+    return merged.corpus_stats.select(
+        "term",
+        F.col("df").cast("long").alias("df"),
+        F.round("idf_ref", 6).alias("idf_ref"),
+        F.round("idf_bm25", 6).alias("idf_bm25"),
+    )
+
+
 # ------------------------------------------------ training-data ops
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1285,6 +1335,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_blocks": q_bm25_blocks,
     "bm25_and_topk": q_bm25_and_topk,
     "bm25_batch": q_bm25_batch,
+    "bm25_and_blocks": q_bm25_and_blocks,
+    "phrase_blocks": q_phrase_blocks,
+    "merge_stats": q_merge_stats,
     "tfidf_topk": q_tfidf_topk,
     "cosine_topk": q_cosine_topk,
     "term_semi_join": q_term_semi_join,
@@ -1326,6 +1379,9 @@ ORACLES: dict[str, str] = {
     "bm25_blocks": SQL_BM25_TOPK,
     "bm25_and_topk": SQL_BM25_AND_TOPK,
     "bm25_batch": SQL_BM25_BATCH,
+    "bm25_and_blocks": SQL_BM25_AND_TOPK,
+    "phrase_blocks": SQL_PHRASE_MATCH,
+    "merge_stats": SQL_CORPUS_STATS,
     "tfidf_topk": SQL_TFIDF_TOPK,
     "cosine_topk": SQL_COSINE_TOPK,
     "term_semi_join": SQL_TERM_SEMI_JOIN,
