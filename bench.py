@@ -77,6 +77,12 @@ def main() -> None:
     EQ.ensure_block_index(spark, sf_dir)
     timings["blocks_build"] = round(time.perf_counter() - t0, 3)
 
+    # incremental half+half build + append, timed as its own build phase
+    # (the bm25_append_blocks query below then measures serving)
+    t0 = time.perf_counter()
+    EQ.q_bm25_append_blocks(spark, sf_dir).count()
+    timings["append_build"] = round(time.perf_counter() - t0, 3)
+
     # ---- per-query timings (index now cached) ---------------------------
     for name, fn in entry_mod.queries().items():
         t0 = time.perf_counter()

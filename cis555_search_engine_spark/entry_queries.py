@@ -772,6 +772,47 @@ def q_phrase_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_append_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index maintenance under the oracle gate: HALF the
+    corpus is indexed and persisted, the other half APPENDED
+    (postings_codec.append_blocks — new segment blocks + stats-level
+    merge + sound stale-bounds pruning), then the standard BM25 query
+    runs over the appended index. The oracle is the full-corpus BM25
+    SQL — equality proves the merged global stats and the append path
+    are exact."""
+    import os
+    import shutil
+
+    from .operators.index_build import build_index
+    from .operators.postings_codec import (
+        append_blocks,
+        bm25_topk_blocks,
+        build_blocks,
+        load_blocks,
+        write_blocks,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    path = _block_index_path(sf_dir) + "_append"
+    key = (spark.sparkContext.applicationId, sf_dir, "append")
+    bidx = _BLOCK_CACHE.get(key)
+    if bidx is None:
+        shutil.rmtree(path, ignore_errors=True)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        a = build_index(docs.filter(F.col("doc_id") % 2 == 0), doc_key=("doc_id",),
+                        text_col="text", stem=False, cache=False)
+        write_blocks(build_blocks(a, block_span=256), path, n_buckets=8)
+        b = build_index(docs.filter(F.col("doc_id") % 2 == 1), doc_key=("doc_id",),
+                        text_col="text", stem=False, cache=False)
+        append_blocks(spark, path, b)
+        bidx = load_blocks(spark, path)
+        _BLOCK_CACHE[key] = bidx
+    out = bm25_topk_blocks(bidx, BM25_QUERY, k=80, stem=False)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"), F.round("score", 4).alias("score")
+    )
+
+
 def q_merge_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Segment merge under the oracle gate: the corpus is split in two
     disjoint halves (doc_id parity), indexed separately, merged at the
@@ -1337,6 +1378,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_batch": q_bm25_batch,
     "bm25_and_blocks": q_bm25_and_blocks,
     "phrase_blocks": q_phrase_blocks,
+    "bm25_append_blocks": q_bm25_append_blocks,
     "merge_stats": q_merge_stats,
     "tfidf_topk": q_tfidf_topk,
     "cosine_topk": q_cosine_topk,
@@ -1381,6 +1423,7 @@ ORACLES: dict[str, str] = {
     "bm25_batch": SQL_BM25_BATCH,
     "bm25_and_blocks": SQL_BM25_AND_TOPK,
     "phrase_blocks": SQL_PHRASE_MATCH,
+    "bm25_append_blocks": SQL_BM25_TOPK,
     "merge_stats": SQL_CORPUS_STATS,
     "tfidf_topk": SQL_TFIDF_TOPK,
     "cosine_topk": SQL_COSINE_TOPK,

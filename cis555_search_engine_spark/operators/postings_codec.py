@@ -259,6 +259,10 @@ class BlockIndex:
     avg_doc_len: float
     block_span: int
     n_buckets: int | None = None  # set when loaded from bucketed storage
+    stale_bounds: bool = False    # True after append_blocks: stored
+    #                               max_impact was computed under old
+    #                               global stats; pruning switches to the
+    #                               max_tf-derived sound bound
 
     def cache(self) -> "BlockIndex":
         self.blocks = self.blocks.cache()
@@ -372,10 +376,25 @@ def _prune_live_blocks(
     cannot help — both phases are SKIPPED and the caller decodes
     everything (one job total, the common case for rare terms).
     """
+    if bidx.stale_bounds:
+        # stored max_impact was computed under the stats of an older
+        # build; after append_blocks the global idf/avg_len changed, so
+        # use the max_tf-derived bound with the CURRENT idf:
+        #     impact = idf·tf(k1+1)/(tf + k1(1−b+b·len/avg))
+        #            ≤ idf·maxtf(k1+1)/(maxtf + k1(1−b))
+        # (denominator ≥ tf + k1(1−b); the ratio is increasing in tf).
+        # Looser than the per-block exact max, but sound for ANY avg_len
+        # — pruning stays EXACT after incremental appends.
+        idf = bidx.corpus_stats.filter(F.col("term").isin(terms)).select("term", "idf_bm25")
+        tfd = F.col("max_tf").cast("double")
+        bound = F.col("idf_bm25") * tfd * (K1 + 1.0) / (tfd + K1 * (1.0 - B))
+        ub_src = tblocks.join(F.broadcast(idf), "term").withColumn("mi", bound)
+    else:
+        ub_src = tblocks.withColumn("mi", F.col("max_impact"))
     bounds = (
-        tblocks.groupBy("block_id")
+        ub_src.groupBy("block_id")
         .agg(
-            F.sum("max_impact").alias("ub"),
+            F.sum("mi").alias("ub"),
             F.sum("df_block").alias("nd"),
             F.count(F.lit(1)).alias("nrows"),
         )
@@ -523,6 +542,96 @@ def write_blocks(
         json.dump(meta, f)
 
 
+def append_blocks(spark, path: str, new_index: InvertedIndex) -> None:
+    """Incrementally append a new document segment to a PERSISTED block
+    index — the north rule's posting-list merge as index MAINTENANCE,
+    without rewriting existing blocks.
+
+    - New docids continue the dense sequence (offset = current n_docs),
+      so new postings land in NEW (term, block) groups — no existing
+      blob is touched; the blocks parquet grows by appended bucket
+      files only.
+    - Corpus stats merge at the STATS level (df = df_old + df_new via
+      one vocab outer join, idfs recomputed from merged totals — the
+      same algebra as index_build.merge_indexes, oracle-proved by the
+      `merge_stats` driver query); n_postings is recovered exactly as
+      Σdf.
+    - Stored per-block `max_impact` values were computed under the OLD
+      global stats, so the metadata records ``stale_bounds``: pruning
+      switches to the max_tf-derived bound under current idf (see
+      _prune_live_blocks) — looser but sound, keeping pruned results
+      EXACT. A periodic full rebuild (ensure-style) restores the tight
+      bounds; query RESULTS are identical either way because scoring
+      always recomputes impacts from (tf, doc_len) + merged stats.
+    """
+    import json
+    import os
+
+    with open(os.path.join(path, "_meta.json")) as f:
+        meta = json.load(f)
+    if list(new_index.doc_key) != list(meta["doc_key"]):
+        raise ValueError(f"doc_key mismatch: {new_index.doc_key} vs {meta['doc_key']}")
+    old_stats = spark.read.parquet(f"{path}/corpus_stats")
+    n_old_postings = int(old_stats.agg(F.sum("df")).collect()[0][0] or 0)
+
+    offset = int(meta["n_docs"])
+    new_map = mint_doc_ids(new_index.doc_stats, new_index.doc_key).withColumn(
+        "docid", F.col("docid") + offset
+    )
+    seg = build_blocks(new_index, block_span=int(meta["block_span"]), docid_map=new_map)
+    n_buckets = int(meta["n_buckets"])
+    bucket = F.pmod(F.crc32(F.encode("term", "utf-8")), F.lit(n_buckets)).alias("bucket")
+    (
+        seg.blocks.withColumn("bucket", bucket)
+        .write.mode("append")
+        .partitionBy("bucket")
+        .parquet(f"{path}/blocks")
+    )
+    new_map.write.mode("append").parquet(f"{path}/docid_map")
+
+    # stats-level merge (never re-aggregates posting rows)
+    n_docs = offset + new_index.n_docs
+    n_postings = n_old_postings + new_index.n_postings
+    total_len = float(meta["avg_doc_len"]) * offset + new_index.avg_doc_len * new_index.n_docs
+    avg_len = total_len / n_docs if n_docs else 0.0
+    dfa = old_stats.select("term", F.col("df").alias("dfa"))
+    dfb = new_index.corpus_stats.select("term", F.col("df").alias("dfb"))
+    merged = (
+        dfa.join(dfb, "term", "full_outer")
+        .select(
+            "term",
+            (F.coalesce("dfa", F.lit(0)) + F.coalesce("dfb", F.lit(0))).cast("long").alias("df"),
+        )
+        .select(
+            "term",
+            "df",
+            F.log(F.lit(float(n_postings)) / F.col("df")).alias("idf_ref"),
+            F.log(
+                (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+            ).alias("idf_bm25"),
+        )
+    )
+    # stage to a tmp dir: overwrite-while-reading the same parquet dir
+    # is not safe
+    tmp = f"{path}/corpus_stats_tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    final = f"{path}/corpus_stats"
+    import shutil
+
+    shutil.rmtree(final, ignore_errors=True)
+    os.rename(tmp, final)
+
+    meta.update(
+        {
+            "n_docs": n_docs,
+            "avg_doc_len": avg_len,
+            "stale_bounds": True,
+        }
+    )
+    with open(os.path.join(path, "_meta.json"), "w") as f:
+        json.dump(meta, f)
+
+
 def load_blocks(spark, path: str) -> "BlockIndex":
     """Reopen a persisted block index. The returned BlockIndex's
     `blocks` carry the `bucket` column; `bm25_topk_blocks` adds a
@@ -543,6 +652,7 @@ def load_blocks(spark, path: str) -> "BlockIndex":
         avg_doc_len=meta["avg_doc_len"],
         block_span=meta["block_span"],
         n_buckets=meta["n_buckets"],
+        stale_bounds=bool(meta.get("stale_bounds", False)),
     )
 
 

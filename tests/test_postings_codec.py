@@ -282,3 +282,59 @@ def test_mint_doc_ids_stable_across_recompute(spark, spark_index):
     assert a == b
     ids = sorted(b.values())
     assert ids == list(range(len(ids)))
+
+
+def test_append_blocks_exact_vs_full_build(spark, corpus_sdf, tmp_path):
+    """Incremental append: index half the corpus, persist, append the
+    other half — queries over the appended index must equal the
+    long-form BM25 over the FULL corpus (global stats merged exactly),
+    with pruning still sound under the stale-bounds fallback."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from cis555_search_engine_spark.operators.index_build import build_index
+    from cis555_search_engine_spark.operators.postings_codec import (
+        append_blocks,
+        bm25_topk_blocks,
+        build_blocks,
+        count_live_blocks,
+        load_blocks,
+        write_blocks,
+    )
+    from cis555_search_engine_spark.operators.scoring import bm25_topk
+
+    half_a = corpus_sdf.filter(F.crc32(F.col("conv_id").cast("binary")) % 2 == 0)
+    half_b = corpus_sdf.filter(F.crc32(F.col("conv_id").cast("binary")) % 2 == 1)
+    idx_a = build_index(half_a, cache=False)
+    path = str(tmp_path / "appendable")
+    write_blocks(build_blocks(idx_a, block_span=64), path, n_buckets=8)
+    idx_b = build_index(half_b, cache=False)
+    append_blocks(spark, path, idx_b)
+
+    appended = load_blocks(spark, path)
+    assert appended.stale_bounds
+    full = build_index(corpus_sdf, cache=False)
+    assert appended.n_docs == full.n_docs
+    assert math.isclose(appended.avg_doc_len, full.avg_doc_len, rel_tol=1e-12)
+
+    for query in ("rice noodle", "coronavirus", "warren buffett"):
+        want = [
+            (r["conv_id"], r["turn_idx"], r["score"])
+            for r in bm25_topk(full, query, k=15).collect()
+        ]
+        for prune, minp in ((True, 0), (False, 0)):
+            got = [
+                (r["conv_id"], r["turn_idx"], r["score"])
+                for r in bm25_topk_blocks(
+                    appended, query, k=15, prune=prune, min_prune_postings=minp
+                ).collect()
+            ]
+            assert [(c, t) for c, t, _ in got] == [(c, t) for c, t, _ in want], (prune, query)
+            for (_, _, gs), (_, _, ws) in zip(got, want):
+                assert math.isclose(gs, ws, rel_tol=1e-9), (prune, query)
+
+    # the stale-bounds counter still functions (and never over-prunes,
+    # by the equality above)
+    live, total = count_live_blocks(appended, "coronavirus", k=3)
+    assert 0 < live <= total
