@@ -105,6 +105,61 @@ def incremental_index_build(
     return writer.start()
 
 
+def streaming_index_maintenance(
+    stream: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+    doc_key: Sequence[str] = DOC_KEY,
+    stem: bool = True,
+    available_now: bool = True,
+):
+    """Continuously maintain a PERSISTED block index from a transcript
+    stream: each micro-batch is indexed with the batch operators and
+    APPENDED to the bucketed block layout
+    (`postings_codec.append_blocks` — new segment blocks, stats-level
+    merge, sound stale-bounds pruning). The serving index stays
+    queryable and exact throughout.
+
+    Exactly-once per epoch: Spark's streaming checkpoint deduplicates
+    input files; on crash-redelivery of an epoch whose append already
+    committed, the epoch id recorded in the index metadata
+    (``applied_epochs``) skips the re-append — the BDB
+    checkpoint-every-100-URLs resume of the reference
+    (crawler/XPathCrawler.java:430-440) with the bookkeeping in the
+    index manifest instead of hand-rolled serialization.
+    """
+    import json
+
+    from ..operators.index_build import build_index
+    from ..operators.postings_codec import append_blocks
+
+    meta_path = os.path.join(index_path, "_meta.json")
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        with open(meta_path) as f:
+            meta = json.load(f)
+        if int(epoch_id) in meta.get("applied_epochs", []):
+            return  # crash-redelivered epoch: append already committed
+        idx = build_index(batch_df, doc_key=doc_key, stem=stem, cache=False)
+        append_blocks(batch_df.sparkSession, index_path, idx)
+        with open(meta_path) as f:  # append_blocks rewrote the meta
+            meta = json.load(f)
+        meta.setdefault("applied_epochs", []).append(int(epoch_id))
+        with open(meta_path, "w") as f:
+            json.dump(meta, f)
+
+    writer = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def read_incremental_postings(spark: SparkSession, out_dir: str) -> DataFrame:
     """Merge all epochs back into one long-postings DataFrame."""
     return spark.read.parquet(os.path.join(out_dir, "postings_long")).drop("epoch")

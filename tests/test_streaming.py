@@ -187,3 +187,76 @@ def test_streamed_index_is_queryable(spark, staged_corpus, spark_index, tmp_path
     want = [(r["conv_id"], r["turn_idx"], round(r["score"], 9))
             for r in bm25_topk(spark_index, "coronavirus", k=10).collect()]
     assert got == want
+
+
+def test_streaming_block_index_maintenance(spark, corpus_pdf, corpus_sdf, spark_index, tmp_path):
+    """Stream half the corpus into a persisted block index built from the
+    other half (2 micro-batches via maxFilesPerTrigger=1): queries over
+    the maintained index must equal long-form BM25 over the FULL corpus,
+    and re-running the drained stream must append nothing (epoch
+    idempotence)."""
+    import json
+    import math
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cis555_search_engine_spark.operators.index_build import build_index
+    from cis555_search_engine_spark.operators.postings_codec import (
+        build_blocks,
+        bm25_topk_blocks,
+        load_blocks,
+        write_blocks,
+    )
+    from cis555_search_engine_spark.operators.scoring import bm25_topk
+    from cis555_search_engine_spark.streaming.ingest import (
+        read_transcript_stream,
+        streaming_index_maintenance,
+    )
+
+    # base index: conv_id hash-even half
+    even = corpus_sdf.filter(F.crc32(F.col("conv_id").cast("binary")) % 2 == 0)
+    path = str(tmp_path / "live_index")
+    write_blocks(build_blocks(build_index(even, cache=False), block_span=64), path, n_buckets=8)
+
+    # stream the odd half as 2 arriving files
+    odd_pdf = corpus_pdf.copy()
+    odd_pdf["ts"] = odd_pdf["ts"].astype("datetime64[us]")
+    import zlib
+
+    mask = odd_pdf["conv_id"].map(lambda c: zlib.crc32(c.encode()) % 2 == 1)
+    odd_pdf = odd_pdf[mask].reset_index(drop=True)
+    arrivals = str(tmp_path / "arrivals2")
+    os.makedirs(arrivals)
+    half = len(odd_pdf) // 2
+    odd_pdf.iloc[:half].to_parquet(f"{arrivals}/a.parquet", index=False)
+    odd_pdf.iloc[half:].to_parquet(f"{arrivals}/b.parquet", index=False)
+
+    ckpt = str(tmp_path / "ckpt2")
+    stream = read_transcript_stream(spark, arrivals, max_files_per_trigger=1)
+    q = streaming_index_maintenance(stream, path, ckpt)
+    q.awaitTermination(120)
+
+    with open(os.path.join(path, "_meta.json")) as f:
+        meta = json.load(f)
+    assert len(meta["applied_epochs"]) >= 2  # one append per micro-batch
+    maintained = load_blocks(spark, path)
+    full = build_index(corpus_sdf, cache=False)
+    assert maintained.n_docs == full.n_docs
+
+    for query in ("rice noodle", "coronavirus"):
+        want = [(r["conv_id"], r["turn_idx"], r["score"])
+                for r in bm25_topk(full, query, k=12).collect()]
+        got = [(r["conv_id"], r["turn_idx"], r["score"])
+               for r in bm25_topk_blocks(maintained, query, k=12,
+                                         min_prune_postings=0).collect()]
+        assert [(c, t) for c, t, _ in got] == [(c, t) for c, t, _ in want], query
+        for (_, _, gs), (_, _, ws) in zip(got, want):
+            assert math.isclose(gs, ws, rel_tol=1e-9), query
+
+    # drained re-run: checkpoint dedups inputs -> nothing appended
+    q2 = streaming_index_maintenance(
+        read_transcript_stream(spark, arrivals, max_files_per_trigger=1), path, ckpt
+    )
+    q2.awaitTermination(60)
+    assert load_blocks(spark, path).n_docs == full.n_docs
