@@ -745,6 +745,19 @@ def q_bm25_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("doc_id").cast("long").alias("doc_id"), F.round("score", 4).alias("score"))
 
 
+def q_bm25_batch_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two serving stories composed: the 20-query batch scored from
+    the PERSISTED compressed block index in one job
+    (postings_codec.bm25_topk_many_blocks); same oracle as bm25_batch."""
+    from .operators.postings_codec import bm25_topk_many_blocks
+
+    bidx = ensure_block_index(spark, sf_dir)
+    out = bm25_topk_many_blocks(bidx, BATCH_QUERIES, k=10, stem=False)
+    return out.select(
+        "qid", F.col("doc_id").cast("long").alias("doc_id"), F.round("score", 4).alias("score")
+    )
+
+
 def q_bm25_and_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conjunctive (AND) BM25 top-80 served from the persisted block
     index — posting-list INTERSECTION folded into the decode-side hash
@@ -1377,6 +1390,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_and_topk": q_bm25_and_topk,
     "bm25_batch": q_bm25_batch,
     "bm25_and_blocks": q_bm25_and_blocks,
+    "bm25_batch_blocks": q_bm25_batch_blocks,
     "phrase_blocks": q_phrase_blocks,
     "bm25_append_blocks": q_bm25_append_blocks,
     "merge_stats": q_merge_stats,
@@ -1422,6 +1436,7 @@ ORACLES: dict[str, str] = {
     "bm25_and_topk": SQL_BM25_AND_TOPK,
     "bm25_batch": SQL_BM25_BATCH,
     "bm25_and_blocks": SQL_BM25_AND_TOPK,
+    "bm25_batch_blocks": SQL_BM25_BATCH,
     "phrase_blocks": SQL_PHRASE_MATCH,
     "bm25_append_blocks": SQL_BM25_TOPK,
     "merge_stats": SQL_CORPUS_STATS,

@@ -488,7 +488,55 @@ def bm25_topk_blocks(
     )
 
 
-def _empty_topk(bidx: BlockIndex) -> DataFrame:
+def bm25_topk_many_blocks(
+    bidx: BlockIndex,
+    queries: dict[str, str],
+    k: int = 10,
+    stem: bool = True,
+) -> DataFrame:
+    """Batch query API over the PERSISTED block index: decode the union
+    of all queries' terms ONCE (bucket- and term-pruned scan), join the
+    broadcast (qid, term) frame, one hash agg keyed by (qid, docid),
+    per-query window top-k. Returns (qid, doc_key..., score).
+
+    The two serving stories composed: index-once/query-many storage
+    (write_blocks) × query-log amortization (scoring.bm25_topk_many).
+    Block-max pruning is per-query; for a batch the shared decode
+    amortizes better than per-query pruning unless queries are disjoint
+    and huge — the exhaustive-decode choice here mirrors the
+    min_prune_postings reasoning in _prune_live_blocks.
+    """
+    pairs = []
+    for qid, q in queries.items():
+        for t in _query_terms(q, stem):
+            pairs.append((qid, t))
+    if not pairs:
+        spark = bidx.blocks.sparkSession
+        fields = (
+            [T.StructField("qid", T.StringType())]
+            + bidx.docid_map.select(*bidx.doc_key).schema.fields
+            + [T.StructField("score", T.DoubleType())]
+        )
+        return spark.createDataFrame([], T.StructType(fields))
+    spark = bidx.blocks.sparkSession
+    qdf = spark.createDataFrame(pairs, "qid string, term string")
+    all_terms = sorted({t for _, t in pairs})
+    tblocks = bidx.blocks.filter(_term_filter(bidx, all_terms))
+    decoded = decode_blocks(tblocks, bidx.block_span, with_positions=False)
+    idf = bidx.corpus_stats.filter(F.col("term").isin(all_terms)).select("term", "idf_bm25")
+    tfd = F.col("tf").cast("double")
+    denom = tfd + K1 * (1.0 - B + B * F.col("doc_len") / F.lit(bidx.avg_doc_len))
+    scored = (
+        decoded.join(F.broadcast(qdf), "term")
+        .join(F.broadcast(idf), "term")
+        .withColumn("partial", F.col("idf_bm25") * tfd * (K1 + 1.0) / denom)
+        .groupBy("qid", "docid")
+        .agg(F.sum("partial").alias("score"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))
+    top = scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+    key = list(bidx.doc_key)
+    return top.join(bidx.docid_map, "docid").select("qid", *key, "score")
     key_schema = bidx.docid_map.select(*bidx.doc_key).schema
     fields = key_schema.fields + [T.StructField("score", T.DoubleType())]
     return bidx.docid_map.sparkSession.createDataFrame([], T.StructType(fields))
