@@ -406,7 +406,10 @@ def simhash60(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
         F.col(id_col).alias("id"), F.explode(tokens_col(F.col(text_col))).alias("tok")
     )
     tf = toks.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("tf"))
-    h = simhash_base_hash(F.col("tok"))
+    # stage the md5-derived hash as a bound column: all 60 per-bit agg
+    # expressions reference the attribute, not 60 copies of the md5 expr
+    tf = tf.select("id", "tf", simhash_base_hash(F.col("tok")).alias("h"))
+    h = F.col("h")
     bit_aggs = [
         F.sum(
             F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.col("tf")).otherwise(-F.col("tf"))
