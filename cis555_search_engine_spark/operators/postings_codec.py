@@ -171,6 +171,45 @@ def _bm25_impact(tf: np.ndarray, doc_len: np.ndarray, idf: float, avg_len: float
     return idf * tf * (K1 + 1.0) / denom
 
 
+def _encode_posting_blocks(enriched: DataFrame, avg_len: float, span: int) -> DataFrame:
+    """(term, block_id, docid, tf, doc_len, positions, idf_bm25) rows ->
+    encoded blocks. Native agg first: one row per (term, block) holding
+    the sorted posting structs (sort_array on struct<docid,...> orders by
+    docid). The Python encoder then runs ONCE PER ARROW BATCH over many
+    blocks — a per-group applyInPandas paid one Python roundtrip per
+    block and was ~50x slower at 700k blocks. Shared by build_blocks and
+    compact_blocks so the codec/bounds logic cannot drift."""
+    grouped = enriched.groupBy("term", "block_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("docid", "tf", "doc_len", "positions"))
+        ).alias("plist"),
+        F.first("idf_bm25").alias("idf"),
+    )
+
+    def encode_batches(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = {k: [] for k in ("term", "block_id", "df_block", "max_tf", "max_impact", "blob")}
+            for term, block_id, plist, idf in zip(
+                pdf["term"], pdf["block_id"], pdf["plist"], pdf["idf"]
+            ):
+                docids = np.fromiter((p["docid"] for p in plist), dtype=np.int64, count=len(plist))
+                tfs = np.fromiter((p["tf"] for p in plist), dtype=np.int64, count=len(plist))
+                lens = np.fromiter((p["doc_len"] for p in plist), dtype=np.int64, count=len(plist))
+                poss = [list(p["positions"]) if p["positions"] is not None else [] for p in plist]
+                impacts = _bm25_impact(tfs, lens, float(idf), avg_len)
+                out["term"].append(term)
+                out["block_id"].append(int(block_id))
+                out["df_block"].append(len(docids))
+                out["max_tf"].append(int(tfs.max()))
+                out["max_impact"].append(float(impacts.max()))
+                out["blob"].append(encode_block(docids, tfs, lens, poss, int(block_id) * span))
+            yield pd.DataFrame(out)
+
+    return grouped.mapInPandas(encode_batches, schema=_BLOCK_SCHEMA)
+
+
 def build_blocks(
     index: InvertedIndex,
     block_span: int = DEFAULT_BLOCK_SPAN,
@@ -202,42 +241,7 @@ def build_blocks(
         )
     )
 
-    span = block_span
-
-    # Native agg: one row per (term, block) holding the sorted posting
-    # structs (sort_array on struct<docid,...> orders by docid). The
-    # Python encoder then runs ONCE PER ARROW BATCH over many blocks —
-    # a per-group applyInPandas paid one Python roundtrip per block and
-    # was ~50x slower at 700k blocks.
-    grouped = enriched.groupBy("term", "block_id").agg(
-        F.sort_array(
-            F.collect_list(F.struct("docid", "tf", "doc_len", "positions"))
-        ).alias("plist"),
-        F.first("idf_bm25").alias("idf"),
-    )
-
-    def encode_batches(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            out = {k: [] for k in ("term", "block_id", "df_block", "max_tf", "max_impact", "blob")}
-            for term, block_id, plist, idf in zip(
-                pdf["term"], pdf["block_id"], pdf["plist"], pdf["idf"]
-            ):
-                docids = np.fromiter((p["docid"] for p in plist), dtype=np.int64, count=len(plist))
-                tfs = np.fromiter((p["tf"] for p in plist), dtype=np.int64, count=len(plist))
-                lens = np.fromiter((p["doc_len"] for p in plist), dtype=np.int64, count=len(plist))
-                poss = [list(p["positions"]) if p["positions"] is not None else [] for p in plist]
-                impacts = _bm25_impact(tfs, lens, float(idf), avg_len)
-                out["term"].append(term)
-                out["block_id"].append(int(block_id))
-                out["df_block"].append(len(docids))
-                out["max_tf"].append(int(tfs.max()))
-                out["max_impact"].append(float(impacts.max()))
-                out["blob"].append(encode_block(docids, tfs, lens, poss, int(block_id) * span))
-            yield pd.DataFrame(out)
-
-    blocks = grouped.mapInPandas(encode_batches, schema=_BLOCK_SCHEMA)
+    blocks = _encode_posting_blocks(enriched, avg_len, block_span)
     return BlockIndex(
         blocks=blocks,
         docid_map=docid_map,
@@ -537,6 +541,9 @@ def bm25_topk_many_blocks(
     top = scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
     key = list(bidx.doc_key)
     return top.join(bidx.docid_map, "docid").select("qid", *key, "score")
+
+
+def _empty_topk(bidx: BlockIndex) -> DataFrame:
     key_schema = bidx.docid_map.select(*bidx.doc_key).schema
     fields = key_schema.fields + [T.StructField("score", T.DoubleType())]
     return bidx.docid_map.sparkSession.createDataFrame([], T.StructType(fields))
@@ -676,6 +683,52 @@ def append_blocks(spark, path: str, new_index: InvertedIndex) -> None:
             "stale_bounds": True,
         }
     )
+    with open(os.path.join(path, "_meta.json"), "w") as f:
+        json.dump(meta, f)
+
+
+def compact_blocks(spark, path: str) -> None:
+    """Compact an appended block index: decode every block, re-encode
+    under the CURRENT merged stats, swap the layout atomically.
+
+    What it restores after a run of `append_blocks` epochs:
+    - **tight pruning bounds** — per-block `max_impact` recomputed with
+      the merged idf/avg_len, clearing ``stale_bounds`` (pruning goes
+      back from the sound-but-loose max_tf bound to the exact per-block
+      impact max);
+    - **merged boundary blocks** — a segment whose first docids fall in
+      the base's last partial doc-range produces a second row for the
+      same (term, block_id); decode-side union keeps queries exact, but
+      compaction folds them into one blob.
+
+    The LSM shape: append = cheap level-0 segments, compact = the
+    periodic merge; both keep the index exact at every point.
+    """
+    import json
+    import os
+    import shutil
+
+    bidx = load_blocks(spark, path)
+    decoded = decode_blocks(bidx.blocks, bidx.block_span, with_positions=True)
+    enriched = (
+        decoded.join(F.broadcast(bidx.corpus_stats.select("term", "idf_bm25")), "term")
+        .select(
+            "term",
+            F.floor(F.col("docid") / bidx.block_span).alias("block_id"),
+            "docid", "tf", "doc_len", "positions", "idf_bm25",
+        )
+    )
+    blocks = _encode_posting_blocks(enriched, bidx.avg_doc_len, bidx.block_span)
+    n_buckets = int(bidx.n_buckets or 16)
+    bucket = F.pmod(F.crc32(F.encode("term", "utf-8")), F.lit(n_buckets)).alias("bucket")
+    tmp = f"{path}/blocks_compact_tmp"
+    blocks.withColumn("bucket", bucket).write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+    final = f"{path}/blocks"
+    shutil.rmtree(final, ignore_errors=True)
+    os.rename(tmp, final)
+    with open(os.path.join(path, "_meta.json")) as f:
+        meta = json.load(f)
+    meta["stale_bounds"] = False  # bounds recomputed under current stats
     with open(os.path.join(path, "_meta.json"), "w") as f:
         json.dump(meta, f)
 

@@ -338,3 +338,54 @@ def test_append_blocks_exact_vs_full_build(spark, corpus_sdf, tmp_path):
     # by the equality above)
     live, total = count_live_blocks(appended, "coronavirus", k=3)
     assert 0 < live <= total
+
+
+def test_compact_blocks_restores_tight_bounds(spark, corpus_sdf, tmp_path):
+    """After append + compact: stale_bounds cleared, duplicate boundary
+    (term, block) rows merged, queries still equal the full build, and
+    the pruning counter operates on tight bounds again."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from cis555_search_engine_spark.operators.index_build import build_index
+    from cis555_search_engine_spark.operators.postings_codec import (
+        append_blocks,
+        bm25_topk_blocks,
+        build_blocks,
+        compact_blocks,
+        count_live_blocks,
+        load_blocks,
+        write_blocks,
+    )
+    from cis555_search_engine_spark.operators.scoring import bm25_topk
+
+    half_a = corpus_sdf.filter(F.crc32(F.col("conv_id").cast("binary")) % 2 == 0)
+    half_b = corpus_sdf.filter(F.crc32(F.col("conv_id").cast("binary")) % 2 == 1)
+    path = str(tmp_path / "compactable")
+    write_blocks(build_blocks(build_index(half_a, cache=False), block_span=64), path, n_buckets=8)
+    append_blocks(spark, path, build_index(half_b, cache=False))
+
+    appended = load_blocks(spark, path)
+    dup_before = (
+        appended.blocks.groupBy("term", "block_id").count().filter("count > 1").count()
+    )
+    assert dup_before > 0, "fixture must hit the boundary-block duplicate case"
+
+    compact_blocks(spark, path)
+    compacted = load_blocks(spark, path)
+    assert not compacted.stale_bounds
+    assert compacted.blocks.groupBy("term", "block_id").count().filter("count > 1").count() == 0
+
+    full = build_index(corpus_sdf, cache=False)
+    for query in ("rice noodle", "coronavirus"):
+        want = [(r["conv_id"], r["turn_idx"], r["score"])
+                for r in bm25_topk(full, query, k=12).collect()]
+        got = [(r["conv_id"], r["turn_idx"], r["score"])
+               for r in bm25_topk_blocks(compacted, query, k=12,
+                                         min_prune_postings=0).collect()]
+        assert [(c, t) for c, t, _ in got] == [(c, t) for c, t, _ in want], query
+        for (_, _, gs), (_, _, ws) in zip(got, want):
+            assert math.isclose(gs, ws, rel_tol=1e-9), query
+    live, total = count_live_blocks(compacted, "coronavirus", k=3)
+    assert 0 < live <= total
