@@ -340,8 +340,10 @@ def minhash_lsh_pairs(
             F.array(*[F.struct(F.lit(b).alias("band"), band_cols[b]) for b in range(bands)])
         ).alias("bb"),
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
-    # the self-join below reads buckets twice — materialize once
-    buckets = buckets.cache()
+    # NO per-call .cache() (the round-1 leak pattern): the self-join
+    # re-evaluates the signature subplan, but with native shingle-hashing
+    # + the numpy affine fold that is cheap — cheaper than pinning a
+    # bucket dataset in executor storage for the life of the session
     x = buckets.alias("x")
     y = buckets.alias("y")
     cands = (

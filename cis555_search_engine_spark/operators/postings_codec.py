@@ -119,7 +119,12 @@ def mint_doc_ids(
     """
     spark = docs.sparkSession
     n_part = num_partitions or spark.sparkContext.defaultParallelism
-    keyed = docs.select(*doc_key).distinct()
+    # persist is a pure PERFORMANCE hint here (the distinct subplan feeds
+    # four jobs: boundary count, boundary sample, bucket counts, rank
+    # pass) — unlike round 1, CORRECTNESS no longer depends on retention:
+    # the bucket expression is a literal function of the row key, so an
+    # evicted+recomputed partition produces the same buckets
+    keyed = docs.select(*doc_key).distinct().persist()
     bounds = _range_boundaries(keyed, doc_key, n_part)
     key_fields = keyed.schema.fields
     key_struct = F.struct(*[F.col(c) for c in doc_key])
@@ -267,6 +272,11 @@ class BlockIndex:
     #                               max_impact was computed under old
     #                               global stats; pruning switches to the
     #                               max_tf-derived sound bound
+    key_ordered: bool = True      # docid order == doc_key order; False
+    #                               after append_blocks (appended docids
+    #                               continue the sequence regardless of
+    #                               key order), which flips top-k
+    #                               tie-breaking to join doc_key first
 
     def cache(self) -> "BlockIndex":
         self.blocks = self.blocks.cache()
@@ -329,12 +339,17 @@ def _score_decoded(
     """(term, docid, tf, doc_len) rows -> (docid, score). With
     ``conjunctive`` only docs containing every term survive (posting-list
     intersection folded into the hash agg)."""
+    from .scoring import bm25_score_col
+
     idf = corpus_stats.filter(F.col("term").isin(terms)).select("term", "idf_bm25")
-    tfd = F.col("tf").cast("double")
-    denom = tfd + K1 * (1.0 - B + B * F.col("doc_len") / F.lit(avg_len))
     grouped = (
         decoded.join(F.broadcast(idf), "term")
-        .withColumn("partial", F.col("idf_bm25") * tfd * (K1 + 1.0) / denom)
+        .withColumn(
+            "partial",
+            bm25_score_col(
+                F.col("tf").cast("double"), F.col("idf_bm25"), F.col("doc_len"), avg_len
+            ),
+        )
         .groupBy("docid")
         .agg(
             F.sum("partial").alias("score"),
@@ -483,11 +498,23 @@ def bm25_topk_blocks(
         decode_blocks(live, bidx.block_span, with_positions=False),
         bidx.corpus_stats, terms, bidx.avg_doc_len, conjunctive,
     )
-    top = scores.orderBy(F.desc("score"), F.asc("docid")).limit(k)
     key = list(bidx.doc_key)
+    if bidx.key_ordered:
+        # docid order == doc_key order, so the cheap docid tie-break
+        # selects the same boundary rows as a doc_key tie-break
+        top = scores.orderBy(F.desc("score"), F.asc("docid")).limit(k)
+        joined = top.join(bidx.docid_map, "docid")
+    else:
+        # appended indexes: docid order is NOT key order — join the doc
+        # keys BEFORE the top-k so score ties at the k boundary break on
+        # the doc_key, matching the long-form path and the SQL oracle
+        joined = (
+            scores.join(bidx.docid_map, "docid")
+            .orderBy(F.desc("score"), *[F.asc(c) for c in key])
+            .limit(k)
+        )
     return (
-        top.join(bidx.docid_map, "docid")
-        .select(*key, "score")
+        joined.select(*key, "score")
         .orderBy(F.desc("score"), *[F.asc(c) for c in key])
     )
 
@@ -537,10 +564,19 @@ def bm25_topk_many_blocks(
         .groupBy("qid", "docid")
         .agg(F.sum("partial").alias("score"))
     )
-    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))
-    top = scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
     key = list(bidx.doc_key)
-    return top.join(bidx.docid_map, "docid").select("qid", *key, "score")
+    if bidx.key_ordered:
+        w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))
+        top = scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+        return top.join(bidx.docid_map, "docid").select("qid", *key, "score")
+    # appended index: tie-break on doc_key (see bm25_topk_blocks)
+    scored = scored.join(bidx.docid_map, "docid")
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), *[F.asc(c) for c in key])
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("qid", *key, "score")
+    )
 
 
 def _empty_topk(bidx: BlockIndex) -> DataFrame:
@@ -597,7 +633,9 @@ def write_blocks(
         json.dump(meta, f)
 
 
-def append_blocks(spark, path: str, new_index: InvertedIndex) -> None:
+def append_blocks(
+    spark, path: str, new_index: InvertedIndex, applied_marker: str | None = None
+) -> None:
     """Incrementally append a new document segment to a PERSISTED block
     index — the north rule's posting-list merge as index MAINTENANCE,
     without rewriting existing blocks.
@@ -615,9 +653,17 @@ def append_blocks(spark, path: str, new_index: InvertedIndex) -> None:
       global stats, so the metadata records ``stale_bounds``: pruning
       switches to the max_tf-derived bound under current idf (see
       _prune_live_blocks) — looser but sound, keeping pruned results
-      EXACT. A periodic full rebuild (ensure-style) restores the tight
-      bounds; query RESULTS are identical either way because scoring
-      always recomputes impacts from (tf, doc_len) + merged stats.
+      EXACT. `compact_blocks` restores the tight bounds; query RESULTS
+      are identical either way because scoring always recomputes impacts
+      from (tf, doc_len) + merged stats.
+
+    ``applied_marker`` (used by streaming_index_maintenance) is recorded
+    in the SAME metadata write that commits the merged stats, so a
+    completed append can never be re-applied. Known crash window: the
+    segment's parquet files commit before this metadata write; a crash
+    in between leaves orphaned segment files that a restart would
+    re-append — production hardening is a manifest-listed segment layout
+    (only manifest-named files are read), noted as future work.
     """
     import json
     import os
@@ -681,8 +727,11 @@ def append_blocks(spark, path: str, new_index: InvertedIndex) -> None:
             "n_docs": n_docs,
             "avg_doc_len": avg_len,
             "stale_bounds": True,
+            "key_ordered": False,
         }
     )
+    if applied_marker is not None:
+        meta.setdefault("applied_epochs", []).append(applied_marker)
     with open(os.path.join(path, "_meta.json"), "w") as f:
         json.dump(meta, f)
 
@@ -744,6 +793,19 @@ def load_blocks(spark, path: str) -> "BlockIndex":
 
     with open(os.path.join(path, "_meta.json")) as f:
         meta = json.load(f)
+    bucket_fn = meta.get("bucket_fn", None)
+    n_buckets = meta["n_buckets"]
+    if bucket_fn != "crc32":
+        # a layout bucketed under a different/unknown hash MUST NOT be
+        # pruned with crc32-computed buckets (silently empty results);
+        # fall back to unpruned-but-correct full scans
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "block index at %s uses bucket_fn=%r (expected crc32); "
+            "disabling bucket pruning", path, bucket_fn,
+        )
+        n_buckets = None
     return BlockIndex(
         blocks=spark.read.parquet(f"{path}/blocks"),
         docid_map=spark.read.parquet(f"{path}/docid_map"),
@@ -752,8 +814,9 @@ def load_blocks(spark, path: str) -> "BlockIndex":
         n_docs=meta["n_docs"],
         avg_doc_len=meta["avg_doc_len"],
         block_span=meta["block_span"],
-        n_buckets=meta["n_buckets"],
+        n_buckets=n_buckets,
         stale_bounds=bool(meta.get("stale_bounds", False)),
+        key_ordered=bool(meta.get("key_ordered", True)),
     )
 
 

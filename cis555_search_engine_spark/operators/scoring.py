@@ -178,12 +178,16 @@ def with_snippets(
     terms = tokenize_py(query)
     first = terms[0] if terms else ""
     key = list(doc_key)
+    # semi-join the corpus down to the k matched keys FIRST (broadcast of
+    # the tiny top-k key set), so lower/locate/substr run on k rows, not
+    # the whole corpus; the final left join then has a tiny right side
+    matched = docs.join(F.broadcast(top.select(*key)), key, "left_semi")
     pos = F.locate(first, F.lower(F.col(text_col)))
     start = F.when(pos > 0, F.greatest(F.lit(1), pos - lead)).otherwise(F.lit(1))
-    enriched = docs.select(
+    enriched = matched.select(
         *key, F.col(text_col).substr(start, F.lit(window)).alias("snippet")
     )
-    return top.join(enriched, key, "left").select(*top.columns, "snippet")
+    return top.join(F.broadcast(enriched), key, "left").select(*top.columns, "snippet")
 
 
 def _empty_many(index: InvertedIndex) -> DataFrame:

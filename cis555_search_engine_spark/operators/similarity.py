@@ -110,17 +110,23 @@ def rh_signature_udf(n_bands: int = 64, band_bits: int = 4, seed: int = 20200553
     """
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def _sig(vecs: pd.Series) -> pd.Series:
-        M = np.array(vecs.tolist(), dtype=np.float64)
-        if M.ndim != 2 or not len(M):
-            return pd.Series([None] * len(vecs))
-        dim = M.shape[1]
-        rng = np.random.default_rng(seed + dim)
-        R = rng.standard_normal((dim, n_bands * band_bits))
-        bits = (M @ R) > 0.0                       # (n, n_bands*band_bits)
-        bits = bits.reshape(len(M), n_bands, band_bits)
-        weights = (1 << np.arange(band_bits)).astype(np.int64)
-        vals = (bits * weights).sum(axis=2).astype(np.int32)  # (n, n_bands)
-        return pd.Series([row.tolist() for row in vals])
+        rows = vecs.tolist()
+        # per-row validity mask: a null/ragged embedding must null ONLY
+        # its own signature, never the whole Arrow batch
+        dims = [len(v) if v is not None else -1 for v in rows]
+        dim = max((d for d in dims if d > 0), default=0)
+        valid = np.array([d == dim and dim > 0 for d in dims])
+        out: list[list[int] | None] = [None] * len(rows)
+        if valid.any():
+            M = np.array([rows[i] for i in np.flatnonzero(valid)], dtype=np.float64)
+            rng = np.random.default_rng(seed + dim)
+            R = rng.standard_normal((dim, n_bands * band_bits))
+            bits = ((M @ R) > 0.0).reshape(len(M), n_bands, band_bits)
+            weights = (1 << np.arange(band_bits)).astype(np.int64)
+            vals = (bits * weights).sum(axis=2).astype(np.int32)
+            for j, i in enumerate(np.flatnonzero(valid)):
+                out[i] = vals[j].tolist()
+        return pd.Series(out)
 
     return _sig
 
@@ -156,8 +162,10 @@ def cosine_lsh_pairs(
     buckets = sig.select(
         "id", F.posexplode("bands").alias("band", "v")
     ).select("id", F.xxhash64("band", "v").alias("bkey"))
-    # the self-join reads buckets twice — materialize the UDF output once
-    buckets = buckets.cache()
+    # NO per-call .cache() (the round-1 leak pattern): the self-join
+    # re-evaluates the signature subplan, but that is one seeded matmul
+    # per Arrow batch — cheaper than pinning an exploded bucket dataset
+    # in executor storage for the life of the session
     x = buckets.alias("x")
     y = buckets.alias("y")
     cands = (
@@ -255,15 +263,22 @@ def _assign_cells_udf(cents: list[list[int]]):
     C = np.asarray(cents, dtype=np.int64)              # (k, dim)
     cn = np.sqrt((C.astype(np.float64) ** 2).sum(axis=1))  # exact int sums -> sqrt
 
+    dim = C.shape[1]
+
     @F.pandas_udf(T.IntegerType())
     def _cell(vqs: pd.Series) -> pd.Series:
-        M = np.array(vqs.tolist(), dtype=np.int64)     # (n, dim)
-        if M.ndim != 2 or not len(M):
-            return pd.Series([None] * len(vqs), dtype="Int32")
-        dots = (M @ C.T).astype(np.float64)            # exact int64 products
-        mn = np.sqrt((M.astype(np.float64) ** 2).sum(axis=1))
-        cos = dots / (mn[:, None] * cn[None, :])
-        return pd.Series(np.argmax(cos, axis=1).astype(np.int32))
+        rows = vqs.tolist()
+        valid = np.array([v is not None and len(v) == dim for v in rows])
+        out = pd.Series([None] * len(rows), dtype="Int32")
+        if valid.any():
+            M = np.array([rows[i] for i in np.flatnonzero(valid)], dtype=np.int64)
+            dots = (M @ C.T).astype(np.float64)        # exact int64 products
+            mn = np.sqrt((M.astype(np.float64) ** 2).sum(axis=1))
+            cos = dots / (mn[:, None] * cn[None, :])
+            cells = np.argmax(cos, axis=1).astype(np.int32)
+            for j, i in enumerate(np.flatnonzero(valid)):
+                out.iloc[int(i)] = int(cells[j])
+        return out
 
     return _cell
 

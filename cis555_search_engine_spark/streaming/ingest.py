@@ -122,11 +122,15 @@ def streaming_index_maintenance(
 
     Exactly-once per epoch: Spark's streaming checkpoint deduplicates
     input files; on crash-redelivery of an epoch whose append already
-    committed, the epoch id recorded in the index metadata
+    committed, the marker recorded in the index metadata
     (``applied_epochs``) skips the re-append — the BDB
     checkpoint-every-100-URLs resume of the reference
     (crawler/XPathCrawler.java:430-440) with the bookkeeping in the
-    index manifest instead of hand-rolled serialization.
+    index manifest instead of hand-rolled serialization. Markers are
+    ``<checkpoint_dir>:<epoch>`` (epoch ids restart at 0 per checkpoint,
+    so a bare epoch id would wrongly skip batches when a NEW stream
+    with a fresh checkpoint maintains the same index) and are committed
+    by append_blocks in the same metadata write as the merged stats.
     """
     import json
 
@@ -134,21 +138,18 @@ def streaming_index_maintenance(
     from ..operators.postings_codec import append_blocks
 
     meta_path = os.path.join(index_path, "_meta.json")
+    ckpt_key = os.path.abspath(checkpoint_dir)
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        marker = f"{ckpt_key}:{int(epoch_id)}"
         with open(meta_path) as f:
             meta = json.load(f)
-        if int(epoch_id) in meta.get("applied_epochs", []):
+        if marker in meta.get("applied_epochs", []):
             return  # crash-redelivered epoch: append already committed
         idx = build_index(batch_df, doc_key=doc_key, stem=stem, cache=False)
-        append_blocks(batch_df.sparkSession, index_path, idx)
-        with open(meta_path) as f:  # append_blocks rewrote the meta
-            meta = json.load(f)
-        meta.setdefault("applied_epochs", []).append(int(epoch_id))
-        with open(meta_path, "w") as f:
-            json.dump(meta, f)
+        append_blocks(batch_df.sparkSession, index_path, idx, applied_marker=marker)
 
     writer = (
         stream.writeStream.foreachBatch(sink)
