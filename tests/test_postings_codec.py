@@ -389,3 +389,47 @@ def test_compact_blocks_restores_tight_bounds(spark, corpus_sdf, tmp_path):
             assert math.isclose(gs, ws, rel_tol=1e-9), query
     live, total = count_live_blocks(compacted, "coronavirus", k=3)
     assert 0 < live <= total
+
+
+def test_appended_index_tie_break_matches_longform(spark, tmp_path):
+    """Score ties at the k boundary must break on the DOC KEY even when
+    the appended index's docid order disagrees with key order (appended
+    segments continue the docid sequence regardless of key)."""
+    from pyspark.sql import functions as F
+
+    from cis555_search_engine_spark.operators.index_build import build_index
+    from cis555_search_engine_spark.operators.postings_codec import (
+        append_blocks,
+        bm25_topk_blocks,
+        build_blocks,
+        load_blocks,
+        write_blocks,
+    )
+    from cis555_search_engine_spark.operators.scoring import bm25_topk
+
+    # 8 docs with IDENTICAL text (all tie exactly) + filler; keys chosen
+    # so the appended half holds keys that sort BEFORE the base half
+    tied = [(f"z{i:02d}", 0, "u", "alpha beta gamma", None) for i in range(4)]
+    tied += [(f"a{i:02d}", 0, "u", "alpha beta gamma", None) for i in range(4)]
+    filler = [(f"m{i:02d}", 0, "u", f"delta epsilon{i} zeta{i} other{i}", None) for i in range(6)]
+    schema = "conv_id string, turn_idx int, role string, text string, tool string"
+    df = spark.createDataFrame(tied + filler, schema).withColumn(
+        "ts", F.current_timestamp()
+    )
+    base = df.filter(F.col("conv_id").startswith("z") | F.col("conv_id").startswith("m"))
+    extra = df.filter(F.col("conv_id").startswith("a"))
+
+    path = str(tmp_path / "tied")
+    write_blocks(build_blocks(build_index(base, cache=False), block_span=4), path, n_buckets=4)
+    append_blocks(spark, path, build_index(extra, cache=False))
+    appended = load_blocks(spark, path)
+    assert not appended.key_ordered
+
+    full = build_index(df, cache=False)
+    # k=5 < 8 tied docs -> the boundary cuts INSIDE the tie group
+    want = [(r["conv_id"], r["turn_idx"]) for r in bm25_topk(full, "alpha", k=5).collect()]
+    got = [(r["conv_id"], r["turn_idx"])
+           for r in bm25_topk_blocks(appended, "alpha", k=5, min_prune_postings=0).collect()]
+    assert got == want
+    # the winners must be the key-smallest 'a' docs, not the docid-smallest 'z' docs
+    assert all(c.startswith("a") for c, _ in got[:4]), got
