@@ -13,6 +13,11 @@ that system gets the same lifecycle here:
     eng.search("rice noodle", ranker="cosine") # reference cosine ranker
     eng.search_blocks("rice noodle")           # compressed block-max path
     eng.phrase("rice noodle")                  # positional phrase match
+    eng.search_many({"q1": "...", "q2": "..."})  # query log in ONE job
+    eng.search_with_snippets("rice noodle")    # results + text previews
+    eng.save_block_store("/blk"); eng.open_block_store("/blk")  # persist/serve
+    eng.append_to_block_store("/blk", new_docs)  # incremental maintenance
+    eng.compact_block_store("/blk")            # LSM-style merge
 
 Results are (conv_id, turn_idx, score) DataFrames with the deterministic
 (score DESC, conv_id, turn_idx) tie-break throughout.
@@ -28,11 +33,16 @@ from .operators.checkpointed_build import checkpointed_postings_build, finalize_
 from .operators.index_build import DOC_KEY, InvertedIndex, build_index
 from .operators.postings_codec import (
     BlockIndex,
+    append_blocks,
     bm25_topk_blocks,
+    bm25_topk_many_blocks,
     build_blocks,
+    compact_blocks,
+    load_blocks,
     phrase_match_blocks,
+    write_blocks,
 )
-from .operators.scoring import bm25_topk, cosine_ref_topk, tfidf_ref_topk
+from .operators.scoring import bm25_topk, bm25_topk_many, cosine_ref_topk, tfidf_ref_topk, with_snippets
 
 
 @dataclass
@@ -40,12 +50,13 @@ class SearchEngine:
     spark: SparkSession
     index: InvertedIndex
     _blocks: BlockIndex | None = None
+    corpus: DataFrame | None = None  # kept for snippet projection
 
     # ---------------------------------------------------------- build
 
     @classmethod
     def build(cls, spark: SparkSession, corpus: DataFrame, **kw) -> "SearchEngine":
-        return cls(spark, build_index(corpus, **kw))
+        return cls(spark, build_index(corpus, **kw), corpus=corpus)
 
     @classmethod
     def build_checkpointed(
@@ -87,3 +98,47 @@ class SearchEngine:
 
     def phrase(self, phrase: str) -> DataFrame:
         return phrase_match_blocks(self.blocks(), phrase)
+
+    # ------------------------------------------- batch / presentation
+
+    def search_many(self, queries: dict[str, str], k: int = 10, **kw) -> DataFrame:
+        """Score a whole query log in ONE job (qid, doc_key..., score)."""
+        return bm25_topk_many(self.index, queries, k=k, **kw)
+
+    def search_many_blocks(self, queries: dict[str, str], k: int = 10, **kw) -> DataFrame:
+        """Batch scoring served from the compressed block index."""
+        return bm25_topk_many_blocks(self.blocks(), queries, k=k, **kw)
+
+    def search_with_snippets(self, query: str, k: int = 20, **kw) -> DataFrame:
+        """Top-k plus a query-centered text preview per hit (requires the
+        engine to have been built from a corpus DataFrame)."""
+        if self.corpus is None:
+            raise ValueError("snippets need the corpus: build the engine with SearchEngine.build")
+        top = self.search(query, k=k, **kw)
+        return with_snippets(top, self.corpus, query, self.index.doc_key)
+
+    # ------------------------------------- persisted block-index store
+
+    def save_block_store(self, path: str, n_buckets: int = 64) -> None:
+        """Persist the compressed block index bucket-partitioned by term
+        (the index-once/query-many serving layout)."""
+        write_blocks(self.blocks(), path, n_buckets=n_buckets)
+
+    def open_block_store(self, path: str) -> "SearchEngine":
+        """Serve block queries from a persisted layout (bucket-pruned
+        scans) instead of the in-memory blocks."""
+        self._blocks = load_blocks(self.spark, path)
+        return self
+
+    def append_to_block_store(self, path: str, new_corpus: DataFrame, **kw) -> "SearchEngine":
+        """Incrementally append new documents to a persisted block store
+        (segment append + stats-level merge; serving stays exact)."""
+        seg = build_index(new_corpus, doc_key=self.index.doc_key, **kw)
+        append_blocks(self.spark, path, seg)
+        return self.open_block_store(path)
+
+    def compact_block_store(self, path: str) -> "SearchEngine":
+        """LSM-style merge: restore tight pruning bounds and fold
+        segment-boundary duplicate blocks."""
+        compact_blocks(self.spark, path)
+        return self.open_block_store(path)

@@ -47,3 +47,38 @@ def test_checkpoint_build_then_load_roundtrip(spark, corpus_sdf, tmp_path):
     eng2 = SearchEngine.load(spark, d)
     got = [(r["conv_id"], r["turn_idx"]) for r in eng2.search("zoom", k=5).collect()]
     assert got == want
+
+
+def test_facade_round2_surface(spark, corpus_sdf, tmp_path):
+    """Batch queries, snippets, and the persisted/appended/compacted
+    block-store lifecycle through the facade."""
+    from pyspark.sql import functions as F
+
+    from cis555_search_engine_spark.engine import SearchEngine
+
+    half_a = corpus_sdf.filter(F.crc32(F.col("conv_id").cast("binary")) % 2 == 0)
+    half_b = corpus_sdf.filter(F.crc32(F.col("conv_id").cast("binary")) % 2 == 1)
+
+    eng = SearchEngine.build(spark, corpus_sdf)
+    single = {(r["conv_id"], r["turn_idx"]) for r in eng.search("rice noodle", k=5).collect()}
+    many = eng.search_many({"qa": "rice noodle", "qb": "coronavirus"}, k=5).collect()
+    got_a = {(r["conv_id"], r["turn_idx"]) for r in many if r["qid"] == "qa"}
+    assert got_a == single
+    assert {r["qid"] for r in many} == {"qa", "qb"}
+
+    snip = eng.search_with_snippets("rice noodle", k=3).collect()
+    assert len(snip) == 3 and all(r["snippet"] for r in snip)
+
+    # persisted lifecycle: save half A, append half B, query == full build
+    eng_a = SearchEngine.build(spark, half_a)
+    store = str(tmp_path / "store")
+    eng_a.save_block_store(store, n_buckets=8)
+    eng_a.append_to_block_store(store, half_b)
+    want = [(r["conv_id"], r["turn_idx"]) for r in eng.search("coronavirus", k=8).collect()]
+    got = [(r["conv_id"], r["turn_idx"]) for r in eng_a.search_blocks("coronavirus", k=8).collect()]
+    assert got == want
+    eng_a.compact_block_store(store)
+    got2 = [(r["conv_id"], r["turn_idx"]) for r in eng_a.search_blocks("coronavirus", k=8).collect()]
+    assert got2 == want
+    bmany = eng_a.search_many_blocks({"q": "coronavirus"}, k=8).collect()
+    assert [(r["conv_id"], r["turn_idx"]) for r in bmany] == want
