@@ -94,6 +94,11 @@ class Catalog:
         """
         reader = self.spark.read.format("jdbc").option("url", url).option("dbtable", table)
         if partition_column is not None:
+            if lower_bound is None or upper_bound is None:
+                raise ValueError(
+                    "partition_column requires lower_bound and upper_bound "
+                    "(Spark splits the scan into numPartitions bounded ranges)"
+                )
             reader = (
                 reader.option("partitionColumn", partition_column)
                 .option("lowerBound", str(lower_bound))

@@ -126,7 +126,11 @@ class SearchEngine:
 
     def open_block_store(self, path: str) -> "SearchEngine":
         """Serve block queries from a persisted layout (bucket-pruned
-        scans) instead of the in-memory blocks."""
+        scans) instead of the in-memory blocks (whose cache is released
+        — no orphaned pinned datasets when switching stores)."""
+        if self._blocks is not None:
+            self._blocks.blocks.unpersist()
+            self._blocks.docid_map.unpersist()
         self._blocks = load_blocks(self.spark, path)
         return self
 

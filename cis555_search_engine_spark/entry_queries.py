@@ -711,12 +711,12 @@ def ensure_block_index(spark: SparkSession, sf_dir: str):
 
     from .operators.postings_codec import build_blocks, load_blocks, write_blocks
 
-    skey = (spark.sparkContext.applicationId, sf_dir)
-    cached = _BLOCK_CACHE.get(skey)
-    if cached is not None:
-        return cached
     path = _block_index_path(sf_dir)
     src_mtime = os.path.getmtime(f"{sf_dir}/documents.parquet")
+    skey = (spark.sparkContext.applicationId, sf_dir)
+    cached, cached_mtime = _BLOCK_CACHE.get(skey, (None, None))
+    if cached is not None and cached_mtime == src_mtime:
+        return cached
     meta_path = os.path.join(path, "_meta.json")
     fresh = False
     if os.path.exists(meta_path):
@@ -729,7 +729,7 @@ def ensure_block_index(spark: SparkSession, sf_dir: str):
         bidx = build_blocks(get_index(spark, sf_dir), block_span=256)
         write_blocks(bidx, path, n_buckets=16, extra_meta={"source_mtime": src_mtime})
     loaded = load_blocks(spark, path)
-    _BLOCK_CACHE[skey] = loaded
+    _BLOCK_CACHE[skey] = (loaded, src_mtime)
     return loaded
 
 

@@ -197,23 +197,41 @@ def ngram_jaccard_pairs(
         exploded = arr.select(F.explode_outer("shh").alias("h")).filter(
             F.col("h").isNotNull()
         )
-        hot_rows = (
+        hot_df = (
             exploded.groupBy("h")
             .agg(F.count(F.lit(1)).alias("sdf"))
             .filter(F.col("sdf") > max_shingle_df)
             .select("h")
-            .collect()
         )
+        # heavy hitters are usually FEW (bounded by occurrences/cap), so
+        # collect them as literals for a driver-free array_except — but
+        # never materialize an unbounded set on the driver: past the
+        # limit, fall back to a distributed broadcast anti-join on the
+        # exploded rows (sizes then recomputed post-cap, still exact
+        # over kept sets)
+        hot_rows = hot_df.limit(10_001).collect()
         hot = sorted(int(r["h"]) for r in hot_rows)
         if hot:
             import logging
 
             logging.getLogger(__name__).warning(
-                "ngram_jaccard_pairs: dropping %d hot shingles with df > %d "
+                "ngram_jaccard_pairs: dropping %s hot shingles with df > %d "
                 "(coverage cap; pairs sharing ONLY these are not reported)",
-                len(hot), max_shingle_df,
+                len(hot) if len(hot) <= 10_000 else "10k+", max_shingle_df,
             )
+        if 0 < len(hot) <= 10_000:
             arr = arr.withColumn("shh", F.array_except("shh", F.lit(hot)))
+        elif len(hot) > 10_000:
+            # rebuild per-doc arrays from the anti-joined kept rows
+            # (one extra shuffle — the unbounded-hot-set worst case only)
+            kept_ids = (
+                arr.select("id", F.explode_outer("shh").alias("h"))
+                .filter(F.col("h").isNotNull())
+                .join(hot_df, "h", "left_anti")
+                .groupBy("id")
+                .agg(F.collect_list("h").alias("shh"))
+            )
+            arr = kept_ids
     # explode_outer + null filter, NOT explode: explode makes the optimizer
     # infer a size()>0 predicate and push it BELOW the staged projections,
     # re-inlining the whole shingle expression (with its per-element

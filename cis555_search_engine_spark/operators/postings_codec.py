@@ -153,6 +153,13 @@ def mint_doc_ids(
         .join(F.broadcast(off_df), "_pid")
         .select(*doc_key, (F.col("_off") + F.col("_rn") - 1).alias("docid"))
     )
+    # materialize the (small) docid map eagerly so the keyed cache can be
+    # RELEASED before returning — a named persist left behind would leak
+    # one dataset per call (unbounded under streaming maintenance, which
+    # mints ids every micro-batch); localCheckpoint also truncates the
+    # lineage so later evictions can never re-derive anything
+    out = out.localCheckpoint(eager=True)
+    keyed.unpersist()
     return out
 
 
@@ -554,13 +561,19 @@ def bm25_topk_many_blocks(
     all_terms = sorted({t for _, t in pairs})
     tblocks = bidx.blocks.filter(_term_filter(bidx, all_terms))
     decoded = decode_blocks(tblocks, bidx.block_span, with_positions=False)
+    from .scoring import bm25_score_col
+
     idf = bidx.corpus_stats.filter(F.col("term").isin(all_terms)).select("term", "idf_bm25")
-    tfd = F.col("tf").cast("double")
-    denom = tfd + K1 * (1.0 - B + B * F.col("doc_len") / F.lit(bidx.avg_doc_len))
     scored = (
         decoded.join(F.broadcast(qdf), "term")
         .join(F.broadcast(idf), "term")
-        .withColumn("partial", F.col("idf_bm25") * tfd * (K1 + 1.0) / denom)
+        .withColumn(
+            "partial",
+            bm25_score_col(
+                F.col("tf").cast("double"), F.col("idf_bm25"), F.col("doc_len"),
+                bidx.avg_doc_len,
+            ),
+        )
         .groupBy("qid", "docid")
         .agg(F.sum("partial").alias("score"))
     )
@@ -627,6 +640,10 @@ def write_blocks(
         "n_buckets": n_buckets,
         "doc_key": list(bidx.doc_key),
         "bucket_fn": "crc32",
+        # carry the index's own flags: re-persisting an APPENDED index
+        # must not resurrect tight-bounds pruning or docid tie-breaking
+        "stale_bounds": bool(bidx.stale_bounds),
+        "key_ordered": bool(bidx.key_ordered),
     }
     meta.update(extra_meta or {})
     with open(os.path.join(path, "_meta.json"), "w") as f:
@@ -712,15 +729,19 @@ def append_blocks(
             ).alias("idf_bm25"),
         )
     )
-    # stage to a tmp dir: overwrite-while-reading the same parquet dir
-    # is not safe
+    # stage to a tmp dir (overwrite-while-reading the same parquet dir
+    # is not safe), then swap via a backup rename: a crash at any point
+    # leaves either the old or the new stats present, never neither
     tmp = f"{path}/corpus_stats_tmp"
     merged.write.mode("overwrite").parquet(tmp)
     final = f"{path}/corpus_stats"
     import shutil
 
-    shutil.rmtree(final, ignore_errors=True)
+    backup = f"{path}/corpus_stats_old"
+    shutil.rmtree(backup, ignore_errors=True)
+    os.rename(final, backup)
     os.rename(tmp, final)
+    shutil.rmtree(backup, ignore_errors=True)
 
     meta.update(
         {
@@ -773,8 +794,11 @@ def compact_blocks(spark, path: str) -> None:
     tmp = f"{path}/blocks_compact_tmp"
     blocks.withColumn("bucket", bucket).write.mode("overwrite").partitionBy("bucket").parquet(tmp)
     final = f"{path}/blocks"
-    shutil.rmtree(final, ignore_errors=True)
+    backup = f"{path}/blocks_old"
+    shutil.rmtree(backup, ignore_errors=True)
+    os.rename(final, backup)  # crash-safe swap: old OR new, never neither
     os.rename(tmp, final)
+    shutil.rmtree(backup, ignore_errors=True)
     with open(os.path.join(path, "_meta.json")) as f:
         meta = json.load(f)
     meta["stale_bounds"] = False  # bounds recomputed under current stats

@@ -98,7 +98,7 @@ def cosine_near_dup_pairs(
     )
 
 
-def rh_signature_udf(n_bands: int = 64, band_bits: int = 4, seed: int = 20200553):
+def rh_signature_udf(dim: int, n_bands: int = 64, band_bits: int = 4, seed: int = 20200553):
     """Factory: Arrow-vectorized random-hyperplane signature UDF.
 
     array<float> embedding -> array<int> of ``n_bands`` band values, the
@@ -107,15 +107,17 @@ def rh_signature_udf(n_bands: int = 64, band_bits: int = 4, seed: int = 20200553
     signatures in a single BLAS call; charikar's SimHash for cosine,
     STOC'02, public literature). The hyperplane matrix is derived from
     (seed, dim) so signatures are deterministic across runs/executors.
+    ``dim`` is supplied by the CALLER (one tiny driver probe) so row
+    validity is a property of the row alone — inferring it per Arrow
+    batch would make one ragged vector invalidate its whole batch and
+    make validity partition-dependent.
     """
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def _sig(vecs: pd.Series) -> pd.Series:
         rows = vecs.tolist()
-        # per-row validity mask: a null/ragged embedding must null ONLY
-        # its own signature, never the whole Arrow batch
-        dims = [len(v) if v is not None else -1 for v in rows]
-        dim = max((d for d in dims if d > 0), default=0)
-        valid = np.array([d == dim and dim > 0 for d in dims])
+        # per-row validity mask: a null/ragged embedding nulls ONLY its
+        # own signature, never the whole Arrow batch
+        valid = np.array([v is not None and len(v) == dim for v in rows])
         out: list[list[int] | None] = [None] * len(rows)
         if valid.any():
             M = np.array([rows[i] for i in np.flatnonzero(valid)], dtype=np.float64)
@@ -155,9 +157,11 @@ def cosine_lsh_pairs(
     the proof). At larger n, raise ``band_bits`` ~ log2(n) to keep
     bucket sizes bounded; the verification step is always exact.
     """
+    first = emb.select(F.size(vec_col).alias("d")).first()
+    dim = int(first["d"]) if first is not None else 0
     sig = emb.select(
         F.col(id_col).alias("id"),
-        rh_signature_udf(n_bands, band_bits, seed)(F.col(vec_col)).alias("bands"),
+        rh_signature_udf(dim, n_bands, band_bits, seed)(F.col(vec_col)).alias("bands"),
     )
     buckets = sig.select(
         "id", F.posexplode("bands").alias("band", "v")

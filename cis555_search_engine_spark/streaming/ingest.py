@@ -120,9 +120,9 @@ def streaming_index_maintenance(
     merge, sound stale-bounds pruning). The serving index stays
     queryable and exact throughout.
 
-    Exactly-once per epoch: Spark's streaming checkpoint deduplicates
-    input files; on crash-redelivery of an epoch whose append already
-    committed, the marker recorded in the index metadata
+    Effectively-once per epoch: Spark's streaming checkpoint
+    deduplicates input files; on crash-redelivery of an epoch whose
+    append already committed, the marker recorded in the index metadata
     (``applied_epochs``) skips the re-append — the BDB
     checkpoint-every-100-URLs resume of the reference
     (crawler/XPathCrawler.java:430-440) with the bookkeeping in the
@@ -130,7 +130,9 @@ def streaming_index_maintenance(
     ``<checkpoint_dir>:<epoch>`` (epoch ids restart at 0 per checkpoint,
     so a bare epoch id would wrongly skip batches when a NEW stream
     with a fresh checkpoint maintains the same index) and are committed
-    by append_blocks in the same metadata write as the merged stats.
+    by append_blocks in the same metadata write as the merged stats —
+    see append_blocks for the one remaining disclosed crash window
+    (segment parquet committed, metadata not yet written).
     """
     import json
 
