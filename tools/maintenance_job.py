@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""spark-submit entry: continuously maintain a persisted block index
+from arriving transcript parquet files.
+
+    spark-submit --master local[N] --py-files pkg.zip tools/maintenance_job.py \
+        --index <block-store-dir> --arrivals <stream-dir> \
+        --checkpoint <ckpt-dir> [--bootstrap <corpus.parquet>] \
+        [--max-files-per-trigger 1] [--continuous] [--compact]
+
+Without ``--continuous`` the job drains whatever has arrived
+(trigger availableNow) and exits — the cron-style maintenance tick.
+``--bootstrap`` builds the initial store from a corpus file when the
+index directory does not exist yet. ``--compact`` runs the LSM-style
+merge after draining (restores tight pruning bounds).
+
+Prints ONE JSON line: docs before/after, epochs applied, wall time.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--index", required=True)
+    ap.add_argument("--arrivals", required=True)
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--bootstrap", default=None)
+    ap.add_argument("--max-files-per-trigger", type=int, default=1)
+    ap.add_argument("--continuous", action="store_true")
+    ap.add_argument("--compact", action="store_true")
+    ap.add_argument("--block-span", type=int, default=4096)
+    ap.add_argument("--n-buckets", type=int, default=64)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.appName("maintenance_job")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from cis555_search_engine_spark.operators.index_build import build_index
+    from cis555_search_engine_spark.operators.postings_codec import (
+        build_blocks,
+        compact_blocks,
+        load_blocks,
+        write_blocks,
+    )
+    from cis555_search_engine_spark.streaming.ingest import (
+        read_transcript_stream,
+        streaming_index_maintenance,
+    )
+
+    t0 = time.perf_counter()
+    meta_path = os.path.join(args.index, "_meta.json")
+    if not os.path.exists(meta_path):
+        if not args.bootstrap:
+            raise SystemExit(f"no index at {args.index}; pass --bootstrap <corpus.parquet>")
+        corpus = spark.read.parquet(args.bootstrap)
+        bidx = build_blocks(build_index(corpus, cache=False), block_span=args.block_span)
+        write_blocks(bidx, args.index, n_buckets=args.n_buckets)
+    with open(meta_path) as f:
+        n_before = json.load(f)["n_docs"]
+
+    stream = read_transcript_stream(spark, args.arrivals, args.max_files_per_trigger)
+    q = streaming_index_maintenance(
+        stream, args.index, args.checkpoint, available_now=not args.continuous
+    )
+    if args.continuous:
+        q.awaitTermination()
+    else:
+        q.awaitTermination(3600)
+    if args.compact:
+        compact_blocks(spark, args.index)
+
+    with open(meta_path) as f:
+        meta = json.load(f)
+    bidx = load_blocks(spark, args.index)
+    print(json.dumps({
+        "n_docs_before": n_before,
+        "n_docs_after": meta["n_docs"],
+        "epochs_applied": len(meta.get("applied_epochs", [])),
+        "stale_bounds": bidx.stale_bounds,
+        "wall_s": round(time.perf_counter() - t0, 3),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
