@@ -1210,6 +1210,31 @@ FROM documents
 """
 
 
+def q_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing tf-idf vectorizer (hashing trick): text ->
+    1024-dim sparse features as (id, bucket, w) rows, no vocabulary
+    dictionary — cross-engine-reproducible featurization
+    (operators/text_analysis.hashed_tfidf_features)."""
+    from .operators.text_analysis import hashed_tfidf_features
+
+    return hashed_tfidf_features(load(spark, sf_dir, "documents"), dim=1024)
+
+
+SQL_HASHED_FEATURES = """
+WITH toks AS (
+  SELECT doc_id AS id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
+),
+tf AS (SELECT id, tok, count(*)::BIGINT AS tf FROM toks WHERE tok <> '' GROUP BY id, tok),
+dfx AS (SELECT tok, count(*)::BIGINT AS df FROM tf GROUP BY tok),
+nd AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n FROM documents)
+SELECT t.id,
+       (('0x' || substr(md5(t.tok), 1, 8))::BIGINT % 1024) AS bucket,
+       round(sum(t.tf * ln(nd.n / d.df)), 6) AS w
+FROM tf t JOIN dfx d ON t.tok = d.tok, nd
+GROUP BY t.id, (('0x' || substr(md5(t.tok), 1, 8))::BIGINT % 1024)
+"""
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.text_analysis import fingerprint
 
@@ -1419,6 +1444,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_score": q_quality_score,
     "token_counts": q_token_counts,
     "fingerprint": q_fingerprint,
+    "hashed_features": q_hashed_features,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_decode": q_multimodal_decode,
     "curate": q_curate,
@@ -1465,6 +1491,7 @@ ORACLES: dict[str, str] = {
     "quality_score": SQL_QUALITY,
     "token_counts": SQL_TOKEN_COUNTS,
     "fingerprint": SQL_FINGERPRINT,
+    "hashed_features": SQL_HASHED_FEATURES,
     "multimodal_meta": SQL_MULTIMODAL_META,
     "multimodal_decode": SQL_MULTIMODAL_DECODE,
     "curate": SQL_CURATE,

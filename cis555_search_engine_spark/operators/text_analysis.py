@@ -117,3 +117,46 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
         lambda acc, v: acc + v,
     )
     return docs.select(F.col(id_col).alias("id"), fp.alias("fp"))
+
+
+def hashed_tfidf_features(
+    docs: DataFrame,
+    dim: int = 1024,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Feature-hashing ("hashing trick", Weinberger et al. ICML'09 —
+    public literature) tf-idf featurizer: text -> fixed-``dim`` sparse
+    features as long rows (id, bucket, w), the tokenizer-free
+    vectorization step of a training-data pipeline.
+
+    - bucket(term) = first-8-hex-chars-of-md5 mod dim — the same
+      SQL-reproducible hash family as `dedup.simhash_base_hash`, so the
+      whole featurization (including idf) has an exact DuckDB twin
+      (cross-engine reproducible features: the property a feature store
+      needs so training and serving agree).
+    - w(id, bucket) = Σ_{terms in bucket} tf · ln(N/df) — colliding
+      terms' weights ADD, the standard hashing-trick semantics.
+    - Everything is native column expressions + two hash aggs keyed by
+      (id, term) then (id, bucket) — map-side partial agg, no skew (doc
+      key spreads hot terms), no UDF, no vocabulary broadcast: the point
+      of the hashing trick at 10^12 docs is exactly that no global
+      term<->index dictionary is built.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("id"), F.explode(_toks(F.col(text_col))).alias("tok")
+    ).filter(F.col("tok") != "")
+    tf = toks.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = docs.select(id_col).distinct().count()
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("tok").cast("binary")), 1, 8), 16, 10).cast("long"),
+        F.lit(dim),
+    )
+    return (
+        tf.join(df, "tok")
+        .withColumn("idf", F.log(F.lit(float(n_docs)) / F.col("df")))
+        .select("id", bucket.alias("bucket"), (F.col("tf") * F.col("idf")).alias("w"))
+        .groupBy("id", "bucket")
+        .agg(F.round(F.sum("w"), 6).alias("w"))
+    )

@@ -193,3 +193,29 @@ def test_pagerank_matches_numpy(spark):
     assert set(got) == set(want)
     for n in want:
         assert abs(got[n] - want[n]) < 1e-9, n
+
+
+def test_hashed_tfidf_features(spark, docs_sdf, docs_rows):
+    """Hashing-trick featurizer vs a pure-Python oracle (same md5 bucket,
+    colliding terms' weights add)."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    from cis555_search_engine_spark.operators.text_analysis import hashed_tfidf_features
+
+    dim = 64  # small dim -> guaranteed collisions exercise additivity
+    tfs = {i: Counter(t.lower().split()) for i, t in docs_rows}
+    n = len(tfs)
+    df = Counter(tok for c in tfs.values() for tok in c)
+    want: dict[tuple[int, int], float] = {}
+    for i, c in tfs.items():
+        for tok, tf in c.items():
+            b = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % dim
+            want[(i, b)] = want.get((i, b), 0.0) + tf * math.log(n / df[tok])
+    got = {(r["id"], r["bucket"]): r["w"]
+           for r in hashed_tfidf_features(docs_sdf, dim=dim).collect()}
+    assert set(got) == set(want)
+    for k, w in got.items():
+        assert abs(w - want[k]) < 1e-4, k
+    assert max(b for _, b in got) < dim and min(b for _, b in got) >= 0
