@@ -1028,6 +1028,89 @@ def q_ann_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_index_path(sf_dir: str) -> str:
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    name = os.path.basename(sf_dir.rstrip("/")) or "default"
+    return os.path.join(repo, ".blockidx", f"{name}_ivf")
+
+
+def ensure_ivf_index(spark: SparkSession, sf_dir: str) -> tuple[str, list[list[int]]]:
+    """(data_path, centroids) of the PERSISTED IVF layout for sf_dir —
+    built (k-means, 3 Lloyd iterations) + written partitioned-by-cell
+    only when absent or stale (source mtime), exactly the
+    ensure_block_index serving model applied to ANN: cluster once,
+    probe-query many. The cell-partitioned parquet turns the probe
+    filter into DIRECTORY-level partition pruning on the serving scan."""
+    import json
+    import os
+
+    from .operators.similarity import kmeans_quantized, write_ivf
+
+    path = _ivf_index_path(sf_dir)
+    src_mtime = os.path.getmtime(f"{sf_dir}/embeddings.parquet")
+    meta_path = os.path.join(path, "_meta.json")
+    meta = None
+    if os.path.exists(meta_path):
+        try:
+            with open(meta_path) as f:
+                cand = json.load(f)
+            if cand.get("source_mtime") == src_mtime:
+                meta = cand
+        except (OSError, ValueError):
+            meta = None
+    if meta is None:
+        emb = load(spark, sf_dir, "embeddings")
+        centroids = kmeans_quantized(emb, k=10, n_iter=3)
+        write_ivf(emb, f"{path}/data", centroids)
+        meta = {"source_mtime": src_mtime, "centroids": centroids}
+        os.makedirs(path, exist_ok=True)
+        with open(meta_path, "w") as f:
+            json.dump(meta, f)
+    return f"{path}/data", [[int(v) for v in c] for c in meta["centroids"]]
+
+
+def q_ann_ivf_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-10 served from the PERSISTED cell-partitioned IVF layout:
+    probe choice is pure driver arithmetic against the stored centroids
+    (zero Spark jobs), and the probe filter prunes the scan to 3 of 10
+    cell directories (PartitionFilters — plan-asserted in
+    tests/test_similarity.py). Same result as `ann_kmeans` (same
+    centroids, same final assignment), which is what the shared SQL
+    oracle proves."""
+    from .operators.similarity import (
+        _int_cosine_py,
+        cosine_col,
+        quantized_vec_col,
+    )
+
+    data_path, centroids = ensure_ivf_index(spark, sf_dir)
+    emb = load(spark, sf_dir, "embeddings")
+    qrow = (
+        emb.filter(F.col("vec_id") == 0)
+        .select(quantized_vec_col(F.col("embedding")).alias("vq"), "embedding")
+        .collect()[0]
+    )
+    qvq = [int(v) for v in qrow["vq"]]
+    ranked = sorted(
+        range(len(centroids)), key=lambda i: (-_int_cosine_py(qvq, centroids[i]), i)
+    )
+    probes = ranked[:3]
+    assigned = spark.read.parquet(data_path)
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    return (
+        assigned.filter(F.col("cell").isin(probes) & (F.col("vec_id") != 0))
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(cosine_col(F.col("embedding"), F.col("qvec")), 6).alias("cos"),
+        )
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
 def _sql_ann_kmeans(
     k_cent: int = 10, n_iter: int = 3, n_probe: int = 3, topk: int = 10, scale: int = 1000
 ) -> str:
@@ -1271,28 +1354,41 @@ FROM documents
 
 
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL image-container decode: every doc gets a valid PNG (even id)
-    or JPEG (odd id) payload built from its id; the decoder parses the
-    actual container bytes (PNG IHDR + CRC verification, JPEG SOFn
-    marker scan) inside mapInPandas — no image libraries involved. The
-    oracle recomputes the expected metadata from the id arithmetic
-    (operators/multimodal.decode_image_meta)."""
-    from .operators.multimodal import decode_image_meta, with_media_payload
+    """REAL media-container decode: every doc gets a valid PNG / JPEG /
+    WAV / MP4 payload (id%4 mix) built from its id; the decoder parses
+    the actual container bytes (PNG IHDR + CRC verification, JPEG SOFn
+    marker scan, RIFF chunk walk, MP4 box walk) inside mapInPandas — no
+    media libraries involved. The oracle recomputes the expected
+    metadata from the id arithmetic
+    (operators/multimodal.decode_media_meta)."""
+    from .operators.multimodal import decode_media_meta, with_media_payload
 
-    return decode_image_meta(with_media_payload(load(spark, sf_dir, "documents")))
+    return decode_media_meta(with_media_payload(load(spark, sf_dir, "documents")))
 
 
 def _sql_multimodal_decode() -> str:
-    from .operators.multimodal import make_jpeg, make_png
+    from .operators.multimodal import make_jpeg, make_mp4, make_png
 
     n_png = len(make_png(1, 1))
     n_jpg = len(make_jpeg(1, 1))
+    n_mp4 = len(make_mp4(1, 1, 1))  # all boxes fixed-size -> constant
     return f"""
 SELECT doc_id AS id,
-       CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS fmt,
-       (doc_id % 300 + 1)::INT AS width,
-       (doc_id % 200 + 1)::INT AS height,
-       (CASE WHEN doc_id % 2 = 0 THEN {n_png} ELSE {n_jpg} END)::BIGINT AS n_bytes
+       CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                       WHEN 2 THEN 'wav' ELSE 'mp4' END AS fmt,
+       CASE WHEN doc_id % 4 IN (0, 1, 3) THEN (doc_id % 300 + 1)::INT END AS width,
+       CASE WHEN doc_id % 4 IN (0, 1, 3) THEN (doc_id % 200 + 1)::INT END AS height,
+       CASE WHEN doc_id % 4 = 2
+            THEN (8000 + (doc_id % 5) * 8000)::INT END AS sample_rate,
+       CASE WHEN doc_id % 4 = 2
+            THEN ((doc_id // 4) % 2 + 1)::INT END AS channels,
+       CASE WHEN doc_id % 4 = 2
+            THEN ((doc_id % 100 + 1) * 1000 // (8000 + (doc_id % 5) * 8000))::BIGINT
+            WHEN doc_id % 4 = 3 THEN (doc_id % 5000 + 500)::BIGINT
+       END AS duration_ms,
+       (CASE doc_id % 4 WHEN 0 THEN {n_png} WHEN 1 THEN {n_jpg}
+             WHEN 2 THEN 44 + (doc_id % 100 + 1) * ((doc_id // 4) % 2 + 1) * 2
+             ELSE {n_mp4} END)::BIGINT AS n_bytes
 FROM documents
 """
 
@@ -1463,6 +1559,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk": q_ann_topk,
     "ann_ivf": q_ann_ivf,
     "ann_kmeans": q_ann_kmeans,
+    "ann_ivf_served": q_ann_ivf_served,
     "cosine_pairs": q_cosine_pairs,
     "cosine_lsh_pairs": q_cosine_lsh_pairs,
     "lang_id": q_lang_id,
@@ -1511,6 +1608,9 @@ ORACLES: dict[str, str] = {
     "ann_topk": SQL_ANN_TOPK,
     "ann_ivf": SQL_ANN_IVF,
     "ann_kmeans": SQL_ANN_KMEANS,
+    # served path: same centroids + final assignment as ann_kmeans, so
+    # the k-means SQL twin proves the persisted layout serves exactly
+    "ann_ivf_served": SQL_ANN_KMEANS,
     "cosine_pairs": SQL_COSINE_PAIRS,
     "cosine_lsh_pairs": SQL_COSINE_LSH_PAIRS,
     "lang_id": SQL_LANG_ID,

@@ -86,6 +86,7 @@ def pack_sequences(
     budget_tokens: int = 512,
     id_col: str = "doc_id",
     text_col: str = "text",
+    num_buckets: int | None = None,
 ) -> DataFrame:
     """Sequence packing for pretraining: assign documents to fixed
     token-budget training chunks, returning
@@ -95,12 +96,17 @@ def pack_sequences(
     packer that concatenates-and-splits downstream needs exactly this
     map).
 
-    Shape: one window running-sum over the deterministic id order. At
-    10^12 docs a single global window is a bottleneck — the scale path
-    is the mint_doc_ids pattern (range-bucket the ids, window per
-    bucket, broadcast cumulative bucket token-totals as offsets); the
-    single-window form is kept here because it is the exact SQL the
-    oracle can replay, and the bucketed variant is identical algebra.
+    Scale path (the DEFAULT): the mint_doc_ids algebra
+    (postings_codec._range_boundaries) — explicit literal range
+    boundaries bucket the ids, a per-bucket window computes the local
+    running sum, and the tiny per-bucket token totals are collected and
+    broadcast back as cumulative offsets. global_offset(row) =
+    bucket_offset(_pid) + local_running_sum — identical algebra to one
+    global window, with NO single-partition Exchange anywhere (the
+    round-2 scale-killer: Window.orderBy(id) sorts 10^12 rows on one
+    partition). ``num_buckets=1`` degenerates to the single global
+    window — the exact SQL the oracle replays; the two forms are
+    property-tested identical (tests/test_dedup.py).
     """
     from pyspark.sql import Window
 
@@ -108,11 +114,48 @@ def pack_sequences(
         F.col(id_col).alias("id"),
         F.size(F.filter(tokens_col(F.col(text_col)), lambda t: t != "")).alias("n_tokens"),
     )
-    w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, -1)
-    return (
-        toked.withColumn("start_offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
-        .withColumn("chunk_id", F.floor(F.col("start_offset") / budget_tokens))
-        .select("id", F.col("n_tokens").cast("long").alias("n_tokens"),
-                F.col("start_offset").cast("long").alias("start_offset"),
-                F.col("chunk_id").cast("long").alias("chunk_id"))
+
+    def finalize(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("chunk_id", F.floor(F.col("start_offset") / budget_tokens))
+            .select("id", F.col("n_tokens").cast("long").alias("n_tokens"),
+                    F.col("start_offset").cast("long").alias("start_offset"),
+                    F.col("chunk_id").cast("long").alias("chunk_id"))
+        )
+
+    spark = docs.sparkSession
+    n_part = num_buckets or spark.sparkContext.defaultParallelism
+    if n_part <= 1:
+        w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, -1)
+        return finalize(
+            toked.withColumn(
+                "start_offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+            )
+        )
+
+    from .postings_codec import _range_boundaries
+
+    bounds = _range_boundaries(toked.select("id"), ("id",), n_part)
+    pid = F.lit(0)
+    for (b,) in bounds:
+        pid = pid + F.when(F.col("id") >= F.lit(b), 1).otherwise(0)
+    bucketed = toked.withColumn("_pid", pid.cast("int"))
+    totals = bucketed.groupBy("_pid").agg(F.sum("n_tokens").alias("t")).collect()
+    acc = 0
+    offsets = []
+    for row in sorted(totals, key=lambda r: r["_pid"]):
+        offsets.append((int(row["_pid"]), acc))
+        acc += int(row["t"] or 0)
+    if not offsets:
+        offsets = [(0, 0)]
+    off_df = spark.createDataFrame(offsets, "_pid int, _off long")
+    w = Window.partitionBy("_pid").orderBy("id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    local = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return finalize(
+        bucketed.repartition(max(len(offsets), 1), "_pid")
+        .withColumn("_local", local)
+        .join(F.broadcast(off_df), "_pid")
+        .withColumn("start_offset", F.col("_off") + F.col("_local"))
     )

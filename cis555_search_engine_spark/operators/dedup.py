@@ -139,21 +139,25 @@ def exact_dedup(
     (n = 10^12 docs -> ~1e-15); the double hash IS the in-group
     verification, computed map-side so only 16 bytes/row shuffle.
     """
+    from pyspark.sql import Window
+
     key = F.array_join(F.array_sort(F.array_distinct(tokens_col(F.col(text_col)))), " ")
     keyed = docs.select(
         F.col(id_col).alias("id"),
         F.xxhash64(key).alias("k1"),
         F.xxhash64(key, F.lit(1)).alias("k2"),
     )
-    groups = (
-        keyed.groupBy("k1", "k2")
-        .agg(F.min("id").alias("rep_id"), F.collect_list("id").alias("ids"))
-        .filter(F.size("ids") > 1)
-    )
+    # representative = min(id) over the group WINDOW — never an array:
+    # collect_list would make a pathological duplicate repeated 1e9
+    # times one multi-GB row (round-2 scale hazard); the window keeps
+    # every group streamed within its shuffle partition. Singleton
+    # groups fall out of the id != rep_id filter (their only id IS the
+    # min), so no group-size count is needed.
+    w = Window.partitionBy("k1", "k2")
     return (
-        groups.select("rep_id", F.explode("ids").alias("dup_id"))
-        .filter(F.col("dup_id") != F.col("rep_id"))
-        .select("rep_id", "dup_id")
+        keyed.withColumn("rep_id", F.min("id").over(w))
+        .filter(F.col("id") != F.col("rep_id"))
+        .select("rep_id", F.col("id").alias("dup_id"))
     )
 
 

@@ -126,26 +126,177 @@ def parse_jpeg_header(payload: bytes) -> tuple[int, int]:
     raise ValueError("no SOF segment found")
 
 
-IMAGE_DECODERS = {
-    "image/png": parse_png_header,
-    "image/jpeg": parse_jpeg_header,
+def make_wav(sample_rate: int, channels: int, n_samples: int) -> bytes:
+    """Minimal VALID RIFF/WAVE container: fmt chunk (PCM s16le) + a
+    zero-filled data chunk of ``n_samples`` frames."""
+    import struct
+
+    data = b"\x00" * (n_samples * channels * 2)
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, sample_rate * channels * 2, channels * 2, 16
+    )
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def parse_wav_header(payload: bytes) -> dict:
+    """{sample_rate, channels, duration_ms} from a RIFF/WAVE stream —
+    a real chunk walk (fmt + data located by their declared sizes), the
+    same no-codec-needed byte parse as the PNG/JPEG decoders."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV: missing RIFF/WAVE")
+    i = 12
+    fmt = None
+    data_size = None
+    while i + 8 <= len(payload):
+        cid = payload[i : i + 4]
+        (size,) = struct.unpack("<I", payload[i + 4 : i + 8])
+        if cid == b"fmt ":
+            if size < 16:
+                raise ValueError("WAV fmt chunk too short")
+            fmt = struct.unpack("<HHIIHH", payload[i + 8 : i + 24])
+        elif cid == b"data":
+            data_size = size
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data_size is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    _, channels, rate, _, block_align, bits = fmt
+    bytes_per_s = rate * channels * (bits // 8)
+    if bytes_per_s <= 0:
+        raise ValueError("WAV fmt has zero rate")
+    return {
+        "sample_rate": int(rate),
+        "channels": int(channels),
+        "duration_ms": int(data_size * 1000 // bytes_per_s),
+    }
+
+
+def _mp4_box(typ: bytes, payload: bytes) -> bytes:
+    import struct
+
+    return struct.pack(">I", len(payload) + 8) + typ + payload
+
+
+def make_mp4(width: int, height: int, duration_ms: int) -> bytes:
+    """Minimal VALID MP4: ftyp + moov(mvhd timescale=1000 + trak(tkhd
+    width/height as 16.16 fixed-point)) — ISO 14496-12 box layout."""
+    import struct
+
+    ftyp = _mp4_box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isom")
+    mvhd = _mp4_box(
+        b"mvhd",
+        struct.pack(">B3xIIII", 0, 0, 0, 1000, duration_ms)  # v0, times, timescale, dur
+        + struct.pack(">I", 0x00010000)  # rate 1.0
+        + struct.pack(">H", 0x0100)      # volume 1.0
+        + b"\x00" * 10
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24
+        + struct.pack(">I", 2),          # next track id
+    )
+    tkhd = _mp4_box(
+        b"tkhd",
+        struct.pack(">B3xIIII", 0, 0, 0, 1, 0)   # v0/flags, times, track 1, rsvd
+        + struct.pack(">I", duration_ms)
+        + b"\x00" * 8
+        + struct.pack(">HHHH", 0, 0, 0, 0)       # layer, alt group, volume, rsvd
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    moov = _mp4_box(b"moov", mvhd + _mp4_box(b"trak", tkhd))
+    return ftyp + moov
+
+
+def _walk_mp4_boxes(payload: bytes, start: int, end: int):
+    import struct
+
+    i = start
+    while i + 8 <= end:
+        (size,) = struct.unpack(">I", payload[i : i + 4])
+        typ = payload[i + 4 : i + 8]
+        if size < 8 or i + size > end:
+            raise ValueError(f"MP4 box desync at {i}")
+        yield typ, i + 8, i + size
+        i += size
+
+
+def parse_mp4_header(payload: bytes) -> dict:
+    """{width, height, duration_ms} from MP4 box headers (ftyp check,
+    moov/mvhd timescale+duration, trak/tkhd 16.16 dimensions)."""
+    import struct
+
+    boxes = dict()
+    top = list(_walk_mp4_boxes(payload, 0, len(payload)))
+    if not top or top[0][0] != b"ftyp":
+        raise ValueError("not an MP4: first box is not ftyp")
+    out: dict = {}
+    for typ, s, e in top:
+        if typ != b"moov":
+            continue
+        for t2, s2, e2 in _walk_mp4_boxes(payload, s, e):
+            if t2 == b"mvhd":
+                version = payload[s2]
+                if version == 0:
+                    timescale, duration = struct.unpack(">II", payload[s2 + 12 : s2 + 20])
+                else:  # v1: 64-bit times
+                    timescale, duration = struct.unpack(">IQ", payload[s2 + 20 : s2 + 32])
+                out["duration_ms"] = int(duration * 1000 // timescale) if timescale else 0
+            elif t2 == b"trak":
+                for t3, s3, e3 in _walk_mp4_boxes(payload, s2, e2):
+                    if t3 == b"tkhd":
+                        w, h = struct.unpack(">II", payload[e3 - 8 : e3])
+                        out["width"], out["height"] = w >> 16, h >> 16
+    if "duration_ms" not in out or "width" not in out:
+        raise ValueError("MP4 missing mvhd/tkhd")
+    del boxes
+    return out
+
+
+def _image_fields(parser):
+    def run(payload: bytes) -> dict:
+        w, h = parser(payload)
+        return {"width": w, "height": h}
+
+    return run
+
+
+# media_type -> bytes -> partial field dict (width/height/sample_rate/
+# channels/duration_ms). Every entry is a REAL byte-level container
+# parse; extend by registering more types. Codec-requiring work (pixel
+# decode, PCM resample, frame extraction) is what still raises below.
+MEDIA_DECODERS = {
+    "image/png": _image_fields(parse_png_header),
+    "image/jpeg": _image_fields(parse_jpeg_header),
+    "audio/wav": parse_wav_header,
+    "video/mp4": parse_mp4_header,
 }
 
+# back-compat alias (round-2 public name)
+IMAGE_DECODERS = MEDIA_DECODERS
 
-def decode_media(payload: bytes, media_type: str) -> tuple[str, int, int]:
-    """(format, width, height) for supported image containers — REAL
-    byte-level parsing (IMAGE_DECODERS). Audio/video decode requires
-    codec libraries not present in this container and raises; plug a
-    decoder into IMAGE_DECODERS to extend (the dispatch, schema, and
+_META_FIELDS = ("width", "height", "sample_rate", "channels", "duration_ms")
+
+
+def decode_media(payload: bytes, media_type: str) -> dict:
+    """{fmt, width, height, sample_rate, channels, duration_ms} (absent
+    dimensions None) for supported containers — REAL byte-level parsing
+    (MEDIA_DECODERS: PNG, JPEG, WAV/RIFF, MP4 boxes). Formats whose
+    metadata cannot be byte-parsed without codec libraries raise; plug
+    a decoder into MEDIA_DECODERS to extend (the dispatch, schema, and
     Arrow batch shape are the production contract)."""
-    parser = IMAGE_DECODERS.get(media_type)
+    parser = MEDIA_DECODERS.get(media_type)
     if parser is None:
         raise NotImplementedError(
             f"media decode for {media_type!r} requires codec libraries "
             "not present in this environment"
         )
-    w, h = parser(payload)
-    return media_type.split("/", 1)[1], w, h
+    fields = parser(payload)
+    out = {"fmt": media_type.split("/", 1)[1]}
+    for k in _META_FIELDS:
+        out[k] = fields.get(k)
+    return out
 
 
 def fake_decode_meta(payload: bytes) -> tuple[int, str, str, int]:
@@ -195,33 +346,58 @@ def extract_meta(payloads: DataFrame, decoder=fake_decode_meta) -> DataFrame:
     return payloads.select("id", "payload").mapInPandas(gen, schema=META_SCHEMA)
 
 
-IMG_META_SCHEMA = T.StructType(
+MEDIA_META_SCHEMA = T.StructType(
     [
         T.StructField("id", T.LongType()),
         T.StructField("fmt", T.StringType()),
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
         T.StructField("n_bytes", T.LongType()),
     ]
 )
 
+# back-compat alias (round-2 public name; images carried only w/h)
+IMG_META_SCHEMA = MEDIA_META_SCHEMA
+
+
+def _synth_media(i: int) -> tuple[bytes, str]:
+    """Deterministic synthetic media for doc id `i` (the test corpus has
+    no binary column): id%4 cycles PNG / JPEG / WAV / MP4, every
+    parameter pure id arithmetic so the SQL oracle can recompute the
+    expected metadata without parsing anything."""
+    w, h = i % 300 + 1, i % 200 + 1
+    m = i % 4
+    if m == 0:
+        return make_png(w, h), "image/png"
+    if m == 1:
+        return make_jpeg(w, h), "image/jpeg"
+    if m == 2:
+        rate = 8000 + (i % 5) * 8000
+        channels = (i // 4) % 2 + 1
+        return make_wav(rate, channels, i % 100 + 1), "audio/wav"
+    return make_mp4(w, h, i % 5000 + 500), "video/mp4"
+
 
 def with_media_payload(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Attach a REAL image container payload per doc (deterministic:
-    even ids -> PNG, odd -> JPEG; dimensions derived from the id), via
-    one Arrow-batched UDF. This is the synthetic stand-in for a corpus
-    whose binary column holds actual media bytes — the decoder below
-    parses the containers for real."""
+    """Attach a REAL media container payload per doc (deterministic
+    4-way PNG/JPEG/WAV/MP4 mix — `_synth_media`), via one Arrow-batched
+    UDF. This is the synthetic stand-in for a corpus whose binary
+    column holds actual media bytes — the decoder below parses the
+    containers for real."""
 
     @F.pandas_udf(T.BinaryType())
     def _payload(ids: pd.Series) -> pd.Series:
-        def one(i: int) -> bytes:
-            w, h = int(i) % 300 + 1, int(i) % 200 + 1
-            return make_png(w, h) if int(i) % 2 == 0 else make_jpeg(w, h)
+        return ids.map(lambda i: _synth_media(int(i))[0])
 
-        return ids.map(one)
-
-    mt = F.when(F.col(id_col) % 2 == 0, F.lit("image/png")).otherwise(F.lit("image/jpeg"))
+    mt = (
+        F.when(F.col(id_col) % 4 == 0, F.lit("image/png"))
+        .when(F.col(id_col) % 4 == 1, F.lit("image/jpeg"))
+        .when(F.col(id_col) % 4 == 2, F.lit("audio/wav"))
+        .otherwise(F.lit("video/mp4"))
+    )
     return docs.select(
         F.col(id_col).alias("id"),
         _payload(F.col(id_col).cast("long")).alias("payload"),
@@ -229,28 +405,37 @@ def with_media_payload(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
-def decode_image_meta(payloads: DataFrame) -> DataFrame:
-    """(id, payload, media_type) -> (id, fmt, width, height, n_bytes)
-    via mapInPandas — REAL container parsing (decode_media) per payload
-    within an Arrow batch; the production shape for a PIL/ffmpeg decode."""
+def decode_media_meta(payloads: DataFrame) -> DataFrame:
+    """(id, payload, media_type) -> (id, fmt, width, height,
+    sample_rate, channels, duration_ms, n_bytes) via mapInPandas — REAL
+    container parsing (decode_media) per payload within an Arrow batch;
+    the production shape for a PIL/ffmpeg decode. Fields a format does
+    not carry are NULL (images have no sample_rate; WAV no width)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if pdf.empty:
                 continue
-            fmts, ws, hs, nb = [], [], [], []
+            cols: dict[str, list] = {
+                k: [] for k in ("fmt", *_META_FIELDS)
+            }
+            nb = []
             for p, mt in zip(pdf["payload"], pdf["media_type"]):
                 b = bytes(p)
-                fmt, w, h = decode_media(b, str(mt))
-                fmts.append(fmt)
-                ws.append(w)
-                hs.append(h)
+                meta = decode_media(b, str(mt))
+                for k in cols:
+                    cols[k].append(meta[k])
                 nb.append(len(b))
-            yield pd.DataFrame(
-                {"id": pdf["id"].to_numpy(), "fmt": fmts, "width": ws, "height": hs, "n_bytes": nb}
-            )
+            out = {"id": pdf["id"].to_numpy(), **cols, "n_bytes": nb}
+            yield pd.DataFrame(out)
 
-    return payloads.select("id", "payload", "media_type").mapInPandas(gen, schema=IMG_META_SCHEMA)
+    return payloads.select("id", "payload", "media_type").mapInPandas(
+        gen, schema=MEDIA_META_SCHEMA
+    )
+
+
+# back-compat alias (round-2 public name)
+decode_image_meta = decode_media_meta
 
 
 FRAME_SCHEMA = T.StructType(

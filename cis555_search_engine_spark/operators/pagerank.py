@@ -66,7 +66,25 @@ def pagerank(
     # iteration instead of two (the reference's groupByKey adjacency
     # cache, SparkAppMain.java:78-80, without materializing arrays)
     ed = e.join(degrees, "src").select("src", "dst", "deg").cache()
-    ranks = nodes.select("id", F.lit(1.0).alias("rank")).cache()
+    ranks = nodes.select("id", F.lit(1.0).alias("rank"))
+
+    # cache hygiene (round-2 leak: every iteration pinned a new rank
+    # dataset for the life of the session — at 4.5e7 edges × 15 iters
+    # that is the reference's own OOM territory, SURVEY §4): superseded
+    # cached iterations are tracked in `pinned` and released at every
+    # lineage cut; on exit the session keeps exactly ONE persisted
+    # dataset — the returned, checkpoint-backed frame.
+    pinned: list[DataFrame] = []
+    is_ckpt = False
+
+    def finish(result: DataFrame, already_ckpt: bool) -> DataFrame:
+        out = result if already_ckpt else result.localCheckpoint(eager=True)
+        for df in pinned:
+            if df is not out:
+                df.unpersist()
+        nodes.unpersist()
+        ed.unpersist()
+        return out
 
     for i in range(n_iter):
         contribs = (
@@ -79,10 +97,14 @@ def pagerank(
                 "id", (BASE + DAMPING * F.coalesce(F.col("s"), F.lit(0.0))).alias("rank")
             )
         )
-        if (i + 1) % checkpoint_every == 0:
+        is_ckpt = (i + 1) % checkpoint_every == 0 or (i + 1) == n_iter
+        if is_ckpt:
+            # eager checkpoint materializes THROUGH the pinned parents,
+            # so they can be released right after the convergence check
             new_ranks = new_ranks.localCheckpoint(eager=True)
         else:
             new_ranks = new_ranks.cache()
+        converged = False
         if check_every and (i + 1) % check_every == 0:
             moved = (
                 ranks.withColumnRenamed("rank", "r0")
@@ -91,7 +113,16 @@ def pagerank(
                 .count()
             )
             total = nodes.count()
-            if total and moved / total < share_threshold:
-                return new_ranks
+            converged = bool(total) and moved / total < share_threshold
+        if is_ckpt:
+            # the fresh eager checkpoint supersedes EVERYTHING pinned so
+            # far — including any earlier intermediate checkpoint (those
+            # leaked too in round 2, not just the caches)
+            for df in pinned:
+                df.unpersist()
+            pinned.clear()
+        pinned.append(new_ranks)
         ranks = new_ranks
-    return ranks
+        if converged:
+            break
+    return finish(ranks, is_ckpt)

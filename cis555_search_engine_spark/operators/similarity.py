@@ -141,6 +141,7 @@ def cosine_lsh_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 20200553,
+    max_bucket_df: int | None = 1000,
 ) -> DataFrame:
     """(i, j, cos) embedding near-dup pairs via random-hyperplane LSH —
     the SCALE path for `cosine_near_dup_pairs` (which is an exact O(n²)
@@ -156,6 +157,15 @@ def cosine_lsh_pairs(
     recall 1.0 on the gate data (oracle equality vs the exact SQL is
     the proof). At larger n, raise ``band_bits`` ~ log2(n) to keep
     bucket sizes bounded; the verification step is always exact.
+
+    ``max_bucket_df`` caps the size of any one band-bucket: a
+    degenerate band value (e.g. every near-zero vector signs the same
+    way) would otherwise make one bucket O(d²) in the join — the same
+    hazard the hot-shingle cap guards in dedup.ngram_jaccard_pairs.
+    Overflowing buckets are DROPPED from candidate generation (logged,
+    never silent); a true pair loses only that one of its ~n_bands·p^b
+    agreeing buckets, so recall degrades gracefully rather than the job
+    degenerating quadratically.
     """
     first = emb.select(F.size(vec_col).alias("d")).first()
     dim = int(first["d"]) if first is not None else 0
@@ -166,10 +176,32 @@ def cosine_lsh_pairs(
     buckets = sig.select(
         "id", F.posexplode("bands").alias("band", "v")
     ).select("id", F.xxhash64("band", "v").alias("bkey"))
-    # NO per-call .cache() (the round-1 leak pattern): the self-join
-    # re-evaluates the signature subplan, but that is one seeded matmul
-    # per Arrow batch — cheaper than pinning an exploded bucket dataset
-    # in executor storage for the life of the session
+    # stage the (id, bkey) frame ONCE: without this the self-join
+    # evaluates the signature subplan — Arrow matmul + 64-band
+    # posexplode — once PER JOIN SIDE (round-2's slowest query, 10.1s).
+    # localCheckpoint (the mint_doc_ids pattern): eager, lineage-
+    # truncating, released when the frame is GC'd — not a named cache
+    # pinned for the session (the round-1 leak pattern).
+    buckets = buckets.localCheckpoint(eager=True)
+    if max_bucket_df is not None:
+        hot = (
+            buckets.groupBy("bkey")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > max_bucket_df)
+            .select("bkey")
+        )
+        n_hot = hot.count()  # one tiny agg over the staged frame
+        if n_hot:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "cosine_lsh_pairs: dropping %d band-buckets with > %d members "
+                "(degenerate band values; recall may degrade, precision exact)",
+                n_hot, max_bucket_df,
+            )
+            # anti-join is over the STAGED frame both sides — no UDF
+            # re-evaluation; AQE broadcasts the (tiny) hot-key side
+            buckets = buckets.join(hot, "bkey", "left_anti")
     x = buckets.alias("x")
     y = buckets.alias("y")
     cands = (
@@ -326,6 +358,11 @@ def kmeans_quantized(
         )
         acc: dict[int, dict[int, int]] = {}
         for r in sums:
+            if r["cell"] is None:
+                # null/ragged embeddings get cell=NULL from the
+                # assignment UDF: they belong to no centroid and must
+                # not crash the clustering (one bad vector != dead job)
+                continue
             acc.setdefault(int(r["cell"]), {})[int(r["pos"])] = int(r["s"])
         cents = [
             [acc[c][p] for p in range(dim)] if c in acc else cents[c]

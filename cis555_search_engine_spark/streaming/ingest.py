@@ -120,38 +120,37 @@ def streaming_index_maintenance(
     merge, sound stale-bounds pruning). The serving index stays
     queryable and exact throughout.
 
-    Effectively-once per epoch: Spark's streaming checkpoint
-    deduplicates input files; on crash-redelivery of an epoch whose
-    append already committed, the marker recorded in the index metadata
+    EXACTLY-once per epoch: Spark's streaming checkpoint deduplicates
+    input files; on crash-redelivery of an epoch whose append already
+    committed, the marker recorded in the index manifest
     (``applied_epochs``) skips the re-append — the BDB
     checkpoint-every-100-URLs resume of the reference
     (crawler/XPathCrawler.java:430-440) with the bookkeeping in the
     index manifest instead of hand-rolled serialization. Markers are
     ``<checkpoint_dir>:<epoch>`` (epoch ids restart at 0 per checkpoint,
     so a bare epoch id would wrongly skip batches when a NEW stream
-    with a fresh checkpoint maintains the same index) and are committed
-    by append_blocks in the same metadata write as the merged stats —
-    see append_blocks for the one remaining disclosed crash window
-    (segment parquet committed, metadata not yet written).
+    with a fresh checkpoint maintains the same index). The marker, the
+    segment dirs, and the merged stats all ride in append_blocks's ONE
+    atomic manifest commit: a crash at any earlier point leaves only an
+    unlisted orphan directory (swept by vacuum_blocks), so a re-run can
+    neither double-apply nor lose the batch — the round-2
+    "effectively-once" crash window is closed.
     """
-    import json
-
     from ..operators.index_build import build_index
-    from ..operators.postings_codec import append_blocks
+    from ..operators.postings_codec import _read_meta, append_blocks
 
-    meta_path = os.path.join(index_path, "_meta.json")
     ckpt_key = os.path.abspath(checkpoint_dir)
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
         marker = f"{ckpt_key}:{int(epoch_id)}"
-        with open(meta_path) as f:
-            meta = json.load(f)
+        spark = batch_df.sparkSession
+        meta = _read_meta(spark, index_path)
         if marker in meta.get("applied_epochs", []):
             return  # crash-redelivered epoch: append already committed
         idx = build_index(batch_df, doc_key=doc_key, stem=stem, cache=False)
-        append_blocks(batch_df.sparkSession, index_path, idx, applied_marker=marker)
+        append_blocks(spark, index_path, idx, applied_marker=marker)
 
     writer = (
         stream.writeStream.foreachBatch(sink)

