@@ -453,11 +453,11 @@ def q_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("qid", "doc_id", F.round("score", 4).alias("score"))
 
 
-def _sql_bm25_batch(k: int = 10) -> str:
+def _sql_bm25_batch(k: int = 10, queries: dict[str, str] | None = None) -> str:
     from .functions.tokenizer import tokenize_py
 
     vals = []
-    for qid, q in BATCH_QUERIES.items():
+    for qid, q in (queries or BATCH_QUERIES).items():
         for t in dict.fromkeys(tokenize_py(q)):
             vals.append(f"('{qid}', '{t}')")
     values = ",\n         ".join(vals)
@@ -793,13 +793,26 @@ def q_bm25_append_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs over the appended index. The oracle is the full-corpus BM25
     SQL — equality proves the merged global stats and the append path
     are exact."""
+    from .operators.postings_codec import bm25_topk_blocks
+
+    bidx = _ensure_append_store(spark, sf_dir)
+    out = bm25_topk_blocks(bidx, BM25_QUERY, k=80, stem=False)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"), F.round("score", 4).alias("score")
+    )
+
+
+def _ensure_append_store(spark: SparkSession, sf_dir: str):
+    """Build (once per process) the two-segment appended block store:
+    even doc_ids written as the base, odd doc_ids appended. Returns the
+    loaded BlockIndex; the on-disk store (`..._append`) is also the
+    input `q_bm25_compacted` compacts."""
     import os
     import shutil
 
     from .operators.index_build import build_index
     from .operators.postings_codec import (
         append_blocks,
-        bm25_topk_blocks,
         build_blocks,
         load_blocks,
         write_blocks,
@@ -820,10 +833,46 @@ def q_bm25_append_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
         append_blocks(spark, path, b)
         bidx = load_blocks(spark, path)
         _BLOCK_CACHE[key] = bidx
+    return bidx
+
+
+def q_bm25_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSM compaction under the oracle gate: the appended two-segment
+    store is COPIED, compacted (every block re-encoded under the merged
+    stats — tight pruning bounds restored, segment union folded to one
+    layout), and the standard BM25 query served from the compacted
+    store. Same full-corpus SQL oracle as bm25_append_blocks: equality
+    proves compaction changes the physical layout and nothing else
+    (operators/postings_codec.compact_blocks)."""
+    from .operators.postings_codec import bm25_topk_blocks
+
+    bidx = _ensure_compact_store(spark, sf_dir)
     out = bm25_topk_blocks(bidx, BM25_QUERY, k=80, stem=False)
     return out.select(
         F.col("doc_id").cast("long").alias("doc_id"), F.round("score", 4).alias("score")
     )
+
+
+def _ensure_compact_store(spark: SparkSession, sf_dir: str):
+    """Copy the appended two-segment store and compact the copy (once
+    per process) — bench times this as `compact_build`, so
+    `bm25_compacted` measures SERVING from the compacted layout."""
+    import shutil
+
+    from .operators.postings_codec import compact_blocks, load_blocks
+
+    _ensure_append_store(spark, sf_dir)  # materializes the on-disk store
+    src = _block_index_path(sf_dir) + "_append"
+    path = _block_index_path(sf_dir) + "_compact"
+    key = (spark.sparkContext.applicationId, sf_dir, "compact")
+    bidx = _BLOCK_CACHE.get(key)
+    if bidx is None:
+        shutil.rmtree(path, ignore_errors=True)
+        shutil.copytree(src, path)
+        compact_blocks(spark, path)
+        bidx = load_blocks(spark, path)
+        _BLOCK_CACHE[key] = bidx
+    return bidx
 
 
 def q_merge_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1539,6 +1588,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_batch_blocks": q_bm25_batch_blocks,
     "phrase_blocks": q_phrase_blocks,
     "bm25_append_blocks": q_bm25_append_blocks,
+    "bm25_compacted": q_bm25_compacted,
     "merge_stats": q_merge_stats,
     "tfidf_topk": q_tfidf_topk,
     "cosine_topk": q_cosine_topk,
@@ -1588,6 +1638,8 @@ ORACLES: dict[str, str] = {
     "bm25_batch_blocks": SQL_BM25_BATCH,
     "phrase_blocks": SQL_PHRASE_MATCH,
     "bm25_append_blocks": SQL_BM25_TOPK,
+    # compaction must be invisible to results: same full-corpus oracle
+    "bm25_compacted": SQL_BM25_TOPK,
     "merge_stats": SQL_CORPUS_STATS,
     "tfidf_topk": SQL_TFIDF_TOPK,
     "cosine_topk": SQL_COSINE_TOPK,

@@ -30,6 +30,24 @@ DAMPING = 0.85
 BASE = 0.15
 
 
+def _release(df: DataFrame) -> None:
+    """Free a superseded cached OR localCheckpointed frame NOW.
+
+    ``DataFrame.unpersist`` only evicts cacheManager entries (cache/
+    persist); a localCheckpoint's data is an RDD-level persist behind a
+    LogicalRDD leaf that unpersist silently ignores — those blocks
+    otherwise live until the JVM object is GC'd (the round-2 leak's
+    second half). The frame must be DEAD: its blocks are gone after.
+    """
+    df.unpersist()
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            plan.rdd().unpersist(False)
+    except Exception:  # pragma: no cover - py4j surface drift
+        pass
+
+
 def clean_edges(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     """Drop duplicate edges and self-loops (report p.4)."""
     return (
@@ -81,7 +99,7 @@ def pagerank(
         out = result if already_ckpt else result.localCheckpoint(eager=True)
         for df in pinned:
             if df is not out:
-                df.unpersist()
+                _release(df)
         nodes.unpersist()
         ed.unpersist()
         return out
@@ -119,7 +137,7 @@ def pagerank(
             # far — including any earlier intermediate checkpoint (those
             # leaked too in round 2, not just the caches)
             for df in pinned:
-                df.unpersist()
+                _release(df)
             pinned.clear()
         pinned.append(new_ranks)
         ranks = new_ranks

@@ -492,7 +492,13 @@ def _prune_live_blocks(
     theta = float(kth["m"]) if (kth["c"] or 0) >= k else float("-inf")
     if theta == float("-inf"):
         return tblocks, n_total, n_total  # seeds held < k docs: no bar
-    surv = bounds_df.filter(F.col("ub") >= theta)
+    # ub is RE-EVALUATED per job now (bounds_df is not collected once),
+    # and float partial-agg order can drift a ULP between evaluations —
+    # guard the bar by a relative epsilon so an exact ub==θ tie can
+    # never be pruned by drift (BM25 scores are ≥ 0; the guard only
+    # admits a few spurious blocks, never excludes a qualifying one)
+    bar = theta - (abs(theta) * 1e-9 + 1e-12)
+    surv = bounds_df.filter(F.col("ub") >= bar)
     head = surv.select("block_id", "nrows").limit(8193).collect()
     if len(head) <= 8192:
         # literal IN-list fast path (bounded by construction)

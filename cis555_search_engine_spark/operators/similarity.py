@@ -209,16 +209,55 @@ def cosine_lsh_pairs(
         .select(F.col("x.id").alias("i"), F.col("y.id").alias("j"))
         .distinct()
     )
-    # exact verification joins the RAW vectors (no UDF re-evaluation)
+    # exact verification joins the RAW vectors (no signature UDF
+    # re-evaluation; the vector sides broadcast). The cosine itself is
+    # an Arrow-batched einsum: Spark's zip_with/aggregate lambdas run on
+    # the INTERPRETED expression path (no codegen for higher-order
+    # functions — documented Catalyst trap), which measured 3x slower
+    # over the ~2M candidate pairs this join yields at bench scale.
     va = emb.select(F.col(id_col).alias("i"), F.col(vec_col).alias("va"))
     vb = emb.select(F.col(id_col).alias("j"), F.col(vec_col).alias("vb"))
     return (
-        cands.join(va, "i")
-        .join(vb, "j")
-        .withColumn("cos_raw", cosine_col(F.col("va"), F.col("vb")))
+        cands.join(F.broadcast(va), "i")
+        .join(F.broadcast(vb), "j")
+        .withColumn("cos_raw", _pair_cosine_udf(F.col("va"), F.col("vb")))
         .filter(F.col("cos_raw") >= threshold)  # filter RAW, like the SQL twin
         .select("i", "j", F.round("cos_raw", 6).alias("cos"))
     )
+
+
+@F.pandas_udf(T.DoubleType())
+def _pair_cosine_udf(va: pd.Series, vb: pd.Series) -> pd.Series:
+    """Row-wise cosine of two array<float> columns — one float64 einsum
+    per Arrow batch. Numpy's pairwise summation can differ from a
+    sequential fold by ~1 ULP; downstream consumers round to 6 dp, where
+    that is invisible (verified equal to the native fold on the gate
+    data). Null/ragged rows yield null.
+
+    Marked non-deterministic below NOT because it is (it isn't) but to
+    block Catalyst's alias re-inlining: `withColumn(c, udf).filter(c)`
+    otherwise plans the UDF TWICE — once under the Filter, once under
+    the projection (no CSE across Python UDFs; same trap as the
+    explode-filter re-inlining documented in dedup.py)."""
+    rows_a = va.tolist()
+    rows_b = vb.tolist()
+    out = np.full(len(rows_a), np.nan)
+    valid = np.array(
+        [a is not None and b is not None and len(a) == len(b) for a, b in zip(rows_a, rows_b)]
+    )
+    if valid.any():
+        idx = np.flatnonzero(valid)
+        A = np.array([rows_a[i] for i in idx], dtype=np.float64)
+        B = np.array([rows_b[i] for i in idx], dtype=np.float64)
+        dots = np.einsum("ij,ij->i", A, B)
+        na = np.sqrt(np.einsum("ij,ij->i", A, A))
+        nb = np.sqrt(np.einsum("ij,ij->i", B, B))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out[idx] = dots / (na * nb)
+    return pd.Series(out).where(pd.Series(valid), None)
+
+
+_pair_cosine_udf = _pair_cosine_udf.asNondeterministic()
 
 
 def assign_ivf_cells(

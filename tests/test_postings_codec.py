@@ -433,3 +433,57 @@ def test_appended_index_tie_break_matches_longform(spark, tmp_path):
     assert got == want
     # the winners must be the key-smallest 'a' docs, not the docid-smallest 'z' docs
     assert all(c.startswith("a") for c, _ in got[:4]), got
+
+
+def test_batch_topk_tie_at_k_boundary_matches_sql_twin(spark, tmp_path):
+    """VERDICT r2 item 9: a corpus with an EXACT score tie straddling
+    rank k. Four byte-identical docs tie for ranks 1-4 with k=2; the
+    appended store's docid order deliberately disagrees with doc_id
+    order (evens indexed first), so a docid tie-break would pick the
+    WRONG pair — the row_number/doc_key tie-break must match the DuckDB
+    SQL twin on both the key-ordered and the appended layout."""
+    import duckdb
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from cis555_search_engine_spark import entry_queries as EQ
+    from cis555_search_engine_spark.operators import postings_codec as pc
+    from cis555_search_engine_spark.operators.index_build import build_index
+
+    rows = [(i, "alpha beta") for i in (10, 11, 12, 13)]  # exact 4-way tie
+    rows += [(i, "alpha gamma " + " ".join(["pad"] * (i + 1))) for i in range(4)]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    docs = spark.createDataFrame(pdf)
+    queries = {"q1": "alpha beta", "q2": "gamma alpha"}
+    k = 2
+
+    sql = EQ._sql_bm25_batch(k, queries)
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = sorted(con.execute(sql).fetchall())
+    assert {d for q, d, s in want if q == "q1"} == {10, 11}, want  # tie broken on id
+
+    def run(bidx):
+        out = pc.bm25_topk_many_blocks(bidx, queries, k=k, stem=False)
+        return sorted(
+            (r["qid"], int(r["doc_id"]), round(r["score"], 4)) for r in out.collect()
+        )
+
+    full = build_index(docs, doc_key=("doc_id",), text_col="text", stem=False, cache=False)
+    ordered = pc.build_blocks(full, block_span=4)
+    assert run(ordered) == want
+
+    path = str(tmp_path / "tie_store")
+    evens = build_index(docs.filter(F.col("doc_id") % 2 == 0), doc_key=("doc_id",),
+                        text_col="text", stem=False, cache=False)
+    odds = build_index(docs.filter(F.col("doc_id") % 2 == 1), doc_key=("doc_id",),
+                       text_col="text", stem=False, cache=False)
+    pc.write_blocks(pc.build_blocks(evens, block_span=4), path, n_buckets=4)
+    pc.append_blocks(spark, path, odds)
+    appended = pc.load_blocks(spark, path)
+    assert not appended.key_ordered  # docid order != doc_id order here
+    assert run(appended) == want
+    # single-query path under the same tie
+    one = pc.bm25_topk_blocks(appended, "alpha beta", k=k, stem=False)
+    got_one = sorted(int(r["doc_id"]) for r in one.collect())
+    assert got_one == [10, 11]

@@ -210,7 +210,10 @@ def test_cosine_lsh_signature_staged_once(emb_sdf):
     from cis555_search_engine_spark.operators.similarity import cosine_lsh_pairs
 
     plan = cosine_lsh_pairs(emb_sdf, threshold=0.4)._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("ArrowEvalPython") == 0, plan
+    # exactly ONE ArrowEvalPython: the pair-cosine verify UDF. The
+    # signature UDF lives behind the eager localCheckpoint, so it can
+    # never appear (let alone twice, the round-2 double-eval).
+    assert plan.count("ArrowEvalPython") == 1, plan
     assert "BroadcastNestedLoopJoin" not in plan
 
 

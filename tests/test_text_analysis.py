@@ -267,14 +267,23 @@ def test_pagerank_does_not_accumulate_persisted_datasets(spark):
         [(i % 7, (i * 3 + 1) % 7) for i in range(30)], "src long, dst long"
     )
 
-    def n_persistent() -> int:
+    import time
+
+    def n_persistent_settles_to(bound: int) -> int:
+        # DataFrame.unpersist is non-blocking: poll until the async
+        # removals drain (or the deadline proves a real leak)
+        for _ in range(40):
+            n = spark.sparkContext._jsc.getPersistentRDDs().size()
+            if n <= bound:
+                return n
+            time.sleep(0.25)
         return spark.sparkContext._jsc.getPersistentRDDs().size()
 
-    base = n_persistent()
+    base = spark.sparkContext._jsc.getPersistentRDDs().size()
     r1 = pagerank(edges, n_iter=3).collect()
-    after_short = n_persistent()
+    after_short = n_persistent_settles_to(base + 1)
     r2 = pagerank(edges, n_iter=12).collect()
-    after_long = n_persistent()
+    after_long = n_persistent_settles_to(after_short + 1)
     assert len(r1) == len(r2) > 0
     # each call may retain its ONE returned frame, never one per iteration
     assert after_short - base <= 1
