@@ -1127,36 +1127,16 @@ def q_ann_ivf_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell directories (PartitionFilters — plan-asserted in
     tests/test_similarity.py). Same result as `ann_kmeans` (same
     centroids, same final assignment), which is what the shared SQL
-    oracle proves."""
-    from .operators.similarity import (
-        _int_cosine_py,
-        cosine_col,
-        quantized_vec_col,
-    )
+    oracle proves. One code path with the in-memory query: this is
+    `ann_topk_kmeans` handed the persisted `assigned` frame, so probe
+    choice and tie-breaks cannot diverge between the two."""
+    from .operators.similarity import ann_topk_kmeans
 
     data_path, centroids = ensure_ivf_index(spark, sf_dir)
     emb = load(spark, sf_dir, "embeddings")
-    qrow = (
-        emb.filter(F.col("vec_id") == 0)
-        .select(quantized_vec_col(F.col("embedding")).alias("vq"), "embedding")
-        .collect()[0]
-    )
-    qvq = [int(v) for v in qrow["vq"]]
-    ranked = sorted(
-        range(len(centroids)), key=lambda i: (-_int_cosine_py(qvq, centroids[i]), i)
-    )
-    probes = ranked[:3]
-    assigned = spark.read.parquet(data_path)
-    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
-    return (
-        assigned.filter(F.col("cell").isin(probes) & (F.col("vec_id") != 0))
-        .crossJoin(F.broadcast(q))
-        .select(
-            "vec_id",
-            F.round(cosine_col(F.col("embedding"), F.col("qvec")), 6).alias("cos"),
-        )
-        .orderBy(F.desc("cos"), F.asc("vec_id"))
-        .limit(10)
+    return ann_topk_kmeans(
+        emb, query_vec_id=0, k=10, n_probe=3,
+        centroids=centroids, assigned=spark.read.parquet(data_path),
     )
 
 

@@ -140,6 +140,12 @@ def pack_sequences(
     for (b,) in bounds:
         pid = pid + F.when(F.col("id") >= F.lit(b), 1).otherwise(0)
     bucketed = toked.withColumn("_pid", pid.cast("int"))
+    # stage (id, n_tokens, _pid) ONCE (the mint_doc_ids pattern): the
+    # eager totals collect below and every downstream action over the
+    # returned plan would otherwise EACH re-tokenize the whole corpus —
+    # a double-plus full tokenization pass at the scale this path
+    # exists for. The staged frame is 3 narrow columns, distributed.
+    bucketed = bucketed.localCheckpoint(eager=True)
     totals = bucketed.groupBy("_pid").agg(F.sum("n_tokens").alias("t")).collect()
     acc = 0
     offsets = []

@@ -154,6 +154,11 @@ def parse_wav_header(payload: bytes) -> dict:
     while i + 8 <= len(payload):
         cid = payload[i : i + 4]
         (size,) = struct.unpack("<I", payload[i + 4 : i + 8])
+        if size > len(payload) - (i + 8):
+            # declared chunk size overruns the payload: a truncated
+            # container must raise (the ValueError rejection contract),
+            # never silently inflate duration from a phantom data chunk
+            raise ValueError(f"WAV chunk {cid!r} size {size} overruns payload")
         if cid == b"fmt ":
             if size < 16:
                 raise ValueError("WAV fmt chunk too short")
@@ -227,7 +232,6 @@ def parse_mp4_header(payload: bytes) -> dict:
     moov/mvhd timescale+duration, trak/tkhd 16.16 dimensions)."""
     import struct
 
-    boxes = dict()
     top = list(_walk_mp4_boxes(payload, 0, len(payload)))
     if not top or top[0][0] != b"ftyp":
         raise ValueError("not an MP4: first box is not ftyp")
@@ -250,7 +254,6 @@ def parse_mp4_header(payload: bytes) -> dict:
                         out["width"], out["height"] = w >> 16, h >> 16
     if "duration_ms" not in out or "width" not in out:
         raise ValueError("MP4 missing mvhd/tkhd")
-    del boxes
     return out
 
 
@@ -273,7 +276,11 @@ MEDIA_DECODERS = {
     "video/mp4": parse_mp4_header,
 }
 
-# back-compat alias (round-2 public name)
+# Alias kept for the round-2 public name. NOTE the registry contract
+# WIDENED in round 3: a registered decoder may return either a partial
+# field dict (the current contract) or the round-2 (width, height)
+# tuple — decode_media normalizes both, so decoders registered under
+# the old image-only contract keep working.
 IMAGE_DECODERS = MEDIA_DECODERS
 
 _META_FIELDS = ("width", "height", "sample_rate", "channels", "duration_ms")
@@ -285,7 +292,8 @@ def decode_media(payload: bytes, media_type: str) -> dict:
     (MEDIA_DECODERS: PNG, JPEG, WAV/RIFF, MP4 boxes). Formats whose
     metadata cannot be byte-parsed without codec libraries raise; plug
     a decoder into MEDIA_DECODERS to extend (the dispatch, schema, and
-    Arrow batch shape are the production contract)."""
+    Arrow batch shape are the production contract). Decoders may return
+    a partial field dict or the legacy (width, height) tuple."""
     parser = MEDIA_DECODERS.get(media_type)
     if parser is None:
         raise NotImplementedError(
@@ -293,6 +301,8 @@ def decode_media(payload: bytes, media_type: str) -> dict:
             "not present in this environment"
         )
     fields = parser(payload)
+    if isinstance(fields, (tuple, list)):  # round-2 bytes->(w,h) contract
+        fields = {"width": fields[0], "height": fields[1]}
     out = {"fmt": media_type.split("/", 1)[1]}
     for k in _META_FIELDS:
         out[k] = fields.get(k)

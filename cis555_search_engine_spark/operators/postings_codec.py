@@ -456,6 +456,14 @@ def _prune_live_blocks(
         F.sum("df_block").alias("nd"),
         F.count(F.lit(1)).alias("nrows"),
     )
+    # stage the bounds ONCE (mint_doc_ids pattern — eager, lineage-
+    # truncating, released when the frame is GC'd): the totals agg, the
+    # seed ranking, the survivor head, and the wide-path semi-join +
+    # count below would otherwise EACH rescan the query terms' blocks
+    # (3-5 scans per query on the hot serving path). Bounds rows are
+    # one per (query-term reachable) block — distributed, never
+    # collected unbounded.
+    bounds_df = bounds_df.localCheckpoint(eager=True)
     tot = bounds_df.agg(
         F.count(F.lit(1)).alias("nb"),
         F.sum("nd").alias("np"),
@@ -492,11 +500,11 @@ def _prune_live_blocks(
     theta = float(kth["m"]) if (kth["c"] or 0) >= k else float("-inf")
     if theta == float("-inf"):
         return tblocks, n_total, n_total  # seeds held < k docs: no bar
-    # ub is RE-EVALUATED per job now (bounds_df is not collected once),
-    # and float partial-agg order can drift a ULP between evaluations —
-    # guard the bar by a relative epsilon so an exact ub==θ tie can
-    # never be pruned by drift (BM25 scores are ≥ 0; the guard only
-    # admits a few spurious blocks, never excludes a qualifying one)
+    # ub comes from the checkpointed bounds (computed once), but θ comes
+    # from a separate float partial-agg whose order can drift a ULP from
+    # the bound computation — guard the bar by a relative epsilon so an
+    # exact ub==θ tie can never be pruned by drift (BM25 scores are ≥ 0;
+    # the guard only admits a few spurious blocks, never excludes one)
     bar = theta - (abs(theta) * 1e-9 + 1e-12)
     surv = bounds_df.filter(F.col("ub") >= bar)
     head = surv.select("block_id", "nrows").limit(8193).collect()
@@ -686,8 +694,10 @@ def _manifest_dirs(meta: dict) -> list[str]:
 
 def vacuum_blocks(spark, path: str) -> None:
     """Delete every child of the store not named by the current manifest
-    — orphans from crashed writes or superseded by compaction. Safe
-    after any commit under the store's single-writer discipline."""
+    — orphans from crashed writes (data dirs AND `_meta.json.tmp-*`
+    manifest temps) or superseded by append/compaction. Safe after any
+    commit under the store's single-writer discipline: vacuum runs in
+    the writer, so no in-flight commit's temp can exist concurrently."""
     from .. import fsio
 
     meta = _read_meta(spark, path)
@@ -698,12 +708,16 @@ def vacuum_blocks(spark, path: str) -> None:
         # a migrated legacy store serves its original root-level dirs
         keep |= {"blocks", "docid_map"}
     for child in fsio.list_children(spark, path):
-        if child not in keep and not child.startswith("_meta.json.tmp"):
+        if child not in keep:
             fsio.delete(spark, f"{path}/{child}")
 
 
 def write_blocks(
-    bidx: BlockIndex, path: str, n_buckets: int = 64, extra_meta: dict | None = None
+    bidx: BlockIndex,
+    path: str,
+    n_buckets: int = 64,
+    extra_meta: dict | None = None,
+    vacuum: bool = True,
 ) -> None:
     """Persist the block index partitioned by term-crc32 bucket.
 
@@ -717,7 +731,10 @@ def write_blocks(
     segment dir + stats dir, then ONE atomic manifest commit
     (`_commit_meta`) makes them live — a rebuild over an existing store
     can never tear it, and readers of the old manifest keep a complete
-    old layout until `vacuum_blocks`.
+    old layout until a vacuum. NOTE: by default this function vacuums
+    immediately after its commit (the single-writer, no-concurrent-
+    reader case); pass ``vacuum=False`` when old-manifest readers may
+    be in flight and run `vacuum_blocks` after a grace period.
     """
     from .. import fsio
 
@@ -751,7 +768,8 @@ def write_blocks(
     }
     meta.update(extra_meta or {})
     _commit_meta(spark, path, meta)
-    vacuum_blocks(spark, path)
+    if vacuum:
+        vacuum_blocks(spark, path)
 
 
 def append_blocks(
@@ -858,12 +876,15 @@ def append_blocks(
     if applied_marker is not None:
         meta.setdefault("applied_epochs", []).append(applied_marker)
     _commit_meta(spark, path, meta)  # the ONE atomic commit
-    # post-commit housekeeping only: superseded stats + any orphans
-    if old_stats_dir:
-        fsio.delete(spark, old_stats_path)
+    # NO post-commit deletes here: a reader that loaded the OLD manifest
+    # keeps a complete layout (including the superseded stats dir) until
+    # an explicit vacuum_blocks / compact_blocks — eager deletion would
+    # FileNotFound an in-flight query's lazy corpus_stats frame. The
+    # superseded stats dirs (one per append epoch) are unlisted by the
+    # new manifest, so the next vacuum sweeps them.
 
 
-def compact_blocks(spark, path: str) -> None:
+def compact_blocks(spark, path: str, vacuum: bool = True) -> None:
     """Compact an appended block index: decode every block, re-encode
     under the CURRENT merged stats, swap the layout atomically.
 
@@ -880,7 +901,9 @@ def compact_blocks(spark, path: str) -> None:
     The LSM shape: append = cheap level-0 segments, compact = the
     periodic merge; both keep the index exact at every point. The
     rewritten layout goes live via ONE atomic manifest commit (old
-    segments keep serving until it), then `vacuum_blocks` sweeps them.
+    segments keep serving until it), then `vacuum_blocks` sweeps them —
+    immediately by default; pass ``vacuum=False`` when old-manifest
+    readers may be in flight and vacuum after a grace period.
     """
     from .. import fsio
 
@@ -920,7 +943,8 @@ def compact_blocks(spark, path: str) -> None:
         }
     )
     _commit_meta(spark, path, meta)
-    vacuum_blocks(spark, path)
+    if vacuum:
+        vacuum_blocks(spark, path)
 
 
 def load_blocks(spark, path: str) -> "BlockIndex":

@@ -383,10 +383,17 @@ def kmeans_quantized(
     """
     base = emb.select(
         F.col(id_col).alias("id"), quantized_vec_col(F.col(vec_col), scale).alias("vq")
+    ).filter(F.col("vq").isNotNull())
+    # dim = the first (lowest-id) valid vector's length; ragged rows are
+    # excluded from BOTH seeding and (via the assignment UDF's per-row
+    # validity mask) clustering — a null/ragged embedding at a low id
+    # must not crash the seed collect ('one bad vector != dead job')
+    probe = base.orderBy(F.asc("id")).limit(1).collect()
+    dim = len(probe[0]["vq"]) if probe else 0
+    init = (
+        base.filter(F.size("vq") == dim).orderBy(F.asc("id")).limit(k).collect()
     )
-    init = base.orderBy(F.asc("id")).limit(k).collect()
     cents = [list(r["vq"]) for r in init]
-    dim = len(cents[0]) if cents else 0
     for _ in range(n_iter):
         cell = _assign_cells_udf(cents)(F.col("vq"))
         sums = (
@@ -420,19 +427,26 @@ def ann_topk_kmeans(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: list[list[int]] | None = None,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """IVF ANN with REAL k-means centroids (vs `ann_topk_ivf`'s seed
     vectors): probe the `n_probe` cells nearest the query, exact-cosine
     only those cells' members. Probe choice runs on the driver against
-    the literal centroids (exact integer arithmetic — zero Spark jobs);
-    at scale `assigned` is persisted partitioned by `cell` so the probe
-    filter becomes directory-level partition pruning (see write_ivf).
+    the literal centroids (exact integer arithmetic — zero Spark jobs).
+
+    Pass ``assigned`` (a frame already carrying the `cell` column, e.g.
+    the cell-partitioned parquet written by `write_ivf`) to SERVE from a
+    persisted layout: the probe filter then becomes directory-level
+    partition pruning on the scan. This is the one code path for both
+    the in-memory query and the served query (entry_queries
+    q_ann_ivf_served) — probe choice and tie-breaks cannot diverge.
     """
     if centroids is None:
         centroids = kmeans_quantized(emb, n_centroids, n_iter, id_col, vec_col)
-    assigned = emb.withColumn(
-        "cell", _assign_cells_udf(centroids)(quantized_vec_col(F.col(vec_col)))
-    )
+    if assigned is None:
+        assigned = emb.withColumn(
+            "cell", _assign_cells_udf(centroids)(quantized_vec_col(F.col(vec_col)))
+        )
     qrow = (
         emb.filter(F.col(id_col) == query_vec_id)
         .select(quantized_vec_col(F.col(vec_col)).alias("vq"))

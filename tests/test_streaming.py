@@ -262,6 +262,68 @@ def test_streaming_block_index_maintenance(spark, corpus_pdf, corpus_sdf, spark_
     assert load_blocks(spark, path).n_docs == full.n_docs
 
 
+def test_append_keeps_old_layout_for_inflight_readers_until_vacuum(
+    spark, corpus_sdf, tmp_path
+):
+    """Round-3 review: a reader holding the OLD manifest's BlockIndex
+    must keep a complete layout across an append — the superseded stats
+    dir is swept only by an explicit vacuum, never eagerly at commit
+    (eager deletion FileNotFound'd the old reader's lazy corpus_stats
+    frame on its next action)."""
+    from pyspark.sql import functions as F
+
+    from cis555_search_engine_spark.operators import postings_codec as pc
+    from cis555_search_engine_spark.operators.index_build import build_index
+
+    half_a = corpus_sdf.filter(F.crc32(F.col("conv_id")) % 2 == 0)
+    half_b = corpus_sdf.filter(F.crc32(F.col("conv_id")) % 2 == 1)
+    path = str(tmp_path / "store")
+    pc.write_blocks(pc.build_blocks(build_index(half_a, cache=False), block_span=64),
+                    path, n_buckets=8)
+
+    old_reader = pc.load_blocks(spark, path)
+    want = [(r["conv_id"], r["turn_idx"], round(r["score"], 9))
+            for r in pc.bm25_topk_blocks(old_reader, "rice noodle", k=10).collect()]
+
+    pc.append_blocks(spark, path, build_index(half_b, cache=False))
+
+    # the OLD reader re-executes its (lazy) plans against the old stats
+    # dir AFTER the append committed — must still answer identically
+    got = [(r["conv_id"], r["turn_idx"], round(r["score"], 9))
+           for r in pc.bm25_topk_blocks(old_reader, "rice noodle", k=10).collect()]
+    assert got == want
+
+    # vacuum sweeps the superseded stats dir; the NEW manifest's reader
+    # is complete, and the old stats dir is gone
+    meta_now = pc._read_meta(spark, path)
+    pc.vacuum_blocks(spark, path)
+    children = set(os.listdir(path))
+    assert meta_now["stats_dir"] in children
+    superseded = [c for c in children
+                  if c.startswith("stats") and c != meta_now["stats_dir"]]
+    assert not superseded
+    assert pc.load_blocks(spark, path).n_docs == meta_now["n_docs"]
+
+
+def test_vacuum_sweeps_tmp_manifest_orphans(spark, corpus_sdf, tmp_path):
+    """Round-3 review: `_meta.json.tmp-*` files orphaned by a crash
+    between create and rename must be vacuumed (single-writer store —
+    no in-flight commit can exist while vacuum runs)."""
+    from cis555_search_engine_spark.operators import postings_codec as pc
+    from cis555_search_engine_spark.operators.index_build import build_index
+
+    path = str(tmp_path / "store")
+    pc.write_blocks(pc.build_blocks(build_index(corpus_sdf, cache=False), block_span=64),
+                    path, n_buckets=8)
+    orphan = os.path.join(path, "_meta.json.tmp-deadbeef")
+    with open(orphan, "w") as f:
+        f.write("{}")
+    pc.vacuum_blocks(spark, path)
+    assert not os.path.exists(orphan)
+    assert os.path.exists(os.path.join(path, "_meta.json"))
+    assert pc.load_blocks(spark, path).n_docs > 0
+
+
 def test_append_crash_before_manifest_commit_exactly_once(spark, corpus_sdf, tmp_path):
     """VERDICT/ADVICE r2: a crash BETWEEN segment-data commit and the
     metadata write used to re-append the same docs at the same docid

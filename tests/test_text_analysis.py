@@ -166,6 +166,42 @@ def test_decode_media_all_formats_real_byte_parses():
         decode_media(b"\x00" * 16, "audio/mpeg")  # codec-requiring format
 
 
+def test_decode_media_truncated_wav_raises_value_error():
+    """A truncated container must raise ValueError (the rejection
+    contract) — not struct.error — and a data chunk whose declared size
+    overruns the payload must error rather than inflate duration."""
+    from cis555_search_engine_spark.operators.multimodal import decode_media, make_wav
+
+    wav = make_wav(8000, 1, 100)
+    with pytest.raises(ValueError):
+        decode_media(wav[:24], "audio/wav")  # cut inside the fmt chunk
+    # corrupt the data chunk's declared size to 10x the real bytes
+    import struct
+
+    di = wav.find(b"data")
+    (real,) = struct.unpack("<I", wav[di + 4 : di + 8])
+    bad = wav[: di + 4] + struct.pack("<I", real * 10) + wav[di + 8 :]
+    with pytest.raises(ValueError):
+        decode_media(bad, "audio/wav")
+
+
+def test_media_decoder_registry_accepts_legacy_tuple_contract():
+    """A decoder registered under the round-2 bytes->(w,h) contract
+    still works: decode_media normalizes tuple returns."""
+    from cis555_search_engine_spark.operators.multimodal import (
+        MEDIA_DECODERS,
+        decode_media,
+    )
+
+    MEDIA_DECODERS["image/x-legacy"] = lambda payload: (12, 34)
+    try:
+        out = decode_media(b"whatever", "image/x-legacy")
+        assert (out["fmt"], out["width"], out["height"]) == ("x-legacy", 12, 34)
+        assert out["duration_ms"] is None
+    finally:
+        del MEDIA_DECODERS["image/x-legacy"]
+
+
 def test_decode_media_meta_spark(spark, docs_sdf):
     """End-to-end Spark decode: payload gen UDF -> mapInPandas parse of
     the 4-way PNG/JPEG/WAV/MP4 mix."""
