@@ -20,6 +20,12 @@ per-group write maps to ``overwritePartitions()``.
 Every stage appends a lineage record to ``<out>/_lineage.jsonl``:
 (stage, group, rows, n_docs, wall_s, status, fingerprint) — the north
 rule's "lineage and throughput metrics logged per stage".
+
+Manifests and lineage go through the Hadoop FileSystem API (`fsio`),
+like the block-store manifest: the checkpoint state lives wherever the
+data does (HDFS / object storage), not only on the driver's local disk,
+and manifest writes are ATOMIC — a crash mid-write can never leave a
+torn JSON that breaks the resume scan.
 """
 
 from __future__ import annotations
@@ -43,14 +49,21 @@ from .index_build import (
 
 
 def _manifest_path(out_dir: str, group: int) -> str:
-    return os.path.join(out_dir, "_manifests", f"group_{group:05d}.json")
+    # "/"-joined (not os.path.join) so hdfs://... / s3a://... URIs work
+    return f"{out_dir}/_manifests/group_{group:05d}.json"
 
 
-def _lineage_append(out_dir: str, record: dict) -> None:
-    os.makedirs(out_dir, exist_ok=True)
+def _lineage_append(spark: SparkSession, out_dir: str, record: dict) -> None:
+    """Append one lineage record via read + atomic rewrite: `file://`
+    (ChecksumFileSystem) does not support fs.append(), and the log is
+    one small JSON line per group — O(groups²) bytes re-written total,
+    trivial against the group builds themselves."""
+    from .. import fsio
+
     record = dict(record, ts=time.time())
-    with open(os.path.join(out_dir, "_lineage.jsonl"), "a") as f:
-        f.write(json.dumps(record) + "\n")
+    path = f"{out_dir}/_lineage.jsonl"
+    prev = fsio.read_text(spark, path) if fsio.exists(spark, path) else ""
+    fsio.write_text_atomic(spark, path, prev + json.dumps(record) + "\n")
 
 
 def _group_col(n_groups: int, conv_col: str = "conv_id"):
@@ -92,7 +105,9 @@ def checkpointed_postings_build(
     Idempotent: re-running skips validated groups. Returns per-group
     results (also appended to the lineage log).
     """
-    os.makedirs(os.path.join(out_dir, "_manifests"), exist_ok=True)
+    from .. import fsio
+
+    spark = corpus.sparkSession
     gcol = _group_col(n_groups)
     results: list[GroupResult] = []
 
@@ -102,14 +117,16 @@ def checkpointed_postings_build(
         corpus_g = corpus.filter(gcol == g)
         fp = _fingerprint(corpus_g, doc_key)
 
-        if os.path.exists(mpath):
-            with open(mpath) as f:
-                m = json.load(f)
+        if fsio.exists(spark, mpath):
+            try:
+                m = json.loads(fsio.read_text(spark, mpath))
+            except ValueError:
+                m = {}  # torn legacy manifest (pre-atomic-write): rebuild
             if m.get("fingerprint") == fp and m.get("status") == "ok":
                 res = GroupResult(g, "skipped", int(m.get("posting_rows", 0)), 0.0)
                 results.append(res)
                 _lineage_append(
-                    out_dir,
+                    spark, out_dir,
                     {"stage": "postings", "group": g, "status": "skipped",
                      "rows": res.rows, "wall_s": 0.0, "fingerprint": fp},
                 )
@@ -118,19 +135,20 @@ def checkpointed_postings_build(
         postings_g = build_postings_long(
             corpus_g, doc_key, text_col, stem=stem, with_positions=with_positions
         )
-        gpath = os.path.join(out_dir, "postings_long", f"group={g}")
+        gpath = f"{out_dir}/postings_long/group={g}"
         postings_g.write.mode("overwrite").parquet(gpath)
-        n_rows = corpus_g.sparkSession.read.parquet(gpath).count()
+        n_rows = spark.read.parquet(gpath).count()
         wall = time.perf_counter() - t0
-        with open(mpath, "w") as f:
-            json.dump(
+        fsio.write_text_atomic(
+            spark, mpath,
+            json.dumps(
                 {"group": g, "status": "ok", "posting_rows": n_rows,
-                 "fingerprint": fp, "wall_s": round(wall, 3)},
-                f,
-            )
+                 "fingerprint": fp, "wall_s": round(wall, 3)}
+            ),
+        )
         results.append(GroupResult(g, "built", n_rows, wall))
         _lineage_append(
-            out_dir,
+            spark, out_dir,
             {"stage": "postings", "group": g, "status": "built",
              "rows": n_rows, "wall_s": round(wall, 3),
              "rows_per_sec": round(n_rows / wall, 1) if wall else None,
@@ -156,7 +174,7 @@ def finalize_index(
     t0 = time.perf_counter()
     # accepts both the batch checkpoint layout (group=N) and the
     # streaming ingest layout (epoch=N) — drop() ignores absent columns
-    postings = spark.read.parquet(os.path.join(out_dir, "postings_long")).drop(
+    postings = spark.read.parquet(f"{out_dir}/postings_long").drop(
         "group", "epoch"
     )
     stats = doc_stats(postings, doc_key).cache()
@@ -168,10 +186,10 @@ def finalize_index(
     n_postings = postings.count()
     cstats = corpus_stats(postings, n_docs, n_postings).cache()
     if write_stats:
-        stats.write.mode("overwrite").parquet(os.path.join(out_dir, "doc_stats"))
-        cstats.write.mode("overwrite").parquet(os.path.join(out_dir, "corpus_stats"))
+        stats.write.mode("overwrite").parquet(f"{out_dir}/doc_stats")
+        cstats.write.mode("overwrite").parquet(f"{out_dir}/corpus_stats")
     _lineage_append(
-        out_dir,
+        spark, out_dir,
         {"stage": "finalize", "group": None, "status": "built",
          "rows": n_postings, "n_docs": n_docs,
          "wall_s": round(time.perf_counter() - t0, 3)},
@@ -187,9 +205,21 @@ def finalize_index(
     )
 
 
-def read_lineage(out_dir: str) -> list[dict]:
-    path = os.path.join(out_dir, "_lineage.jsonl")
-    if not os.path.exists(path):
-        return []
-    with open(path) as f:
-        return [json.loads(line) for line in f if line.strip()]
+def read_lineage(out_dir: str, spark: SparkSession | None = None) -> list[dict]:
+    """Lineage records of a checkpointed build dir. Uses the active
+    Spark session's Hadoop FS when available (so hdfs://... lineage is
+    readable); falls back to local file IO for sessionless callers."""
+    path = f"{out_dir}/_lineage.jsonl"
+    spark = spark or SparkSession.getActiveSession()
+    if spark is not None:
+        from .. import fsio
+
+        if not fsio.exists(spark, path):
+            return []
+        text = fsio.read_text(spark, path)
+    else:
+        if not os.path.exists(path):
+            return []
+        with open(path) as f:
+            text = f.read()
+    return [json.loads(line) for line in text.splitlines() if line.strip()]

@@ -54,6 +54,12 @@ def test_stale_manifest_fingerprint_triggers_rebuild(corpus_sdf, out_dir):
     m["fingerprint"]["rows"] += 1  # pretend the input changed
     with open(mpath, "w") as f:
         json.dump(m, f)
+    # manifests are written via the Hadoop FS (ChecksumFileSystem on
+    # file://); hand-editing the file behind its back invalidates the
+    # .crc sidecar, so drop it (production never hand-edits manifests)
+    crc = os.path.join(out_dir, "_manifests", ".group_00001.json.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
     r2 = _build(corpus_sdf, out_dir)
     statuses = {g.group: g.status for g in r2}
     assert statuses[1] == "built"

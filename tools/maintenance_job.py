@@ -11,7 +11,13 @@ Without ``--continuous`` the job drains whatever has arrived
 (trigger availableNow) and exits — the cron-style maintenance tick.
 ``--bootstrap`` builds the initial store from a corpus file when the
 index directory does not exist yet. ``--compact`` runs the LSM-style
-merge after draining (restores tight pruning bounds).
+merge after draining (restores tight pruning bounds). The tick ends
+with a manifest-scoped vacuum (sweeps superseded stats dirs from the
+drained epochs + any crash orphans); pass ``--no-vacuum`` to defer it
+when old-manifest readers may still be in flight (grace period).
+
+Store metadata goes through the Hadoop FileSystem API, so ``--index``
+may be an hdfs:// or object-store path, like the store itself.
 
 Prints ONE JSON line: docs before/after, epochs applied, wall time.
 """
@@ -36,6 +42,8 @@ def main() -> None:
     ap.add_argument("--max-files-per-trigger", type=int, default=1)
     ap.add_argument("--continuous", action="store_true")
     ap.add_argument("--compact", action="store_true")
+    ap.add_argument("--no-vacuum", action="store_true",
+                    help="defer the post-drain vacuum (in-flight readers)")
     ap.add_argument("--block-span", type=int, default=4096)
     ap.add_argument("--n-buckets", type=int, default=64)
     args = ap.parse_args()
@@ -51,11 +59,14 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    from cis555_search_engine_spark import fsio
     from cis555_search_engine_spark.operators.index_build import build_index
     from cis555_search_engine_spark.operators.postings_codec import (
+        _read_meta,
         build_blocks,
         compact_blocks,
         load_blocks,
+        vacuum_blocks,
         write_blocks,
     )
     from cis555_search_engine_spark.streaming.ingest import (
@@ -64,15 +75,13 @@ def main() -> None:
     )
 
     t0 = time.perf_counter()
-    meta_path = os.path.join(args.index, "_meta.json")
-    if not os.path.exists(meta_path):
+    if not fsio.exists(spark, f"{args.index}/_meta.json"):
         if not args.bootstrap:
             raise SystemExit(f"no index at {args.index}; pass --bootstrap <corpus.parquet>")
         corpus = spark.read.parquet(args.bootstrap)
         bidx = build_blocks(build_index(corpus, cache=False), block_span=args.block_span)
         write_blocks(bidx, args.index, n_buckets=args.n_buckets)
-    with open(meta_path) as f:
-        n_before = json.load(f)["n_docs"]
+    n_before = _read_meta(spark, args.index)["n_docs"]
 
     stream = read_transcript_stream(spark, args.arrivals, args.max_files_per_trigger)
     q = streaming_index_maintenance(
@@ -83,10 +92,12 @@ def main() -> None:
     else:
         q.awaitTermination(3600)
     if args.compact:
-        compact_blocks(spark, args.index)
+        compact_blocks(spark, args.index, vacuum=not args.no_vacuum)
+    elif not args.no_vacuum:
+        # sweep the drained epochs' superseded stats dirs + crash orphans
+        vacuum_blocks(spark, args.index)
 
-    with open(meta_path) as f:
-        meta = json.load(f)
+    meta = _read_meta(spark, args.index)
     bidx = load_blocks(spark, args.index)
     print(json.dumps({
         "n_docs_before": n_before,
