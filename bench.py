@@ -212,6 +212,25 @@ def main() -> None:
     timings["blocks_build"] = round(time.perf_counter() - t0, 3)
     _time_queries(spark, sf_dir, BLOCK_TIER, fns, timings)
 
+    # ---- rank-identical top-k match rate (the north metric's second
+    # half, measured not asserted): the 20-query log scored by the
+    # long-postings ranker vs the persisted compressed-block path must
+    # agree per query on the ranked docid list AND the (4dp) scores.
+    def _ranked(df):
+        per_q: dict[str, list] = {}
+        for r in df.collect():
+            per_q.setdefault(r["qid"], []).append((r["doc_id"], r["score"]))
+        return {q: sorted(v, key=lambda t: (-t[1], t[0])) for q, v in per_q.items()}
+
+    long_r = _ranked(fns["bm25_batch"](spark, sf_dir))
+    blk_r = _ranked(fns["bm25_batch_blocks"](spark, sf_dir))
+    qids = sorted(set(long_r) | set(blk_r))
+    match_rate = (
+        sum(1 for q in qids if long_r.get(q) == blk_r.get(q)) / len(qids)
+        if qids else None
+    )
+    print(f"# bm25_match_rate: {match_rate} over {len(qids)} queries", file=sys.stderr)
+
     # ---- section D: maintenance (append / compact / stream / IVF) -------
     t0 = time.perf_counter()
     EQ._ensure_append_store(spark, sf_dir)
@@ -237,6 +256,7 @@ def main() -> None:
         "index_docs": idx.n_docs,
         "index_postings": n_post,
         "docs_per_sec": round(idx.n_docs / build_s, 1) if build_s else None,
+        "bm25_match_rate": match_rate,
     }
     print(json.dumps(out))
 
