@@ -155,10 +155,18 @@ def parse_wav_header(payload: bytes) -> dict:
         cid = payload[i : i + 4]
         (size,) = struct.unpack("<I", payload[i + 4 : i + 8])
         if size > len(payload) - (i + 8):
-            # declared chunk size overruns the payload: a truncated
-            # container must raise (the ValueError rejection contract),
-            # never silently inflate duration from a phantom data chunk
-            raise ValueError(f"WAV chunk {cid!r} size {size} overruns payload")
+            # declared chunk size overruns the payload: for fmt/data
+            # (the chunks we parse) or while either is still missing,
+            # a truncated container must raise (the ValueError
+            # rejection contract — never silently inflate duration
+            # from a phantom data chunk). A truncated TRAILING
+            # metadata chunk (LIST/INFO junk from sloppy taggers)
+            # after fmt+data parsed cleanly is tolerated: stop walking.
+            if cid in (b"fmt ", b"data") or fmt is None or data_size is None:
+                raise ValueError(
+                    f"WAV chunk {cid!r} size {size} overruns payload"
+                )
+            break
         if cid == b"fmt ":
             if size < 16:
                 raise ValueError("WAV fmt chunk too short")
@@ -302,6 +310,11 @@ def decode_media(payload: bytes, media_type: str) -> dict:
         )
     fields = parser(payload)
     if isinstance(fields, (tuple, list)):  # round-2 bytes->(w,h) contract
+        if len(fields) != 2:
+            raise ValueError(
+                f"legacy decoder for {media_type!r} returned a "
+                f"{len(fields)}-tuple; the (width, height) contract needs 2"
+            )
         fields = {"width": fields[0], "height": fields[1]}
     out = {"fmt": media_type.split("/", 1)[1]}
     for k in _META_FIELDS:

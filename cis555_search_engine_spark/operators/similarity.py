@@ -384,12 +384,21 @@ def kmeans_quantized(
     base = emb.select(
         F.col(id_col).alias("id"), quantized_vec_col(F.col(vec_col), scale).alias("vq")
     ).filter(F.col("vq").isNotNull())
-    # dim = the first (lowest-id) valid vector's length; ragged rows are
-    # excluded from BOTH seeding and (via the assignment UDF's per-row
-    # validity mask) clustering — a null/ragged embedding at a low id
-    # must not crash the seed collect ('one bad vector != dead job')
-    probe = base.orderBy(F.asc("id")).limit(1).collect()
-    dim = len(probe[0]["vq"]) if probe else 0
+    # dim = the MODAL vector length (tie -> smaller), via one tiny agg;
+    # rows of any other length are excluded from BOTH seeding and (via
+    # the assignment UDF's per-row validity mask) clustering. Deriving
+    # dim from the single lowest-id row instead would let one ragged
+    # vector at a low id silently poison the whole clustering (every
+    # real vector masked invalid -> cell NULL) — the majority dimension
+    # cannot be hijacked by a corrupt minority.
+    drow = (
+        base.groupBy(F.size("vq").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("d"))
+        .limit(1)
+        .collect()
+    )
+    dim = int(drow[0]["d"]) if drow else 0
     init = (
         base.filter(F.size("vq") == dim).orderBy(F.asc("id")).limit(k).collect()
     )

@@ -112,6 +112,7 @@ def streaming_index_maintenance(
     doc_key: Sequence[str] = DOC_KEY,
     stem: bool = True,
     available_now: bool = True,
+    vacuum_every: int | None = 16,
 ):
     """Continuously maintain a PERSISTED block index from a transcript
     stream: each micro-batch is indexed with the batch operators and
@@ -135,9 +136,18 @@ def streaming_index_maintenance(
     unlisted orphan directory (swept by vacuum_blocks), so a re-run can
     neither double-apply nor lose the batch — the round-2
     "effectively-once" crash window is closed.
+
+    Each append leaves the superseded stats dir on disk (readers of the
+    old manifest stay whole); ``vacuum_every`` bounds the accumulation
+    for LONG-RUNNING streams by vacuuming from inside the sink every N
+    epochs — the sink IS the store's single writer (epochs serialize),
+    so the sweep cannot race a commit. Readers holding a manifest more
+    than N epochs old may lose their stats dir (the disclosed grace
+    window); pass ``vacuum_every=None`` to defer entirely to external
+    maintenance ticks.
     """
     from ..operators.index_build import build_index
-    from ..operators.postings_codec import _read_meta, append_blocks
+    from ..operators.postings_codec import _read_meta, append_blocks, vacuum_blocks
 
     ckpt_key = os.path.abspath(checkpoint_dir)
 
@@ -151,6 +161,8 @@ def streaming_index_maintenance(
             return  # crash-redelivered epoch: append already committed
         idx = build_index(batch_df, doc_key=doc_key, stem=stem, cache=False)
         append_blocks(spark, index_path, idx, applied_marker=marker)
+        if vacuum_every and int(epoch_id) % vacuum_every == vacuum_every - 1:
+            vacuum_blocks(spark, index_path)
 
     writer = (
         stream.writeStream.foreachBatch(sink)

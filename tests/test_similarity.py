@@ -230,9 +230,9 @@ def test_kmeans_survives_null_and_ragged_vectors(spark):
 
     # the bad vectors sitting at the LOWEST ids must not poison the
     # k-seed collect either (round-3 review: `list(None)` TypeError);
-    # dim comes from the first VALID row, ragged rows are excluded from
-    # seeding as well as from clustering
-    rows_low = [(0, None), (1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [9.0]),
+    # dim is the MODAL length, so ragged rows are excluded from seeding
+    # as well as from clustering even when they hold the lowest ids
+    rows_low = [(0, None), (1, [9.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0]),
                 (4, [0.5, 0.5])]
     emb_low = spark.createDataFrame(rows_low, "vec_id long, embedding array<float>")
     cents_low = kmeans_quantized(emb_low, k=2, n_iter=2)

@@ -183,6 +183,11 @@ def test_decode_media_truncated_wav_raises_value_error():
     bad = wav[: di + 4] + struct.pack("<I", real * 10) + wav[di + 8 :]
     with pytest.raises(ValueError):
         decode_media(bad, "audio/wav")
+    # ...but a truncated TRAILING metadata chunk after intact fmt+data
+    # (sloppy-tagger junk) is tolerated, not rejected
+    junky = wav + b"LIST" + struct.pack("<I", 9999) + b"xx"
+    ok = decode_media(junky, "audio/wav")
+    assert (ok["sample_rate"], ok["channels"]) == (8000, 1)
 
 
 def test_media_decoder_registry_accepts_legacy_tuple_contract():

@@ -90,7 +90,15 @@ def main() -> None:
     if args.continuous:
         q.awaitTermination()
     else:
-        q.awaitTermination(3600)
+        if not q.awaitTermination(3600):
+            # bound the tick: stop the stream BEFORE any vacuum so the
+            # store's single-writer discipline holds (a vacuum racing a
+            # live foreachBatch append could sweep a segment the next
+            # manifest names). Appends commit atomically per epoch, so
+            # stopping mid-drain loses nothing — the next tick resumes
+            # from the checkpoint.
+            q.stop()
+            q.awaitTermination(120)
     if args.compact:
         compact_blocks(spark, args.index, vacuum=not args.no_vacuum)
     elif not args.no_vacuum:
