@@ -54,15 +54,16 @@ WARM_FIRST = [
 LIGHT_TIER = WARM_FIRST + [
     "hashed_features", "multimodal_meta", "multimodal_decode", "curate",
     "pack_sequences", "pagerank", "dedup_exact", "dedup_ngram_jaccard",
-    "dedup_minhash_lsh", "dedup_simhash", "ann_topk", "ann_ivf", "ann_kmeans",
-    "cosine_pairs", "cosine_lsh_pairs",
+    "dedup_minhash_lsh", "dedup_simhash", "dedup_components", "ann_topk",
+    "ann_ivf", "ann_kmeans", "cosine_pairs", "cosine_lsh_pairs",
 ]
 # Section B: served from the in-memory long-postings index.
 INDEX_TIER = [
     "postings", "doc_stats", "corpus_stats", "wordcount", "bm25_topk",
     "bm25_and_topk", "bm25_batch", "tfidf_topk", "cosine_topk",
     "term_semi_join", "topk_join_meta", "topk_snippets", "prior_blend",
-    "phrase_match", "merge_stats",
+    "phrase_match", "merge_stats", "proximity_topk", "term_completion",
+    "spell_suggest", "expand_query", "more_like_this", "group_topk",
 ]
 # Section C: served from the persisted bucketed block layout.
 BLOCK_TIER = ["bm25_blocks", "bm25_batch_blocks", "bm25_and_blocks", "phrase_blocks"]

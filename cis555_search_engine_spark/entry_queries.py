@@ -907,31 +907,38 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(load(spark, sf_dir, "documents"))
 
 
-SQL_DEDUP_EXACT = """
-WITH keyed AS (
+# CTE bodies kept WITH-less so the connected-components oracle can
+# splice them into one WITH RECURSIVE clause.
+SQL_EXACT_CTES = """keyed AS (
   SELECT doc_id AS id,
          list_aggr(list_sort(list_distinct(string_split(text, ' '))), 'string_agg', ' ') AS ckey
   FROM documents
 ),
 grp AS (
   SELECT ckey, min(id) AS rep_id, count(*) AS c FROM keyed GROUP BY ckey HAVING c > 1
-)
+)"""
+
+SQL_DEDUP_EXACT = (
+    "WITH "
+    + SQL_EXACT_CTES
+    + """
 SELECT g.rep_id, k.id AS dup_id
 FROM grp g JOIN keyed k ON g.ckey = k.ckey
 WHERE k.id <> g.rep_id
 """
+)
 
 
 # shared DuckDB CTE: distinct 3-gram shingles per document
-SQL_SHINGLES = """
-WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+SQL_SHINGLE_CTES = """t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
 sh AS (
   SELECT doc_id,
          list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
                         for i in range(1, len(toks) - 1)]) AS shingles
   FROM t
-)
-"""
+)"""
+
+SQL_SHINGLES = "WITH " + SQL_SHINGLE_CTES + "\n"
 
 SQL_JACCARD_BODY = """
 SELECT a.doc_id AS i, b.doc_id AS j,
@@ -1553,6 +1560,244 @@ WHERE p1.term = 'hash' AND p2.term = 'join'
 )
 
 
+# ------------------------------------------- query-serving extensions
+# (operators/query_ops.py, operators/components.py — round 3)
+
+PROX_TERMS = ("hash", "join")
+
+
+def q_proximity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 + positional proximity boost for a two-term query; the
+    ranked ordering uses the ROUNDED score (cosine_topk pattern) so the
+    k-cutoff is stable across engines at float ties (dup docs tie
+    exactly)."""
+    from .operators.query_ops import proximity_topk
+
+    idx = get_index(spark, sf_dir)
+    out = proximity_topk(idx, *PROX_TERMS, k=1 << 30)
+    out = out.select(
+        "doc_id",
+        F.col("min_gap").cast("long").alias("min_gap"),
+        F.round("score", 4).alias("score"),
+    )
+    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(40)
+
+
+SQL_PROXIMITY = (
+    SQL_TOK
+    + """
+, pa AS (SELECT p.doc_id, p.tf, p.positions,
+                ln((tot.n_docs - cs.df + 0.5) / (cs.df + 0.5) + 1.0) AS idf
+         FROM postings p, cs, tot WHERE p.term = cs.term AND p.term = 'hash'),
+pb AS (SELECT p.doc_id, p.tf, p.positions,
+               ln((tot.n_docs - cs.df + 0.5) / (cs.df + 0.5) + 1.0) AS idf
+        FROM postings p, cs, tot WHERE p.term = cs.term AND p.term = 'join'),
+prox AS (
+  SELECT pa.doc_id,
+         list_min(flatten(list_transform(pa.positions,
+                  x -> list_transform(pb.positions, y -> abs(x - y)))))::BIGINT AS min_gap,
+         pa.idf * pa.tf * 2.2 / (pa.tf + 1.2 * (0.25 + 0.75 * ds.doc_len / tot.avg_len))
+         + pb.idf * pb.tf * 2.2 / (pb.tf + 1.2 * (0.25 + 0.75 * ds.doc_len / tot.avg_len))
+         + 1.0 / (1.0 + list_min(flatten(list_transform(pa.positions,
+                  x -> list_transform(pb.positions, y -> abs(x - y)))))) AS score
+  FROM pa JOIN pb ON pa.doc_id = pb.doc_id JOIN ds ON ds.doc_id = pa.doc_id, tot
+)
+SELECT doc_id, min_gap, round(score, 4) AS score
+FROM prox
+ORDER BY round(score, 4) DESC, doc_id ASC
+LIMIT 40
+"""
+)
+
+
+def q_term_completion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix autocomplete over the term dictionary (prefix 's')."""
+    from .operators.query_ops import term_completion
+
+    return term_completion(get_index(spark, sf_dir), "s", k=20)
+
+
+SQL_TERM_COMPLETION = (
+    SQL_TOK
+    + """
+SELECT term, df FROM cs WHERE term LIKE 's%'
+ORDER BY df DESC, term ASC LIMIT 20
+"""
+)
+
+
+def q_spell_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-1 suggestions for the misspelling 'sow' via the
+    symmetric-delete candidate join; the oracle is the brute-force
+    levenshtein scan — equality proves the SymSpell key set misses no
+    distance-1 vocab term."""
+    from .operators.query_ops import spell_suggest
+
+    out = spell_suggest(get_index(spark, sf_dir), "sow", k=10)
+    return out.select("term", "df", F.col("dist").cast("long").alias("dist"))
+
+
+SQL_SPELL_SUGGEST = (
+    SQL_TOK
+    + """
+SELECT term, df, levenshtein(term, 'sow')::BIGINT AS dist
+FROM cs WHERE levenshtein(term, 'sow') <= 1
+ORDER BY df DESC, term ASC LIMIT 10
+"""
+)
+
+
+def q_expand_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-level co-occurrence expansion of seed term 'hash' ranked by
+    confidence P(seed | term) = joint_df / df — an exact BIGINT/BIGINT
+    division, bit-reproducible cross-engine."""
+    from .operators.query_ops import expand_query
+
+    return expand_query(get_index(spark, sf_dir), "hash", k=15, min_df=2)
+
+
+SQL_EXPAND_QUERY = (
+    SQL_TOK
+    + """
+, seed AS (SELECT DISTINCT doc_id FROM postings WHERE term = 'hash')
+SELECT p.term, count(*)::BIGINT AS joint_df, cs.df AS df,
+       round(count(*)::DOUBLE / cs.df, 6) AS assoc
+FROM postings p JOIN seed ON p.doc_id = seed.doc_id
+JOIN cs ON p.term = cs.term
+WHERE p.term <> 'hash' AND cs.df >= 2
+GROUP BY p.term, cs.df
+ORDER BY count(*)::DOUBLE / cs.df DESC, count(*) DESC, p.term ASC
+LIMIT 15
+"""
+)
+
+
+MLT_DOC = 7
+
+
+def q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Related docs to doc_id=7 by tf-idf cosine over shared terms;
+    ROUNDED-score ordering (exact-dup docs of the source tie at 1.0)."""
+    from .operators.query_ops import more_like_this
+
+    out = more_like_this(get_index(spark, sf_dir), MLT_DOC, k=1 << 30)
+    out = out.select("doc_id", F.round("score", 4).alias("score"))
+    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
+
+
+SQL_MORE_LIKE_THIS = (
+    SQL_TOK
+    + f"""
+, wts AS (
+  SELECT p.doc_id, p.term,
+         (1.0 + ln(p.tf)) / (1.0 + ln(ds.max_tf)) * ln(tot.n_postings / cs.df) AS w
+  FROM postings p JOIN ds ON p.doc_id = ds.doc_id JOIN cs ON p.term = cs.term, tot
+),
+norms AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM wts GROUP BY doc_id),
+src AS (SELECT term, w FROM wts WHERE doc_id = {MLT_DOC}),
+srcn AS (SELECT nrm AS nrm_src FROM norms WHERE doc_id = {MLT_DOC}),
+scored AS (
+  SELECT d.doc_id, sum(d.w * s.w) / (any_value(n.nrm) * any_value(srcn.nrm_src)) AS score
+  FROM wts d JOIN src s ON d.term = s.term
+  JOIN norms n ON n.doc_id = d.doc_id, srcn
+  WHERE d.doc_id <> {MLT_DOC}
+  GROUP BY d.doc_id
+)
+SELECT doc_id, round(score, 4) AS score
+FROM scored
+ORDER BY round(score, 4) DESC, doc_id ASC
+LIMIT 20
+"""
+)
+
+
+def q_group_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-level retrieval analog: per-doc BM25 for the
+    flagship query aggregated to the parent `source`, top groups by
+    summed evidence (rounded-score ordering)."""
+    from .operators.query_ops import group_topk
+
+    idx = get_index(spark, sf_dir)
+    scored = bm25_topk(idx, BM25_QUERY, k=1 << 30, stem=False)
+    docs = load(spark, sf_dir, "documents")
+    out = group_topk(scored, docs, "source", ("doc_id",), k=1 << 30)
+    out = out.select(
+        "source",
+        F.round("score", 4).alias("score"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.round("best", 4).alias("best"),
+    )
+    return out.orderBy(F.desc("score"), F.asc("source")).limit(10)
+
+
+SQL_GROUP_TOPK = (
+    SQL_TOK
+    + """
+, scored AS (
+  SELECT p.doc_id,
+         sum(ln((tot.n_docs - cs.df + 0.5) / (cs.df + 0.5) + 1.0)
+             * p.tf * 2.2
+             / (p.tf + 1.2 * (0.25 + 0.75 * ds.doc_len / tot.avg_len))) AS score
+  FROM postings p, cs, ds, tot
+  WHERE p.term = cs.term AND p.doc_id = ds.doc_id
+    AND p.term IN ('hash', 'join', 'merge')
+  GROUP BY p.doc_id
+)
+SELECT d.source, round(sum(s.score), 4) AS score,
+       count(*)::BIGINT AS n_docs, round(max(s.score), 4) AS best
+FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+GROUP BY d.source
+ORDER BY round(sum(s.score), 4) DESC, d.source ASC
+LIMIT 10
+"""
+)
+
+
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components (alternating large-star /
+    small-star) over the union of exact-dup pairs and 0.5-Jaccard
+    shingle pairs. comp = min reachable doc_id."""
+    from .operators.components import connected_components
+    from .operators.dedup import exact_dedup, ngram_jaccard_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    ex = exact_dedup(docs).select(
+        F.col("rep_id").alias("i"), F.col("dup_id").alias("j")
+    )
+    ng = ngram_jaccard_pairs(docs, threshold=0.5).select("i", "j")
+    comp = connected_components(ex.unionByName(ng))
+    return comp.select(F.col("node").alias("doc_id"), "comp")
+
+
+SQL_DEDUP_COMPONENTS = (
+    "WITH RECURSIVE "
+    + SQL_EXACT_CTES
+    + ",\n"
+    + SQL_SHINGLE_CTES
+    + """,
+expairs AS (
+  SELECT g.rep_id AS i, k.id AS j
+  FROM grp g JOIN keyed k ON g.ckey = k.ckey
+  WHERE k.id <> g.rep_id
+),
+ngpairs AS (
+  SELECT a.doc_id AS i, b.doc_id AS j
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
+        / len(list_distinct(a.shingles || b.shingles)) >= 0.5
+),
+e AS (SELECT i, j FROM expairs UNION SELECT i, j FROM ngpairs),
+sym AS (SELECT i AS a, j AS b FROM e UNION SELECT j, i FROM e),
+reach(src, dst) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a
+)
+SELECT src AS doc_id, min(dst) AS comp FROM reach GROUP BY src
+"""
+)
+
+
 # ---------------------------------------------------------- registry
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1603,6 +1848,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_sequences": q_pack_sequences,
     "pagerank": q_pagerank,
     "phrase_match": q_phrase_match,
+    "proximity_topk": q_proximity_topk,
+    "term_completion": q_term_completion,
+    "spell_suggest": q_spell_suggest,
+    "expand_query": q_expand_query,
+    "more_like_this": q_more_like_this,
+    "group_topk": q_group_topk,
+    "dedup_components": q_dedup_components,
 }
 
 ORACLES: dict[str, str] = {
@@ -1656,4 +1908,11 @@ ORACLES: dict[str, str] = {
     "pack_sequences": SQL_PACK_SEQUENCES,
     "pagerank": SQL_PAGERANK,
     "phrase_match": SQL_PHRASE_MATCH,
+    "proximity_topk": SQL_PROXIMITY,
+    "term_completion": SQL_TERM_COMPLETION,
+    "spell_suggest": SQL_SPELL_SUGGEST,
+    "expand_query": SQL_EXPAND_QUERY,
+    "more_like_this": SQL_MORE_LIKE_THIS,
+    "group_topk": SQL_GROUP_TOPK,
+    "dedup_components": SQL_DEDUP_COMPONENTS,
 }
