@@ -66,7 +66,10 @@ INDEX_TIER = [
     "spell_suggest", "expand_query", "more_like_this", "group_topk",
 ]
 # Section C: served from the persisted bucketed block layout.
-BLOCK_TIER = ["bm25_blocks", "bm25_batch_blocks", "bm25_and_blocks", "phrase_blocks"]
+BLOCK_TIER = [
+    "bm25_blocks", "bm25_batch_blocks", "bm25_and_blocks", "phrase_blocks",
+    "term_completion_blocks",
+]
 # Section D: index-maintenance paths (append / compact / IVF serving).
 MAINT_TIER = ["bm25_append_blocks", "bm25_compacted", "ann_ivf_served"]
 

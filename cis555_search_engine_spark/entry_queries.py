@@ -1626,6 +1626,21 @@ ORDER BY df DESC, term ASC LIMIT 20
 )
 
 
+def q_term_completion_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix autocomplete SERVED from the persisted block store's
+    range-partitioned term dictionary — the StartsWith filter pushes to
+    the parquet scan and prunes to the file(s) whose [min_term,
+    max_term] footer range covers the prefix (postings_codec._write_stats).
+    Same oracle as the in-memory completion."""
+    bidx = ensure_block_index(spark, sf_dir)
+    return (
+        bidx.corpus_stats.filter(F.col("term").startswith("s"))
+        .select("term", F.col("df").cast("long").alias("df"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(20)
+    )
+
+
 def q_spell_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance-1 suggestions for the misspelling 'sow' via the
     symmetric-delete candidate join; the oracle is the brute-force
@@ -1850,6 +1865,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "phrase_match": q_phrase_match,
     "proximity_topk": q_proximity_topk,
     "term_completion": q_term_completion,
+    "term_completion_blocks": q_term_completion_blocks,
     "spell_suggest": q_spell_suggest,
     "expand_query": q_expand_query,
     "more_like_this": q_more_like_this,
@@ -1910,6 +1926,8 @@ ORACLES: dict[str, str] = {
     "phrase_match": SQL_PHRASE_MATCH,
     "proximity_topk": SQL_PROXIMITY,
     "term_completion": SQL_TERM_COMPLETION,
+    # served path: same dictionary, persisted range-partitioned layout
+    "term_completion_blocks": SQL_TERM_COMPLETION,
     "spell_suggest": SQL_SPELL_SUGGEST,
     "expand_query": SQL_EXPAND_QUERY,
     "more_like_this": SQL_MORE_LIKE_THIS,

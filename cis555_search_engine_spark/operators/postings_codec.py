@@ -712,6 +712,24 @@ def vacuum_blocks(spark, path: str) -> None:
             fsio.delete(spark, f"{path}/{child}")
 
 
+def _write_stats(stats: DataFrame, dest: str) -> None:
+    """Persist corpus stats as a RANGE-partitioned term dictionary:
+    repartitionByRange + sortWithinPartitions on ``term`` gives each
+    parquet file a tight, disjoint [min_term, max_term] footer range, so
+    dictionary lookups AND prefix scans (term_completion serving:
+    StartsWith pushes down as `term >= p AND term < p̄`) prune to the
+    one or two files whose range covers the probe — at a 10⁸-term
+    vocabulary that is the difference between a dictionary lookup and a
+    dictionary scan. File count follows spark.sql.shuffle.partitions,
+    scaling with the session's parallelism."""
+    (
+        stats.repartitionByRange("term")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .parquet(dest)
+    )
+
+
 def write_blocks(
     bidx: BlockIndex,
     path: str,
@@ -749,7 +767,7 @@ def write_blocks(
         .parquet(f"{path}/{data_dir}/blocks")
     )
     bidx.docid_map.write.mode("overwrite").parquet(f"{path}/{data_dir}/docid_map")
-    bidx.corpus_stats.write.mode("overwrite").parquet(f"{path}/{stats_dir}")
+    _write_stats(bidx.corpus_stats, f"{path}/{stats_dir}")
 
     meta = {
         "layout": 2,
@@ -860,7 +878,7 @@ def append_blocks(
     # merged stats land in a fresh versioned dir; the old version stays
     # live (and readable by in-flight queries) until the manifest flips
     stats_dir = fsio.new_segment_name("stats", len(data_dirs))
-    merged.write.mode("overwrite").parquet(f"{path}/{stats_dir}")
+    _write_stats(merged, f"{path}/{stats_dir}")
 
     meta.update(
         {
@@ -933,7 +951,7 @@ def compact_blocks(spark, path: str, vacuum: bool = True) -> None:
     if "stats_dir" not in meta:
         # migrating a legacy store: version the stats dir as well
         stats_dir = fsio.new_segment_name("stats", 0)
-        bidx.corpus_stats.write.mode("overwrite").parquet(f"{path}/{stats_dir}")
+        _write_stats(bidx.corpus_stats, f"{path}/{stats_dir}")
         meta["stats_dir"] = stats_dir
     meta.update(
         {

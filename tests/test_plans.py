@@ -102,3 +102,38 @@ def test_tpch_q3_builds_broadcast_join(spark):
     plan = explain_str(EQ.q_tpch_q3(spark, SF))
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_dictionary_prefix_scan_pushdown(spark, spark_index, tmp_path):
+    """The persisted term dictionary is range-partitioned + sorted by
+    term (postings_codec._write_stats), and a prefix completion over it
+    pushes StartsWith to the parquet scan — footer min/max ranges make
+    the probe touch only the covering file(s)."""
+    from pyspark.sql import functions as F
+
+    from cis555_search_engine_spark.operators.postings_codec import (
+        build_blocks,
+        load_blocks,
+        write_blocks,
+    )
+
+    store = str(tmp_path / "store")
+    write_blocks(build_blocks(spark_index, block_span=64), store, n_buckets=4)
+    bidx = load_blocks(spark, store)
+    q = (
+        bidx.corpus_stats.filter(F.col("term").startswith("s"))
+        .select("term", "df")
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(5)
+    )
+    plan = explain_str(q)
+    assert "StringStartsWith(term,s)" in plan, plan
+    # results equal the in-memory dictionary's completion
+    want = (
+        spark_index.corpus_stats.filter(F.col("term").startswith("s"))
+        .select("term", "df")
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(5)
+        .collect()
+    )
+    assert [tuple(r) for r in q.collect()] == [tuple(r) for r in want]
