@@ -68,10 +68,13 @@ INDEX_TIER = [
 # Section C: served from the persisted bucketed block layout.
 BLOCK_TIER = [
     "bm25_blocks", "bm25_batch_blocks", "bm25_and_blocks", "phrase_blocks",
-    "term_completion_blocks",
+    "term_completion_blocks", "bm25_not_blocks",
 ]
-# Section D: index-maintenance paths (append / compact / IVF serving).
-MAINT_TIER = ["bm25_append_blocks", "bm25_compacted", "ann_ivf_served"]
+# Section D: index-maintenance paths (append / compact / delete / IVF).
+MAINT_TIER = [
+    "bm25_append_blocks", "bm25_compacted", "bm25_deleted_blocks",
+    "bm25_compact_deleted", "ann_ivf_served",
+]
 
 
 def _sf_of(sf_dir: str) -> float:

@@ -875,6 +875,150 @@ def _ensure_compact_store(spark: SparkSession, sf_dir: str):
     return bidx
 
 
+NOT_TERM = "sort"  # the boolean-NOT exclusion term for bm25_not_blocks
+
+
+def q_bm25_not_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean NOT under the oracle gate: the standard BM25 query with
+    docs containing ``NOT_TERM`` excluded (bm25_topk_blocks
+    exclude_terms — the exclusion set resolves from the SAME block
+    index and is applied before the pruning bar θ, so NOT semantics
+    stay sound under block-max pruning). Reference analog: the boolean
+    operators of frontend/SearchHelper.java's query language."""
+    from .operators.postings_codec import bm25_topk_blocks
+
+    bidx = ensure_block_index(spark, sf_dir)
+    out = bm25_topk_blocks(bidx, BM25_QUERY, k=80, stem=False, exclude_terms=[NOT_TERM])
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"), F.round("score", 4).alias("score")
+    )
+
+
+SQL_BM25_NOT = (
+    SQL_TOK
+    + f"""
+SELECT p.doc_id,
+       round(sum(ln((tot.n_docs - cs.df + 0.5) / (cs.df + 0.5) + 1.0)
+                 * p.tf * 2.2
+                 / (p.tf + 1.2 * (0.25 + 0.75 * ds.doc_len / tot.avg_len))), 4) AS score
+FROM postings p, cs, ds, tot
+WHERE p.term = cs.term AND p.doc_id = ds.doc_id
+  AND p.term IN ('hash', 'join', 'merge')
+  AND p.doc_id NOT IN (SELECT doc_id FROM postings WHERE term = '{NOT_TERM}')
+GROUP BY p.doc_id
+ORDER BY sum(ln((tot.n_docs - cs.df + 0.5) / (cs.df + 0.5) + 1.0)
+             * p.tf * 2.2
+             / (p.tf + 1.2 * (0.25 + 0.75 * ds.doc_len / tot.avg_len))) DESC,
+         p.doc_id ASC
+LIMIT 80
+"""
+)
+
+
+def _ensure_deleted_store(spark: SparkSession, sf_dir: str):
+    """Copy the persisted block index and tombstone every doc with
+    doc_id % 7 == 0 (postings_codec.delete_docs) — once per process.
+    The on-disk store also feeds `q_bm25_compact_deleted`."""
+    import shutil
+
+    from .operators.postings_codec import delete_docs, load_blocks
+
+    ensure_block_index(spark, sf_dir)  # materializes the base store
+    src = _block_index_path(sf_dir)
+    path = _block_index_path(sf_dir) + "_deleted"
+    key = (spark.sparkContext.applicationId, sf_dir, "deleted")
+    bidx = _BLOCK_CACHE.get(key)
+    if bidx is None:
+        shutil.rmtree(path, ignore_errors=True)
+        shutil.copytree(src, path)
+        docs = load(spark, sf_dir, "documents")
+        delete_docs(
+            spark, path, docs.filter(F.col("doc_id") % 7 == 0).select("doc_id")
+        )
+        bidx = load_blocks(spark, path)
+        _BLOCK_CACHE[key] = bidx
+    return bidx
+
+
+def q_bm25_deleted_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tombstone deletes under the oracle gate: every doc_id % 7 == 0 is
+    delete-marked (no block rewritten), then the standard BM25 query is
+    served. Lucene live-docs semantics until compaction: deleted docs
+    vanish from results but corpus statistics still count them — the
+    oracle therefore computes stats over the FULL corpus and filters
+    only the scored docs."""
+    from .operators.postings_codec import bm25_topk_blocks
+
+    bidx = _ensure_deleted_store(spark, sf_dir)
+    out = bm25_topk_blocks(bidx, BM25_QUERY, k=80, stem=False)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"), F.round("score", 4).alias("score")
+    )
+
+
+SQL_BM25_DELETED = (
+    SQL_TOK
+    + """
+SELECT p.doc_id,
+       round(sum(ln((tot.n_docs - cs.df + 0.5) / (cs.df + 0.5) + 1.0)
+                 * p.tf * 2.2
+                 / (p.tf + 1.2 * (0.25 + 0.75 * ds.doc_len / tot.avg_len))), 4) AS score
+FROM postings p, cs, ds, tot
+WHERE p.term = cs.term AND p.doc_id = ds.doc_id
+  AND p.term IN ('hash', 'join', 'merge')
+  AND p.doc_id % 7 <> 0
+GROUP BY p.doc_id
+ORDER BY sum(ln((tot.n_docs - cs.df + 0.5) / (cs.df + 0.5) + 1.0)
+             * p.tf * 2.2
+             / (p.tf + 1.2 * (0.25 + 0.75 * ds.doc_len / tot.avg_len))) DESC,
+         p.doc_id ASC
+LIMIT 80
+"""
+)
+
+
+def _ensure_compact_deleted_store(spark: SparkSession, sf_dir: str):
+    """Copy the tombstoned store and compact the copy (once per
+    process): tombstoned postings purged physically, docids re-minted
+    dense + key-ordered, stats recomputed over the survivors."""
+    import shutil
+
+    from .operators.postings_codec import compact_blocks, load_blocks
+
+    _ensure_deleted_store(spark, sf_dir)
+    src = _block_index_path(sf_dir) + "_deleted"
+    path = _block_index_path(sf_dir) + "_compact_deleted"
+    key = (spark.sparkContext.applicationId, sf_dir, "compact_deleted")
+    bidx = _BLOCK_CACHE.get(key)
+    if bidx is None:
+        shutil.rmtree(path, ignore_errors=True)
+        shutil.copytree(src, path)
+        compact_blocks(spark, path)
+        bidx = load_blocks(spark, path)
+        _BLOCK_CACHE[key] = bidx
+    return bidx
+
+
+def q_bm25_compact_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete + compact under the oracle gate: after compaction the
+    tombstones are purged and statistics recomputed, so results must
+    equal a FRESH build over the surviving corpus — the oracle is the
+    standard BM25 SQL with `documents` itself filtered to survivors
+    (stats and scores both over doc_id % 7 <> 0)."""
+    from .operators.postings_codec import bm25_topk_blocks
+
+    bidx = _ensure_compact_deleted_store(spark, sf_dir)
+    out = bm25_topk_blocks(bidx, BM25_QUERY, k=80, stem=False)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"), F.round("score", 4).alias("score")
+    )
+
+
+SQL_BM25_COMPACT_DELETED = SQL_BM25_TOPK.replace(
+    "FROM documents", "FROM documents WHERE doc_id % 7 <> 0"
+)
+
+
 def q_merge_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Segment merge under the oracle gate: the corpus is split in two
     disjoint halves (doc_id parity), indexed separately, merged at the
@@ -1829,6 +1973,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "phrase_blocks": q_phrase_blocks,
     "bm25_append_blocks": q_bm25_append_blocks,
     "bm25_compacted": q_bm25_compacted,
+    "bm25_not_blocks": q_bm25_not_blocks,
+    "bm25_deleted_blocks": q_bm25_deleted_blocks,
+    "bm25_compact_deleted": q_bm25_compact_deleted,
     "merge_stats": q_merge_stats,
     "tfidf_topk": q_tfidf_topk,
     "cosine_topk": q_cosine_topk,
@@ -1888,6 +2035,9 @@ ORACLES: dict[str, str] = {
     "bm25_append_blocks": SQL_BM25_TOPK,
     # compaction must be invisible to results: same full-corpus oracle
     "bm25_compacted": SQL_BM25_TOPK,
+    "bm25_not_blocks": SQL_BM25_NOT,
+    "bm25_deleted_blocks": SQL_BM25_DELETED,
+    "bm25_compact_deleted": SQL_BM25_COMPACT_DELETED,
     "merge_stats": SQL_CORPUS_STATS,
     "tfidf_topk": SQL_TFIDF_TOPK,
     "cosine_topk": SQL_COSINE_TOPK,

@@ -314,6 +314,11 @@ class BlockIndex:
     #                               continue the sequence regardless of
     #                               key order), which flips top-k
     #                               tie-breaking to join doc_key first
+    tombstones: DataFrame | None = None  # (docid) rows delete-marked by
+    #                               delete_docs; serving paths drop them
+    #                               after decode, compact_blocks purges
+    #                               them physically (Lucene's live-docs
+    #                               bitmap, re-expressed relationally)
 
     def cache(self) -> "BlockIndex":
         self.blocks = self.blocks.cache()
@@ -366,21 +371,37 @@ def decode_blocks(blocks: DataFrame, block_span: int, with_positions: bool = Tru
 
 # ---------------------------------------------------------------- query
 
+def _drop_dead(decoded: DataFrame, dead: DataFrame | None) -> DataFrame:
+    """Filter tombstoned / excluded docids out of decoded posting rows.
+
+    ``dead`` is a (docid) frame — delete tombstones, NOT-term exclusions,
+    or their union. Always broadcast: a delete set large enough to matter
+    here is what `compact_blocks` exists to purge. Applied BEFORE any
+    scoring — including the seed scoring that sets the pruning bar θ,
+    where a dead doc's score could otherwise raise θ above a live doc's
+    and make block-max pruning drop true top-k members (unsound)."""
+    if dead is None:
+        return decoded
+    return decoded.join(F.broadcast(dead.select("docid")), "docid", "left_anti")
+
+
 def _score_decoded(
     decoded: DataFrame,
     corpus_stats: DataFrame,
     terms: list[str],
     avg_len: float,
     conjunctive: bool = False,
+    dead: DataFrame | None = None,
 ) -> DataFrame:
     """(term, docid, tf, doc_len) rows -> (docid, score). With
     ``conjunctive`` only docs containing every term survive (posting-list
-    intersection folded into the hash agg)."""
+    intersection folded into the hash agg). ``dead`` docids (tombstones /
+    NOT-exclusions) are dropped before the agg."""
     from .scoring import bm25_score_col
 
     idf = corpus_stats.filter(F.col("term").isin(terms)).select("term", "idf_bm25")
     grouped = (
-        decoded.join(F.broadcast(idf), "term")
+        _drop_dead(decoded, dead).join(F.broadcast(idf), "term")
         .withColumn(
             "partial",
             bm25_score_col(
@@ -414,6 +435,7 @@ def _prune_live_blocks(
     seed_blocks: int,
     conjunctive: bool = False,
     min_prune_postings: int = DEFAULT_MIN_PRUNE_POSTINGS,
+    dead: DataFrame | None = None,
 ) -> tuple[DataFrame, int, int]:
     """Block-max pruning shared by bm25_topk_blocks / count_live_blocks.
 
@@ -488,9 +510,13 @@ def _prune_live_blocks(
         if got >= k:
             break
     seed = tblocks.filter(F.col("block_id").isin(chosen))
+    # dead docids are filtered BEFORE θ: a tombstoned doc's seed score
+    # must not set a bar no live doc can meet (pruning soundness). Block
+    # upper bounds stay sound unfiltered — a dead doc can only have
+    # RAISED a block's max_impact, never lowered it.
     seed_scores = _score_decoded(
         decode_blocks(seed, bidx.block_span, with_positions=False),
-        bidx.corpus_stats, terms, bidx.avg_doc_len, conjunctive,
+        bidx.corpus_stats, terms, bidx.avg_doc_len, conjunctive, dead=dead,
     )
     kth = (
         seed_scores.orderBy(F.desc("score")).limit(k)
@@ -532,6 +558,7 @@ def bm25_topk_blocks(
     seed_blocks: int = 8,
     conjunctive: bool = False,
     min_prune_postings: int = DEFAULT_MIN_PRUNE_POSTINGS,
+    exclude_terms: list[str] | None = None,
 ) -> DataFrame:
     """Top-k BM25 from compressed blocks, block-max pruned, EXACT.
 
@@ -542,22 +569,52 @@ def bm25_topk_blocks(
     bounds pass and the decode pass each do one bucket- and term-pruned
     scan — rescanning a pruned columnar source is cheaper than pinning
     executor memory per query (round 1 leaked a cached RDD per query).
+
+    ``exclude_terms`` = boolean NOT: docs containing ANY excluded term
+    are dropped. Exclusions pass through the SAME tokenize+stem pipeline
+    as query terms (a raw surface form like "noodle" would silently
+    miss the stemmed index entry "noodl" — a no-op NOT), then resolve
+    to docids from the SAME index (one bucket- and term-pruned decode
+    of the excluded terms' blocks) and ride the dead-docid filter
+    together with delete tombstones — so NOT semantics, like deletes,
+    are sound under block-max pruning (filtered before θ).
     """
     terms = _query_terms(query, stem)
     if not terms:
         return _empty_topk(bidx)
+    ex_terms = list(
+        dict.fromkeys(t for q in (exclude_terms or []) for t in _query_terms(q, stem))
+    )
+    terms = [t for t in terms if t not in set(ex_terms)]
+    if not terms:
+        return _empty_topk(bidx)
+
+    dead = bidx.tombstones
+    if ex_terms:
+        xblocks = bidx.blocks.filter(_term_filter(bidx, ex_terms))
+        xdocs = (
+            decode_blocks(xblocks, bidx.block_span, with_positions=False)
+            .select("docid").distinct()
+        )
+        dead = xdocs if dead is None else dead.select("docid").unionByName(xdocs).distinct()
+        # stage once: the dead frame feeds both the seed-θ scoring and
+        # the final scoring — without this each consumer re-decodes the
+        # excluded terms' blocks (mint_doc_ids pattern: eager, lineage-
+        # truncating, freed on GC)
+        dead = dead.localCheckpoint(eager=True)
 
     tblocks = bidx.blocks.filter(_term_filter(bidx, terms))
     if prune:
         live, _, _ = _prune_live_blocks(
-            bidx, tblocks, terms, k, seed_blocks, conjunctive, min_prune_postings
+            bidx, tblocks, terms, k, seed_blocks, conjunctive, min_prune_postings,
+            dead=dead,
         )
     else:
         live = tblocks
 
     scores = _score_decoded(
         decode_blocks(live, bidx.block_span, with_positions=False),
-        bidx.corpus_stats, terms, bidx.avg_doc_len, conjunctive,
+        bidx.corpus_stats, terms, bidx.avg_doc_len, conjunctive, dead=dead,
     )
     key = list(bidx.doc_key)
     if bidx.key_ordered:
@@ -614,7 +671,9 @@ def bm25_topk_many_blocks(
     qdf = spark.createDataFrame(pairs, "qid string, term string")
     all_terms = sorted({t for _, t in pairs})
     tblocks = bidx.blocks.filter(_term_filter(bidx, all_terms))
-    decoded = decode_blocks(tblocks, bidx.block_span, with_positions=False)
+    decoded = _drop_dead(
+        decode_blocks(tblocks, bidx.block_span, with_positions=False), bidx.tombstones
+    )
     from .scoring import bm25_score_col
 
     idf = bidx.corpus_stats.filter(F.col("term").isin(all_terms)).select("term", "idf_bm25")
@@ -703,7 +762,11 @@ def vacuum_blocks(spark, path: str) -> None:
     meta = _read_meta(spark, path)
     if "data_dirs" not in meta:
         return  # legacy layout: root dirs ARE the data; nothing to sweep
-    keep = set(meta["data_dirs"]) | {meta.get("stats_dir"), "_meta.json"}
+    keep = (
+        set(meta["data_dirs"])
+        | set(meta.get("tombstone_dirs", []))
+        | {meta.get("stats_dir"), "_meta.json"}
+    )
     if "." in keep:
         # a migrated legacy store serves its original root-level dirs
         keep |= {"blocks", "docid_map"}
@@ -902,23 +965,88 @@ def append_blocks(
     # new manifest, so the next vacuum sweeps them.
 
 
-def compact_blocks(spark, path: str, vacuum: bool = True) -> None:
-    """Compact an appended block index: decode every block, re-encode
-    under the CURRENT merged stats, swap the layout atomically.
+def delete_docs(spark, path: str, doc_keys: DataFrame, applied_marker: str | None = None) -> int:
+    """Tombstone-delete documents from a persisted block index WITHOUT
+    rewriting any block — the delete half of the LSM maintenance story
+    (append = level-0 segments, delete = tombstones, compact = the merge
+    that makes both physical).
 
-    What it restores after a run of `append_blocks` epochs:
+    ``doc_keys`` is a frame carrying the store's doc_key columns. Keys
+    resolve to docids against the served docid map; the tombstone set is
+    one (docid) parquet dir named by the SAME atomic manifest commit
+    that makes it live — crash-safe and idempotent like appends (keys
+    already tombstoned add nothing; a re-run after a crash before the
+    commit just leaves an orphan dir for vacuum).
+
+    Semantics until the next compaction (exactly Lucene's live-docs
+    model, re-expressed relationally): deleted docs vanish from every
+    query result, but corpus statistics (idf, avg_doc_len, n_docs) still
+    count them — scoring of surviving docs is UNCHANGED by a delete.
+    `compact_blocks` purges tombstoned postings physically, recomputes
+    the statistics from the surviving corpus, and re-mints dense docids
+    — after which results equal a fresh build over the surviving docs
+    (property-tested in tests/test_postings_codec.py).
+
+    Returns the number of NEWLY tombstoned docids.
+    """
+    from .. import fsio
+
+    meta = _read_meta(spark, path)
+    bidx = load_blocks(spark, path)
+    dk = list(meta["doc_key"])
+    tomb = (
+        bidx.docid_map.join(doc_keys.select(*dk).dropDuplicates(dk), dk, "left_semi")
+        .select("docid")
+    )
+    if bidx.tombstones is not None:
+        tomb = tomb.join(bidx.tombstones, "docid", "left_anti")
+    tomb = tomb.localCheckpoint(eager=True)  # count + write read it once
+    n_new = tomb.count()
+    if n_new == 0 and applied_marker is None:
+        return 0
+    tombstone_dirs = list(meta.get("tombstone_dirs", []))
+    if n_new:
+        del_dir = fsio.new_segment_name("del", len(tombstone_dirs))
+        tomb.write.mode("overwrite").parquet(f"{path}/{del_dir}")
+        tombstone_dirs.append(del_dir)
+    meta["tombstone_dirs"] = tombstone_dirs
+    meta["n_deleted"] = int(meta.get("n_deleted", 0)) + n_new
+    if applied_marker is not None:
+        meta.setdefault("applied_epochs", []).append(applied_marker)
+    _commit_meta(spark, path, meta)  # the ONE atomic commit
+    return n_new
+
+
+def compact_blocks(spark, path: str, vacuum: bool = True) -> None:
+    """Compact a block index: decode every block, drop tombstoned docs,
+    re-mint dense docids, recompute statistics from the surviving
+    corpus, re-encode, swap the layout atomically.
+
+    What it restores after a run of `append_blocks` / `delete_docs`
+    epochs — the LSM merge that makes the cheap logical maintenance ops
+    physical again:
     - **tight pruning bounds** — per-block `max_impact` recomputed with
-      the merged idf/avg_len, clearing ``stale_bounds`` (pruning goes
-      back from the sound-but-loose max_tf bound to the exact per-block
-      impact max);
+      the recomputed idf/avg_len, clearing ``stale_bounds``;
     - **merged boundary blocks** — a segment whose first docids fall in
       the base's last partial doc-range produces a second row for the
       same (term, block_id); decode-side union keeps queries exact, but
-      compaction folds them into one blob.
+      compaction folds them into one blob;
+    - **purged tombstones** — delete-marked postings physically removed,
+      df/idf/avg_doc_len/n_docs recomputed over the survivors (the point
+      where delete semantics upgrade from Lucene-style stale-stats to
+      exactly-a-fresh-build);
+    - **dense key-ordered docids** — survivors re-minted 0..n-1 in
+      doc_key order (mint_doc_ids), restoring ``key_ordered`` tie-breaks
+      and docid-range block alignment after out-of-order appends and
+      deletion holes.
 
-    The LSM shape: append = cheap level-0 segments, compact = the
-    periodic merge; both keep the index exact at every point. The
-    rewritten layout goes live via ONE atomic manifest commit (old
+    Statistics are recomputed from integer aggregates over the decoded
+    postings (Σtf per doc, row counts per term), so a compacted store is
+    bit-equal in stats to `build_blocks` over the surviving corpus — not
+    merely close (the append path's float stats merge can drift an ULP;
+    this recompute cannot).
+
+    The rewritten layout goes live via ONE atomic manifest commit (old
     segments keep serving until it), then `vacuum_blocks` sweeps them —
     immediately by default; pass ``vacuum=False`` when old-manifest
     readers may be in flight and vacuum after a grace period.
@@ -926,19 +1054,57 @@ def compact_blocks(spark, path: str, vacuum: bool = True) -> None:
     from .. import fsio
 
     bidx = load_blocks(spark, path)
-    decoded = decode_blocks(bidx.blocks, bidx.block_span, with_positions=True)
+    meta = _read_meta(spark, path)
+    dk = list(bidx.doc_key)
+    span = bidx.block_span
+
+    live_map = bidx.docid_map
+    decoded = decode_blocks(bidx.blocks, span, with_positions=True)
+    if bidx.tombstones is not None:
+        tomb = F.broadcast(bidx.tombstones.select("docid"))
+        live_map = live_map.join(tomb, "docid", "left_anti")
+        decoded = decoded.join(tomb, "docid", "left_anti")
+
+    # re-mint dense docids over the surviving keys (0..n-1, key order)
+    new_map = mint_doc_ids(live_map.select(*dk), dk)
+    n_docs = new_map.count()
+    remapped = (
+        decoded.join(live_map.withColumnRenamed("docid", "_old"),
+                     F.col("docid") == F.col("_old"))
+        .drop("docid", "_old")
+        .join(new_map, dk)
+        .select("term", "docid", "tf", "doc_len", "positions")
+    )
+    # recompute corpus stats EXACTLY (integer aggregates — equals a
+    # fresh build over the survivors): one pass for df per term, one
+    # tiny agg for total length over distinct surviving docs
+    tot = (
+        remapped.select("docid", "doc_len").distinct()
+        .agg(F.sum("doc_len").alias("tl")).collect()[0]
+    )
+    avg_len = (float(tot["tl"] or 0)) / n_docs if n_docs else 0.0
+    stats = remapped.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    n_postings = int(stats.agg(F.sum("df")).collect()[0][0] or 0)
+    stats = stats.select(
+        "term",
+        "df",
+        F.log(F.lit(float(n_postings)) / F.col("df")).alias("idf_ref"),
+        F.log(
+            (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+        ).alias("idf_bm25"),
+    )
+
     enriched = (
-        decoded.join(F.broadcast(bidx.corpus_stats.select("term", "idf_bm25")), "term")
+        remapped.join(F.broadcast(stats.select("term", "idf_bm25")), "term")
         .select(
             "term",
-            F.floor(F.col("docid") / bidx.block_span).alias("block_id"),
+            F.floor(F.col("docid") / span).alias("block_id"),
             "docid", "tf", "doc_len", "positions", "idf_bm25",
         )
     )
-    blocks = _encode_posting_blocks(enriched, bidx.avg_doc_len, bidx.block_span)
+    blocks = _encode_posting_blocks(enriched, avg_len, span)
     n_buckets = int(bidx.n_buckets or 16)
     bucket = F.pmod(F.crc32(F.encode("term", "utf-8")), F.lit(n_buckets)).alias("bucket")
-    meta = _read_meta(spark, path)
     new_dir = fsio.new_segment_name("seg", 0)
     (
         blocks.withColumn("bucket", bucket)
@@ -946,18 +1112,21 @@ def compact_blocks(spark, path: str, vacuum: bool = True) -> None:
         .partitionBy("bucket")
         .parquet(f"{path}/{new_dir}/blocks")
     )
-    # consolidate the per-segment docid maps into the compacted dir
-    bidx.docid_map.write.mode("overwrite").parquet(f"{path}/{new_dir}/docid_map")
-    if "stats_dir" not in meta:
-        # migrating a legacy store: version the stats dir as well
-        stats_dir = fsio.new_segment_name("stats", 0)
-        _write_stats(bidx.corpus_stats, f"{path}/{stats_dir}")
-        meta["stats_dir"] = stats_dir
+    # consolidated re-minted docid map lands in the compacted dir
+    new_map.write.mode("overwrite").parquet(f"{path}/{new_dir}/docid_map")
+    stats_dir = fsio.new_segment_name("stats", 0)
+    _write_stats(stats, f"{path}/{stats_dir}")
     meta.update(
         {
             "layout": 2,
             "data_dirs": [new_dir],
-            "stale_bounds": False,  # bounds recomputed under current stats
+            "stats_dir": stats_dir,
+            "n_docs": n_docs,
+            "avg_doc_len": avg_len,
+            "stale_bounds": False,  # bounds recomputed under exact stats
+            "key_ordered": True,    # re-minted in doc_key order
+            "tombstone_dirs": [],   # purged physically
+            "n_deleted": 0,
         }
     )
     _commit_meta(spark, path, meta)
@@ -1003,6 +1172,13 @@ def load_blocks(spark, path: str) -> "BlockIndex":
 
     stats_dir = meta.get("stats_dir")
     stats_path = f"{path}/{stats_dir}" if stats_dir else f"{path}/corpus_stats"
+    tombstones = None
+    tdirs = meta.get("tombstone_dirs", [])
+    if tdirs:
+        frames = [spark.read.parquet(f"{path}/{d}") for d in tdirs]
+        tombstones = frames[0]
+        for fr in frames[1:]:
+            tombstones = tombstones.unionByName(fr)
     return BlockIndex(
         blocks=union_read("blocks"),
         docid_map=union_read("docid_map"),
@@ -1014,6 +1190,7 @@ def load_blocks(spark, path: str) -> "BlockIndex":
         n_buckets=n_buckets,
         stale_bounds=bool(meta.get("stale_bounds", False)),
         key_ordered=bool(meta.get("key_ordered", True)),
+        tombstones=tombstones,
     )
 
 
@@ -1046,7 +1223,9 @@ def phrase_match_blocks(
     if not terms:
         return _empty_topk(bidx).select(*bidx.doc_key)
     tblocks = bidx.blocks.filter(_term_filter(bidx, list(set(terms))))
-    decoded = decode_blocks(tblocks, bidx.block_span, with_positions=True)
+    decoded = _drop_dead(
+        decode_blocks(tblocks, bidx.block_span, with_positions=True), bidx.tombstones
+    )
     joined = None
     for i, t in enumerate(terms):
         ti = decoded.filter(F.col("term") == t).select(
@@ -1087,6 +1266,7 @@ def count_live_blocks(
     tblocks = bidx.blocks.filter(_term_filter(bidx, terms))
     # min_prune_postings=0: this counter exists to MEASURE pruning
     _, n_live, n_total = _prune_live_blocks(
-        bidx, tblocks, terms, k, seed_blocks, min_prune_postings=0
+        bidx, tblocks, terms, k, seed_blocks, min_prune_postings=0,
+        dead=bidx.tombstones,
     )
     return n_live, n_total

@@ -487,3 +487,195 @@ def test_batch_topk_tie_at_k_boundary_matches_sql_twin(spark, tmp_path):
     one = pc.bm25_topk_blocks(appended, "alpha beta", k=k, stem=False)
     got_one = sorted(int(r["doc_id"]) for r in one.collect())
     assert got_one == [10, 11]
+
+
+def test_delete_docs_tombstones(spark, corpus_sdf, tmp_path):
+    """Tombstone deletes (postings_codec.delete_docs): deleted docs
+    vanish from every serving path, surviving docs' scores are
+    UNCHANGED (Lucene live-docs semantics — stats still count deleted
+    docs until compaction), the op is idempotent, and the tombstone set
+    survives a vacuum."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from cis555_search_engine_spark.operators.index_build import build_index
+    from cis555_search_engine_spark.operators.postings_codec import (
+        bm25_topk_blocks,
+        build_blocks,
+        delete_docs,
+        load_blocks,
+        phrase_match_blocks,
+        vacuum_blocks,
+        write_blocks,
+    )
+
+    idx = build_index(corpus_sdf, cache=False)
+    path = str(tmp_path / "del_store")
+    write_blocks(build_blocks(idx, block_span=64), path, n_buckets=8)
+
+    dead_keys = corpus_sdf.filter(
+        F.crc32(F.col("conv_id").cast("binary")) % 3 == 0
+    ).select("conv_id", "turn_idx").distinct()
+    dead = {(r["conv_id"], r["turn_idx"]) for r in dead_keys.collect()}
+    assert dead, "fixture must delete something"
+
+    pre = load_blocks(spark, path)
+    n_new = delete_docs(spark, path, dead_keys)
+    assert n_new == len(dead)
+    # idempotent: same keys again tombstone nothing
+    assert delete_docs(spark, path, dead_keys) == 0
+
+    post = load_blocks(spark, path)
+    assert post.tombstones is not None
+
+    for query in ("rice noodle", "coronavirus", "warren buffett"):
+        # baseline: pre-delete results with the dead docs dropped
+        want = [
+            (r["conv_id"], r["turn_idx"], r["score"])
+            for r in bm25_topk_blocks(pre, query, k=200, prune=False).collect()
+            if (r["conv_id"], r["turn_idx"]) not in dead
+        ][:15]
+        for prune, minp in ((True, 0), (False, 0)):
+            got = [
+                (r["conv_id"], r["turn_idx"], r["score"])
+                for r in bm25_topk_blocks(
+                    post, query, k=15, prune=prune, min_prune_postings=minp
+                ).collect()
+            ]
+            assert [(c, t) for c, t, _ in got] == [(c, t) for c, t, _ in want], (prune, query)
+            for (_, _, gs), (_, _, ws) in zip(got, want):
+                assert math.isclose(gs, ws, rel_tol=1e-12), (prune, query)
+
+    # phrase serving drops tombstoned docs too
+    ph = {(r["conv_id"], r["turn_idx"]) for r in phrase_match_blocks(post, "rice noodle").collect()}
+    assert not (ph & dead)
+
+    # vacuum keeps tombstone dirs (they are manifest-listed)
+    vacuum_blocks(spark, path)
+    again = load_blocks(spark, path)
+    assert again.tombstones is not None
+    assert again.tombstones.count() == len(dead)
+
+
+def test_delete_then_compact_equals_fresh_build(spark, corpus_sdf, tmp_path):
+    """compact_blocks after delete_docs: tombstoned postings purged
+    physically, docids re-minted dense + key-ordered, stats recomputed
+    over the survivors — results and corpus stats equal a FRESH build
+    over the surviving corpus bit-for-bit."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from cis555_search_engine_spark.operators.index_build import build_index
+    from cis555_search_engine_spark.operators.postings_codec import (
+        bm25_topk_blocks,
+        build_blocks,
+        compact_blocks,
+        delete_docs,
+        load_blocks,
+        write_blocks,
+    )
+    from cis555_search_engine_spark.operators.scoring import bm25_topk
+
+    idx = build_index(corpus_sdf, cache=False)
+    path = str(tmp_path / "del_compact_store")
+    write_blocks(build_blocks(idx, block_span=64), path, n_buckets=8)
+
+    pred = F.crc32(F.col("conv_id").cast("binary")) % 3 == 0
+    delete_docs(spark, path, corpus_sdf.filter(pred).select("conv_id", "turn_idx").distinct())
+    compact_blocks(spark, path)
+
+    compacted = load_blocks(spark, path)
+    assert compacted.tombstones is None
+    assert compacted.key_ordered and not compacted.stale_bounds
+
+    survivors = corpus_sdf.filter(~pred)
+    fresh = build_index(survivors, cache=False)
+    assert compacted.n_docs == fresh.n_docs
+    assert math.isclose(compacted.avg_doc_len, fresh.avg_doc_len, rel_tol=1e-12)
+
+    # corpus stats equal the fresh build exactly (integer df recompute)
+    got_cs = {r["term"]: (r["df"], r["idf_bm25"]) for r in compacted.corpus_stats.collect()}
+    want_cs = {r["term"]: (r["df"], r["idf_bm25"]) for r in fresh.corpus_stats.collect()}
+    assert set(got_cs) == set(want_cs)
+    for t, (df, idf) in want_cs.items():
+        assert got_cs[t][0] == df, t
+        assert math.isclose(got_cs[t][1], idf, rel_tol=1e-12), t
+
+    for query in ("rice noodle", "coronavirus"):
+        want = [
+            (r["conv_id"], r["turn_idx"], r["score"])
+            for r in bm25_topk(fresh, query, k=15).collect()
+        ]
+        got = [
+            (r["conv_id"], r["turn_idx"], r["score"])
+            for r in bm25_topk_blocks(compacted, query, k=15, min_prune_postings=0).collect()
+        ]
+        assert [(c, t) for c, t, _ in got] == [(c, t) for c, t, _ in want], query
+        for (_, _, gs), (_, _, ws) in zip(got, want):
+            assert math.isclose(gs, ws, rel_tol=1e-9), query
+
+
+def test_exclude_terms_not_semantics(spark, corpus_sdf, spark_index, tmp_path):
+    """Boolean NOT (bm25_topk_blocks exclude_terms): no result doc
+    contains an excluded term, survivors score exactly as in the plain
+    query, and pruning stays sound (pruned ≡ unpruned) because the
+    exclusion set is applied before the θ bar."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from cis555_search_engine_spark.operators.postings_codec import (
+        bm25_topk_blocks,
+        build_blocks,
+    )
+
+    bidx = build_blocks(spark_index, block_span=64)
+    query, ex = "waaaa", ["waaaf"]
+    has_ex = {
+        (r["conv_id"], r["turn_idx"])
+        for r in spark_index.postings.filter(F.col("term").isin(ex))
+        .select("conv_id", "turn_idx").distinct().collect()
+    }
+    assert has_ex, "exclusion term must occur in the fixture corpus"
+
+    plain = [
+        (r["conv_id"], r["turn_idx"], r["score"])
+        for r in bm25_topk_blocks(bidx, query, k=200, prune=False).collect()
+    ]
+    want = [(c, t, s) for c, t, s in plain if (c, t) not in has_ex][:15]
+    assert want != plain[:15], "exclusion must change the top-k for this to test anything"
+
+    for prune in (True, False):
+        got = [
+            (r["conv_id"], r["turn_idx"], r["score"])
+            for r in bm25_topk_blocks(
+                bidx, query, k=15, prune=prune, exclude_terms=ex, min_prune_postings=0
+            ).collect()
+        ]
+        assert [(c, t) for c, t, _ in got] == [(c, t) for c, t, _ in want], prune
+        for (_, _, gs), (_, _, ws) in zip(got, want):
+            assert math.isclose(gs, ws, rel_tol=1e-12), prune
+        assert not ({(c, t) for c, t, _ in got} & has_ex)
+
+    # excluding a query's own term: remaining terms still score
+    both = bm25_topk_blocks(bidx, "waaaa waaaf", k=5, exclude_terms=["waaaf"])
+    assert not ({(r["conv_id"], r["turn_idx"]) for r in both.collect()} & has_ex)
+    # excluding EVERY query term yields the canonical empty frame
+    assert bm25_topk_blocks(bidx, "waaaf", k=5, exclude_terms=["waaaf"]).count() == 0
+
+    # exclusions pass through the SAME tokenize+stem pipeline as query
+    # terms: the raw surface form "noodle" must resolve to the stemmed
+    # index entry (the unstemmed literal would be a silent no-op NOT)
+    from cis555_search_engine_spark.functions.porter import porter_stem
+
+    noodl = porter_stem("noodle")
+    has_noodl = {
+        (r["conv_id"], r["turn_idx"])
+        for r in spark_index.postings.filter(F.col("term") == noodl)
+        .select("conv_id", "turn_idx").distinct().collect()
+    }
+    assert has_noodl, "fixture corpus must contain noodle docs"
+    out = bm25_topk_blocks(bidx, "rice noodle", k=50, exclude_terms=["noodle"])
+    assert not ({(r["conv_id"], r["turn_idx"]) for r in out.collect()} & has_noodl)
