@@ -1727,6 +1727,23 @@ def q_proximity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(40)
 
 
+def q_proximity_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity ranking SERVED from the persisted compressed block
+    index (positions decoded from the varint blobs) — same oracle as
+    proximity_topk, proving the blobs carry ranking-grade positions,
+    not just phrase-grade ones."""
+    from .operators.postings_codec import proximity_topk_blocks
+
+    bidx = ensure_block_index(spark, sf_dir)
+    out = proximity_topk_blocks(bidx, *PROX_TERMS, k=1 << 30, stem=False)
+    out = out.select(
+        "doc_id",
+        F.col("min_gap").cast("long").alias("min_gap"),
+        F.round("score", 4).alias("score"),
+    )
+    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(40)
+
+
 SQL_PROXIMITY = (
     SQL_TOK
     + """
@@ -2011,6 +2028,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pagerank": q_pagerank,
     "phrase_match": q_phrase_match,
     "proximity_topk": q_proximity_topk,
+    "proximity_blocks": q_proximity_blocks,
     "term_completion": q_term_completion,
     "term_completion_blocks": q_term_completion_blocks,
     "spell_suggest": q_spell_suggest,
@@ -2075,6 +2093,7 @@ ORACLES: dict[str, str] = {
     "pagerank": SQL_PAGERANK,
     "phrase_match": SQL_PHRASE_MATCH,
     "proximity_topk": SQL_PROXIMITY,
+    "proximity_blocks": SQL_PROXIMITY,
     "term_completion": SQL_TERM_COMPLETION,
     # served path: same dictionary, persisted range-partitioned layout
     "term_completion_blocks": SQL_TERM_COMPLETION,

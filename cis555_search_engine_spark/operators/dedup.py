@@ -351,7 +351,19 @@ def minhash_lsh_pairs(
     `ngram_jaccard_pairs` is the exact small-scale baseline.
     """
     r = num_hashes // bands
-    sig = minhash_signatures(docs, num_hashes, n, id_col, text_col)
+    # stage the (id, shingle-hash array) frame ONCE: it feeds the
+    # signature UDF AND both sides of the exact-Jaccard verification —
+    # un-staged, the tokenize→hash→shingle subplan is evaluated three
+    # more times, and the copy feeding ArrowEvalPython runs interpreted
+    # (outside whole-stage codegen), which alone cost ~4s at sf0.1.
+    # localCheckpoint (mint_doc_ids pattern): eager, lineage-truncating,
+    # released on GC — ~8·avg_doc_len bytes/doc of executor-local spill.
+    sh_staged = with_shingle_hashes(docs, n, id_col, text_col).filter(
+        F.size("shh") > 0
+    ).localCheckpoint(eager=True)
+    sig = sh_staged.select(
+        "id", minhash_affine_min_udf(num_hashes)(F.col("shh")).alias("sig")
+    )
     band_cols = [
         F.xxhash64(*[F.element_at("sig", b * r + k + 1) for k in range(r)], F.lit(b)).alias("bh")
         for b in range(bands)
@@ -362,10 +374,10 @@ def minhash_lsh_pairs(
             F.array(*[F.struct(F.lit(b).alias("band"), band_cols[b]) for b in range(bands)])
         ).alias("bb"),
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
-    # NO per-call .cache() (the round-1 leak pattern): the self-join
-    # re-evaluates the signature subplan, but with native shingle-hashing
-    # + the numpy affine fold that is cheap — cheaper than pinning a
-    # bucket dataset in executor storage for the life of the session
+    # stage the tiny (id, band, bh) frame so the self-join below reads
+    # it instead of running the signature UDF once per side (same fix
+    # as cosine_lsh_pairs / simhash_pairs; ~24 bytes × bands per doc)
+    buckets = buckets.localCheckpoint(eager=True)
     x = buckets.alias("x")
     y = buckets.alias("y")
     cands = (
@@ -378,12 +390,10 @@ def minhash_lsh_pairs(
         .select(F.col("x.id").alias("i"), F.col("y.id").alias("j"))
         .distinct()
     )
-    # exact verification on the candidate set only
-    # exact verification over shingle-HASH sets (long arrays — set
-    # semantics identical to string shingles up to 64-bit collisions)
-    sh = with_shingle_hashes(docs, n, id_col, text_col).select(
-        "id", F.array_sort("shh").alias("sh")
-    )
+    # exact verification on the candidate set only, over shingle-HASH
+    # sets (long arrays — set semantics identical to string shingles up
+    # to 64-bit collisions), read from the staged frame (no recompute)
+    sh = sh_staged.select("id", F.array_sort("shh").alias("sh"))
     verified = (
         cands.join(sh.withColumnRenamed("id", "i").withColumnRenamed("sh", "sha"), "i")
         .join(sh.withColumnRenamed("id", "j").withColumnRenamed("sh", "shb"), "j")
@@ -464,6 +474,13 @@ def simhash_pairs(
     because the base hash is SQL-reproducible (simhash_base_hash).
     """
     sims = simhash60(docs, id_col, text_col)
+    # stage the (id, simhash) frame ONCE: the chunk self-join below
+    # would otherwise evaluate the whole simhash subplan — tokenize +
+    # md5 + 60 per-bit aggs — once PER JOIN SIDE (the same
+    # double-evaluation that made cosine_lsh_pairs round-2's slowest
+    # query). localCheckpoint (mint_doc_ids pattern): eager, lineage-
+    # truncating, released on GC — never a session-pinned cache.
+    sims = sims.localCheckpoint(eager=True)
     chunks = sims.select(
         "id",
         "simhash",
@@ -493,6 +510,10 @@ def simhash_pairs(
             F.col("y.id").alias("j"),
             F.bit_count(F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))).alias("hamming"),
         )
-        .distinct()
+        # filter BEFORE the distinct: a pair can agree on several chunks
+        # (up to 4 duplicate candidate rows), but only qualifying pairs
+        # need the dedup shuffle — hamming > max_hamming rows would pay
+        # the exchange only to be dropped after it
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )

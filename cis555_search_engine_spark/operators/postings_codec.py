@@ -1253,6 +1253,67 @@ def phrase_match_blocks(
     )
 
 
+def proximity_topk_blocks(
+    bidx: BlockIndex, term_a: str, term_b: str, k: int = 40, stem: bool = True
+) -> DataFrame:
+    """BM25 + positional-proximity ranking served from the compressed
+    blobs — the blocks twin of `query_ops.proximity_topk` (same score:
+    BM25(a) + BM25(b) + 1/(1+min_gap) over the posting intersection).
+
+    One bucket- and term-pruned scan decodes BOTH terms' blocks with
+    positions; the intersection is a docid equi-join (doc-range blocks
+    co-partition the terms, so join keys align block-wise), the gap is
+    native array math, tombstoned docs are dropped. No pruning: both
+    full posting lists are needed — proximity has no sound per-block
+    upper bound for the 1/(1+gap) part (a block's docs can pair with
+    positions anywhere in the doc).
+    """
+    from .query_ops import _min_cross_gap
+    from .scoring import bm25_score_col
+
+    ta = _query_terms(term_a, stem)
+    tb = _query_terms(term_b, stem)
+    if not ta or not tb:
+        empty = _empty_topk(bidx)
+        return empty.select(
+            *bidx.doc_key, F.lit(None).cast("long").alias("min_gap"), "score"
+        )
+    a, b = ta[0], tb[0]
+    tblocks = bidx.blocks.filter(_term_filter(bidx, list({a, b})))
+    decoded = _drop_dead(
+        decode_blocks(tblocks, bidx.block_span, with_positions=True), bidx.tombstones
+    )
+    idf = bidx.corpus_stats.filter(F.col("term").isin([a, b])).select("term", "idf_bm25")
+    sides = decoded.join(F.broadcast(idf), "term")
+
+    def side(term: str, tag: str) -> DataFrame:
+        return sides.filter(F.col("term") == term).select(
+            "docid",
+            F.col("tf").alias(f"tf_{tag}"),
+            F.col("positions").alias(f"pos_{tag}"),
+            F.col("idf_bm25").alias(f"idf_{tag}"),
+            *([F.col("doc_len")] if tag == "a" else []),
+        )
+
+    both = side(a, "a").join(side(b, "b"), "docid")
+    scored = both.withColumn(
+        "min_gap", _min_cross_gap(F.col("pos_a"), F.col("pos_b"))
+    ).withColumn(
+        "score",
+        bm25_score_col(F.col("tf_a"), F.col("idf_a"), F.col("doc_len"), bidx.avg_doc_len)
+        + bm25_score_col(F.col("tf_b"), F.col("idf_b"), F.col("doc_len"), bidx.avg_doc_len)
+        + 1.0 / (1.0 + F.col("min_gap")),
+    ).select("docid", "min_gap", "score")
+    key = list(bidx.doc_key)
+    if bidx.key_ordered:
+        top = scored.orderBy(F.desc("score"), F.asc("docid")).limit(k)
+        joined = top.join(bidx.docid_map, "docid")
+    else:
+        joined = scored.join(bidx.docid_map, "docid")
+    order = [F.desc("score")] + [F.asc(c) for c in key]
+    return joined.select(*key, "min_gap", "score").orderBy(*order).limit(k)
+
+
 def count_live_blocks(
     bidx: BlockIndex, query: str, k: int = 80, stem: bool = True, seed_blocks: int = 8
 ) -> tuple[int, int]:

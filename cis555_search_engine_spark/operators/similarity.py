@@ -384,6 +384,10 @@ def kmeans_quantized(
     base = emb.select(
         F.col(id_col).alias("id"), quantized_vec_col(F.col(vec_col), scale).alias("vq")
     ).filter(F.col("vq").isNotNull())
+    # stage the quantized vectors ONCE: the dim agg, the seed collect,
+    # and every Lloyd iteration's assignment+sum would otherwise each
+    # rescan and re-quantize the source (n_iter+2 subplan evaluations)
+    base = base.localCheckpoint(eager=True)
     # dim = the MODAL vector length (tie -> smaller), via one tiny agg;
     # rows of any other length are excluded from BOTH seeding and (via
     # the assignment UDF's per-row validity mask) clustering. Deriving

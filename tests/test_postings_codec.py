@@ -679,3 +679,33 @@ def test_exclude_terms_not_semantics(spark, corpus_sdf, spark_index, tmp_path):
     assert has_noodl, "fixture corpus must contain noodle docs"
     out = bm25_topk_blocks(bidx, "rice noodle", k=50, exclude_terms=["noodle"])
     assert not ({(r["conv_id"], r["turn_idx"]) for r in out.collect()} & has_noodl)
+
+
+def test_proximity_blocks_matches_longform(spark_index):
+    """proximity_topk_blocks (positions decoded from varint blobs) must
+    equal query_ops.proximity_topk (long-form positions) — keys, gaps,
+    and scores."""
+    import math
+
+    from cis555_search_engine_spark.functions.porter import porter_stem
+    from cis555_search_engine_spark.operators.postings_codec import (
+        build_blocks,
+        proximity_topk_blocks,
+    )
+    from cis555_search_engine_spark.operators.query_ops import proximity_topk
+
+    bidx = build_blocks(spark_index, block_span=64)
+    want = proximity_topk(
+        spark_index, porter_stem("rice"), porter_stem("noodle"), k=10
+    ).collect()
+    assert want, "fixture must have rice∩noodle docs"
+    got = proximity_topk_blocks(bidx, "rice", "noodle", k=10).collect()
+    assert [(r["conv_id"], r["turn_idx"], r["min_gap"]) for r in got] == [
+        (r["conv_id"], r["turn_idx"], r["min_gap"]) for r in want
+    ]
+    for g, w in zip(got, want):
+        assert math.isclose(g["score"], w["score"], rel_tol=1e-12)
+    # empty side -> canonical empty frame with the proximity schema
+    empty = proximity_topk_blocks(bidx, "zzzznoterm", "", k=5)
+    assert empty.count() == 0
+    assert empty.columns == ["conv_id", "turn_idx", "min_gap", "score"]
