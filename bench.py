@@ -246,6 +246,12 @@ def main() -> None:
     EQ._ensure_compact_store(spark, sf_dir)
     timings["compact_build"] = round(time.perf_counter() - t0, 3)
     t0 = time.perf_counter()
+    EQ._ensure_deleted_store(spark, sf_dir)
+    timings["delete_build"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    EQ._ensure_compact_deleted_store(spark, sf_dir)
+    timings["compact_deleted_build"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
     shutil.rmtree(EQ._ivf_index_path(sf_dir), ignore_errors=True)  # cold build
     EQ.ensure_ivf_index(spark, sf_dir)
     timings["ivf_build"] = round(time.perf_counter() - t0, 3)

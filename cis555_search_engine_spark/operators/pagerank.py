@@ -96,38 +96,65 @@ def pagerank(
     is_ckpt = False
 
     def finish(result: DataFrame, already_ckpt: bool) -> DataFrame:
-        out = result if already_ckpt else result.localCheckpoint(eager=True)
+        # restore the full node set: nodes that never received an
+        # in-link are absent from the loop's partial rank frames and
+        # hold rank = BASE by definition
+        full = nodes.join(result, "id", "left").select(
+            "id", F.coalesce(F.col("rank"), F.lit(BASE)).alias("rank")
+        )
+        out = full.localCheckpoint(eager=True)
+        if already_ckpt:
+            _release(result)
         for df in pinned:
-            if df is not out:
+            if df is not out and df is not result:
                 _release(df)
         nodes.unpersist()
         ed.unpersist()
         return out
 
     for i in range(n_iter):
+        # After iteration 1 the rank frame holds only nodes WITH
+        # in-links (the agg's key set); every other node's rank is
+        # exactly BASE forever, so instead of re-joining `nodes` every
+        # iteration (one extra join+exchange per iteration — a third of
+        # the loop's stages) the missing ranks are coalesced to BASE at
+        # the two read points: the contribution join here and the final
+        # projection in `finish`. Algebraically identical output.
         contribs = (
-            ed.join(ranks.withColumnRenamed("id", "src"), "src")
-            .select(F.col("dst").alias("id"), (F.col("rank") / F.col("deg")).alias("c"))
-        )
-        new_ranks = (
-            nodes.join(contribs.groupBy("id").agg(F.sum("c").alias("s")), "id", "left")
+            ed.join(ranks.withColumnRenamed("id", "src"), "src", "left")
             .select(
-                "id", (BASE + DAMPING * F.coalesce(F.col("s"), F.lit(0.0))).alias("rank")
+                F.col("dst").alias("id"),
+                (F.coalesce(F.col("rank"), F.lit(BASE)) / F.col("deg")).alias("c"),
             )
         )
+        new_ranks = contribs.groupBy("id").agg(
+            (BASE + DAMPING * F.sum("c")).alias("rank")
+        )
         is_ckpt = (i + 1) % checkpoint_every == 0 or (i + 1) == n_iter
+        check_now = bool(check_every) and (i + 1) % check_every == 0
         if is_ckpt:
             # eager checkpoint materializes THROUGH the pinned parents,
             # so they can be released right after the convergence check
             new_ranks = new_ranks.localCheckpoint(eager=True)
-        else:
+        elif check_now:
+            # consumed twice (convergence count + the next iteration):
+            # cache. Otherwise a rank frame is consumed exactly ONCE —
+            # by the next iteration — and persisting it buys nothing
+            # while costing a per-iteration materialization barrier
+            # (round-3 bench: caching every iteration doubled the
+            # 10-iteration wall time); lineage stays bounded by
+            # checkpoint_every either way.
             new_ranks = new_ranks.cache()
         converged = False
-        if check_every and (i + 1) % check_every == 0:
+        if check_now:
+            # left join from the (superset or equal) old frame; a node
+            # missing from new_ranks has no in-links and sits at BASE
             moved = (
                 ranks.withColumnRenamed("rank", "r0")
-                .join(new_ranks, "id")
-                .filter(F.abs(F.col("rank") - F.col("r0")) > eps)
+                .join(new_ranks, "id", "left")
+                .filter(
+                    F.abs(F.coalesce(F.col("rank"), F.lit(BASE)) - F.col("r0")) > eps
+                )
                 .count()
             )
             total = nodes.count()
@@ -139,7 +166,8 @@ def pagerank(
             for df in pinned:
                 _release(df)
             pinned.clear()
-        pinned.append(new_ranks)
+        if is_ckpt or check_now:
+            pinned.append(new_ranks)
         ranks = new_ranks
         if converged:
             break
