@@ -992,6 +992,8 @@ def delete_docs(spark, path: str, doc_keys: DataFrame, applied_marker: str | Non
     from .. import fsio
 
     meta = _read_meta(spark, path)
+    if applied_marker is not None and applied_marker in meta.get("applied_epochs", []):
+        return 0  # crash-redelivered epoch: delete already committed
     bidx = load_blocks(spark, path)
     dk = list(meta["doc_key"])
     tomb = (

@@ -399,3 +399,80 @@ def test_append_crash_before_manifest_commit_exactly_once(spark, corpus_sdf, tmp
     still = [c for c in os.listdir(path) if c in orphans]
     assert not still
     assert pc.load_blocks(spark, path).n_docs == full.n_docs
+
+
+def test_delete_crash_before_manifest_commit_exactly_once(spark, corpus_sdf, tmp_path):
+    """delete_docs shares append's one-atomic-commit protocol: a crash
+    between the tombstone-parquet write and the manifest commit leaves
+    the delete INVISIBLE (old index serves unchanged, orphan dir
+    unlisted); the retry applies exactly once (idempotent via the
+    left_anti against already-live tombstones + the epoch marker)."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cis555_search_engine_spark.operators import postings_codec as pc
+    from cis555_search_engine_spark.operators.index_build import build_index
+
+    path = str(tmp_path / "del_crash_store")
+    pc.write_blocks(
+        pc.build_blocks(build_index(corpus_sdf, cache=False), block_span=64),
+        path, n_buckets=8,
+    )
+    dead_keys = corpus_sdf.filter(
+        F.crc32(F.col("conv_id").cast("binary")) % 3 == 0
+    ).select("conv_id", "turn_idx").distinct()
+    n_dead = dead_keys.count()
+
+    def snapshot():
+        bidx = pc.load_blocks(spark, path)
+        return (
+            bidx.tombstones.count() if bidx.tombstones is not None else 0,
+            [(r["conv_id"], r["turn_idx"], round(r["score"], 9))
+             for r in pc.bm25_topk_blocks(bidx, "rice noodle", k=10).collect()],
+        )
+
+    before = snapshot()
+    real_commit = pc._commit_meta
+
+    def crash_commit(spark_, path_, meta_):
+        raise RuntimeError("simulated crash before manifest commit")
+
+    pc._commit_meta = crash_commit
+    try:
+        with pytest.raises(RuntimeError):
+            pc.delete_docs(spark, path, dead_keys, applied_marker="del:0")
+    finally:
+        pc._commit_meta = real_commit
+
+    # the crashed delete is INVISIBLE: no tombstones, same answers
+    assert snapshot() == before
+
+    # the orphaned tombstone dir is on disk but unlisted
+    with open(os.path.join(path, "_meta.json")) as f:
+        meta = json.load(f)
+    assert not meta.get("tombstone_dirs")
+    orphans = [c for c in os.listdir(path)
+               if c.startswith("del-") and not c.startswith(".")]
+    assert orphans, "expected an orphaned tombstone dir from the crash"
+
+    # retry applies exactly once; epoch marker recorded once
+    assert pc.delete_docs(spark, path, dead_keys, applied_marker="del:0") == n_dead
+    # redelivery of the SAME epoch is a committed-marker no-op
+    assert pc.delete_docs(spark, path, dead_keys, applied_marker="del:0") == 0
+    with open(os.path.join(path, "_meta.json")) as f:
+        meta = json.load(f)
+    assert meta["applied_epochs"].count("del:0") == 1
+    assert len(meta["tombstone_dirs"]) == 1
+    after_tomb, after_top = snapshot()
+    assert after_tomb == n_dead
+    dead = {(r["conv_id"], r["turn_idx"]) for r in dead_keys.collect()}
+    assert not ({(c, t) for c, t, _ in after_top} & dead)
+
+    # vacuum sweeps the crash orphan but keeps the LIVE tombstone dir
+    pc.vacuum_blocks(spark, path)
+    live_dir = meta["tombstone_dirs"][0]
+    remaining = [c for c in os.listdir(path) if c.startswith("del-")]
+    assert remaining == [live_dir]
+    assert snapshot() == (after_tomb, after_top)
