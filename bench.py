@@ -69,6 +69,7 @@ INDEX_TIER = [
 BLOCK_TIER = [
     "bm25_blocks", "bm25_batch_blocks", "bm25_and_blocks", "phrase_blocks",
     "term_completion_blocks", "bm25_not_blocks", "proximity_blocks",
+    "bool_blocks",
 ]
 # Section D: index-maintenance paths (append / compact / delete / IVF).
 MAINT_TIER = [

@@ -99,6 +99,16 @@ class SearchEngine:
     def phrase(self, phrase: str) -> DataFrame:
         return phrase_match_blocks(self.blocks(), phrase)
 
+    def query(self, q: str, k: int = 80, mode: str = "or") -> DataFrame:
+        """Boolean query language over the block index:
+        ``hash join "merge sort" -noodle -"rice noodle"`` — bare terms
+        score, quoted phrases are required, '-' negates a term/phrase.
+        Exact top-k under block-max pruning (every boolean part is
+        applied before the pruning bar)."""
+        from .operators.postings_codec import boolean_topk_blocks
+
+        return boolean_topk_blocks(self.blocks(), q, k=k, conjunctive=(mode == "and"))
+
     # ------------------------------------------- batch / presentation
 
     def search_many(self, queries: dict[str, str], k: int = 10, **kw) -> DataFrame:

@@ -915,6 +915,46 @@ LIMIT 80
 )
 
 
+def q_bool_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed boolean query language under the oracle gate:
+    `merge "hash join" -stream` — BM25 over {merge, hash, join}, docs
+    REQUIRED to contain the exact phrase "hash join", docs containing
+    'stream' excluded; all parts applied before the pruning bar θ
+    (postings_codec.boolean_topk_blocks)."""
+    from .operators.postings_codec import boolean_topk_blocks
+
+    bidx = ensure_block_index(spark, sf_dir)
+    out = boolean_topk_blocks(bidx, 'merge "hash join" -stream', k=80, stem=False)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"), F.round("score", 4).alias("score")
+    )
+
+
+SQL_BOOL_BLOCKS = (
+    SQL_TOK
+    + f"""
+SELECT p.doc_id,
+       round(sum(ln((tot.n_docs - cs.df + 0.5) / (cs.df + 0.5) + 1.0)
+                 * p.tf * 2.2
+                 / (p.tf + 1.2 * (0.25 + 0.75 * ds.doc_len / tot.avg_len))), 4) AS score
+FROM postings p, cs, ds, tot
+WHERE p.term = cs.term AND p.doc_id = ds.doc_id
+  AND p.term IN ('merge', 'hash', 'join')
+  AND p.doc_id NOT IN (SELECT doc_id FROM postings WHERE term = 'stream')
+  AND p.doc_id IN (
+    SELECT p1.doc_id FROM postings p1 JOIN postings p2 ON p1.doc_id = p2.doc_id
+    WHERE p1.term = 'hash' AND p2.term = 'join'
+      AND len(list_intersect(list_transform(p1.positions, x -> x + 1), p2.positions)) > 0)
+GROUP BY p.doc_id
+ORDER BY sum(ln((tot.n_docs - cs.df + 0.5) / (cs.df + 0.5) + 1.0)
+             * p.tf * 2.2
+             / (p.tf + 1.2 * (0.25 + 0.75 * ds.doc_len / tot.avg_len))) DESC,
+         p.doc_id ASC
+LIMIT 80
+"""
+)
+
+
 def _ensure_deleted_store(spark: SparkSession, sf_dir: str):
     """Copy the persisted block index and tombstone every doc with
     doc_id % 7 == 0 (postings_codec.delete_docs) — once per process.
@@ -1991,6 +2031,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_append_blocks": q_bm25_append_blocks,
     "bm25_compacted": q_bm25_compacted,
     "bm25_not_blocks": q_bm25_not_blocks,
+    "bool_blocks": q_bool_blocks,
     "bm25_deleted_blocks": q_bm25_deleted_blocks,
     "bm25_compact_deleted": q_bm25_compact_deleted,
     "merge_stats": q_merge_stats,
@@ -2054,6 +2095,7 @@ ORACLES: dict[str, str] = {
     # compaction must be invisible to results: same full-corpus oracle
     "bm25_compacted": SQL_BM25_TOPK,
     "bm25_not_blocks": SQL_BM25_NOT,
+    "bool_blocks": SQL_BOOL_BLOCKS,
     "bm25_deleted_blocks": SQL_BM25_DELETED,
     "bm25_compact_deleted": SQL_BM25_COMPACT_DELETED,
     "merge_stats": SQL_CORPUS_STATS,

@@ -385,6 +385,18 @@ def _drop_dead(decoded: DataFrame, dead: DataFrame | None) -> DataFrame:
     return decoded.join(F.broadcast(dead.select("docid")), "docid", "left_anti")
 
 
+def _keep_live(decoded: DataFrame, live: DataFrame | None) -> DataFrame:
+    """Restrict decoded posting rows to an include set of docids (the
+    boolean query language's required-phrase filter). A plain semi-join
+    (AQE broadcasts small sides): unlike the dead set, a required-phrase
+    set can legitimately be large (a common phrase), so no forced
+    broadcast. Applied BEFORE scoring — including the seed scoring that
+    sets θ — for the same pruning-soundness reason as `_drop_dead`."""
+    if live is None:
+        return decoded
+    return decoded.join(live.select("docid"), "docid", "left_semi")
+
+
 def _score_decoded(
     decoded: DataFrame,
     corpus_stats: DataFrame,
@@ -392,16 +404,18 @@ def _score_decoded(
     avg_len: float,
     conjunctive: bool = False,
     dead: DataFrame | None = None,
+    live: DataFrame | None = None,
 ) -> DataFrame:
     """(term, docid, tf, doc_len) rows -> (docid, score). With
     ``conjunctive`` only docs containing every term survive (posting-list
     intersection folded into the hash agg). ``dead`` docids (tombstones /
-    NOT-exclusions) are dropped before the agg."""
+    NOT-exclusions) are dropped, and when ``live`` is given only its
+    docids are kept, both before the agg."""
     from .scoring import bm25_score_col
 
     idf = corpus_stats.filter(F.col("term").isin(terms)).select("term", "idf_bm25")
     grouped = (
-        _drop_dead(decoded, dead).join(F.broadcast(idf), "term")
+        _keep_live(_drop_dead(decoded, dead), live).join(F.broadcast(idf), "term")
         .withColumn(
             "partial",
             bm25_score_col(
@@ -436,6 +450,7 @@ def _prune_live_blocks(
     conjunctive: bool = False,
     min_prune_postings: int = DEFAULT_MIN_PRUNE_POSTINGS,
     dead: DataFrame | None = None,
+    live_docs: DataFrame | None = None,
 ) -> tuple[DataFrame, int, int]:
     """Block-max pruning shared by bm25_topk_blocks / count_live_blocks.
 
@@ -516,7 +531,8 @@ def _prune_live_blocks(
     # RAISED a block's max_impact, never lowered it.
     seed_scores = _score_decoded(
         decode_blocks(seed, bidx.block_span, with_positions=False),
-        bidx.corpus_stats, terms, bidx.avg_doc_len, conjunctive, dead=dead,
+        bidx.corpus_stats, terms, bidx.avg_doc_len, conjunctive,
+        dead=dead, live=live_docs,
     )
     kth = (
         seed_scores.orderBy(F.desc("score")).limit(k)
@@ -559,6 +575,8 @@ def bm25_topk_blocks(
     conjunctive: bool = False,
     min_prune_postings: int = DEFAULT_MIN_PRUNE_POSTINGS,
     exclude_terms: list[str] | None = None,
+    include_docs: DataFrame | None = None,
+    exclude_docs: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k BM25 from compressed blocks, block-max pruned, EXACT.
 
@@ -578,6 +596,12 @@ def bm25_topk_blocks(
     of the excluded terms' blocks) and ride the dead-docid filter
     together with delete tombstones — so NOT semantics, like deletes,
     are sound under block-max pruning (filtered before θ).
+
+    ``include_docs`` / ``exclude_docs`` = (docid) frames restricting /
+    removing candidate docs (the boolean query language's required and
+    excluded phrases resolve to these). Both are applied BEFORE the
+    pruning bar θ — include via semi-join, exclude via the dead-docid
+    union — so pruning stays exact under any boolean combination.
     """
     terms = _query_terms(query, stem)
     if not terms:
@@ -590,6 +614,9 @@ def bm25_topk_blocks(
         return _empty_topk(bidx)
 
     dead = bidx.tombstones
+    if exclude_docs is not None:
+        xd = exclude_docs.select("docid")
+        dead = xd if dead is None else dead.select("docid").unionByName(xd).distinct()
     if ex_terms:
         xblocks = bidx.blocks.filter(_term_filter(bidx, ex_terms))
         xdocs = (
@@ -597,17 +624,21 @@ def bm25_topk_blocks(
             .select("docid").distinct()
         )
         dead = xdocs if dead is None else dead.select("docid").unionByName(xdocs).distinct()
+    if dead is not None and (ex_terms or exclude_docs is not None):
         # stage once: the dead frame feeds both the seed-θ scoring and
         # the final scoring — without this each consumer re-decodes the
-        # excluded terms' blocks (mint_doc_ids pattern: eager, lineage-
-        # truncating, freed on GC)
+        # excluded terms' blocks / phrase subplans (mint_doc_ids
+        # pattern: eager, lineage-truncating, freed on GC)
         dead = dead.localCheckpoint(eager=True)
+    if include_docs is not None:
+        # same staging argument for the required-phrase include set
+        include_docs = include_docs.select("docid").distinct().localCheckpoint(eager=True)
 
     tblocks = bidx.blocks.filter(_term_filter(bidx, terms))
     if prune:
         live, _, _ = _prune_live_blocks(
             bidx, tblocks, terms, k, seed_blocks, conjunctive, min_prune_postings,
-            dead=dead,
+            dead=dead, live_docs=include_docs,
         )
     else:
         live = tblocks
@@ -615,6 +646,7 @@ def bm25_topk_blocks(
     scores = _score_decoded(
         decode_blocks(live, bidx.block_span, with_positions=False),
         bidx.corpus_stats, terms, bidx.avg_doc_len, conjunctive, dead=dead,
+        live=include_docs,
     )
     key = list(bidx.doc_key)
     if bidx.key_ordered:
@@ -1208,12 +1240,11 @@ def _term_filter(bidx: BlockIndex, terms: list[str]):
     return cond
 
 
-def phrase_match_blocks(
-    bidx: BlockIndex, phrase: str, stem: bool = True
-) -> DataFrame:
-    """Exact phrase search served from the compressed blobs — the
-    capability positions are stored for (north rule). Returns
-    (doc_key..., n_occurrences > 0).
+def _phrase_docids(bidx: BlockIndex, phrase: str, stem: bool = True) -> DataFrame | None:
+    """(docid, n_occurrences) of docs containing the exact phrase —
+    the docid-level core shared by `phrase_match_blocks` and the
+    boolean query language's required/excluded phrase filters.
+    Returns None for an empty/untokenizable phrase.
 
     Start positions of the phrase = { p : toks[p+i] = term_i ∀i },
     computed per doc with native array lambdas over the decoded
@@ -1223,7 +1254,7 @@ def phrase_match_blocks(
     toks = tokenize_py(phrase)
     terms = [porter_stem(t) for t in toks] if stem else toks
     if not terms:
-        return _empty_topk(bidx).select(*bidx.doc_key)
+        return None
     tblocks = bidx.blocks.filter(_term_filter(bidx, list(set(terms))))
     decoded = _drop_dead(
         decode_blocks(tblocks, bidx.block_span, with_positions=True), bidx.tombstones
@@ -1242,11 +1273,22 @@ def phrase_match_blocks(
     starts = F.col("p0")
     for i in range(1, len(terms)):
         starts = F.filter(starts, _follows(i))
-    out = (
+    return (
         joined.withColumn("n_occurrences", F.size(starts).cast("long"))
         .filter(F.col("n_occurrences") > 0)
         .select("docid", "n_occurrences")
     )
+
+
+def phrase_match_blocks(
+    bidx: BlockIndex, phrase: str, stem: bool = True
+) -> DataFrame:
+    """Exact phrase search served from the compressed blobs — the
+    capability positions are stored for (north rule). Returns
+    (doc_key..., n_occurrences > 0)."""
+    out = _phrase_docids(bidx, phrase, stem)
+    if out is None:
+        return _empty_topk(bidx).select(*bidx.doc_key)
     key = list(bidx.doc_key)
     return (
         out.join(bidx.docid_map, "docid")
@@ -1333,3 +1375,63 @@ def count_live_blocks(
         dead=bidx.tombstones,
     )
     return n_live, n_total
+
+
+def boolean_topk_blocks(
+    bidx: BlockIndex,
+    query: str,
+    k: int = 80,
+    stem: bool = True,
+    prune: bool = True,
+    conjunctive: bool = False,
+    min_prune_postings: int = DEFAULT_MIN_PRUNE_POSTINGS,
+) -> DataFrame:
+    """Boolean query language over the compressed block index:
+
+        hash join "merge sort" -noodle -"rice noodle"
+
+    Bare terms score (BM25; AND with ``conjunctive``); quoted phrases
+    are REQUIRED and their terms also score; '-' negates a term or a
+    phrase. Every part resolves against the SAME index: required /
+    excluded phrases become (docid) include / exclude sets via
+    `_phrase_docids` (one bucket+term-pruned positional decode each),
+    negated terms ride the dead-docid filter, and all of it is applied
+    BEFORE the block-max pruning bar θ inside `bm25_topk_blocks` — so
+    the composed query is still EXACT top-k under pruning.
+
+    The reference frontend's query language stopped at whitespace
+    keywords (SearchHelper.java:138-144); this is the boolean surface
+    its index design supports but never shipped.
+    """
+    from .query_ops import parse_boolean_query
+
+    p = parse_boolean_query(query)
+    include = None
+    for ph in p["phrases"]:
+        d = _phrase_docids(bidx, ph, stem)
+        if d is None:
+            continue
+        d = d.select("docid")
+        include = d if include is None else include.join(d, "docid", "left_semi")
+    exclude_docs = None
+    for ph in p["not_phrases"]:
+        d = _phrase_docids(bidx, ph, stem)
+        if d is None:
+            continue
+        d = d.select("docid")
+        exclude_docs = d if exclude_docs is None else exclude_docs.unionByName(d)
+    pos_query = " ".join(p["terms"] + p["phrases"])
+    if not pos_query.strip():
+        return _empty_topk(bidx)
+    return bm25_topk_blocks(
+        bidx,
+        pos_query,
+        k=k,
+        stem=stem,
+        prune=prune,
+        conjunctive=conjunctive,
+        min_prune_postings=min_prune_postings,
+        exclude_terms=p["not_terms"] or None,
+        include_docs=include,
+        exclude_docs=exclude_docs,
+    )

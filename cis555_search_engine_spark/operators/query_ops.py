@@ -310,3 +310,41 @@ def group_topk(
         F.max("score").alias("best"),
     )
     return agg.orderBy(F.desc("score"), F.asc(group_col)).limit(k)
+
+
+# ------------------------------------------------- boolean query language
+
+_QUERY_TOKEN = None  # compiled lazily (regex below)
+
+
+def parse_boolean_query(query: str) -> dict:
+    """Parse the facade's boolean query syntax into its four parts:
+
+        hash join "merge sort" -noodle -"rice noodle"
+
+    -> {"terms": ["hash", "join"], "phrases": ["merge sort"],
+        "not_terms": ["noodle"], "not_phrases": ["rice noodle"]}
+
+    Pure Python, no Spark. Bare terms score (BM25, OR semantics by
+    default); quoted phrases are REQUIRED (their terms also score);
+    '-' negates a term or phrase. An unterminated quote swallows the
+    rest of the query as the phrase (forgiving, never an error — the
+    reference frontend's sanitizer philosophy, SearchHelper.java:138).
+    Term text is NOT normalized here — the downstream operators run
+    every part through the same tokenize+stem pipeline as document
+    text, so 'Noodle' and 'noodle' negate the same postings.
+    """
+    import re
+
+    global _QUERY_TOKEN
+    if _QUERY_TOKEN is None:
+        _QUERY_TOKEN = re.compile(r'(-?)"([^"]*)"?|(-?)([^\s"]+)')
+    out: dict = {"terms": [], "phrases": [], "not_terms": [], "not_phrases": []}
+    for m in _QUERY_TOKEN.finditer(query or ""):
+        neg_p, phrase, neg_t, term = m.groups()
+        if phrase is not None:
+            if phrase.strip():
+                out["not_phrases" if neg_p else "phrases"].append(phrase.strip())
+        elif term and term != "-":
+            out["not_terms" if neg_t else "terms"].append(term)
+    return out

@@ -709,3 +709,82 @@ def test_proximity_blocks_matches_longform(spark_index):
     empty = proximity_topk_blocks(bidx, "zzzznoterm", "", k=5)
     assert empty.count() == 0
     assert empty.columns == ["conv_id", "turn_idx", "min_gap", "score"]
+
+
+def test_boolean_query_language(spark_index, block_index):
+    """boolean_topk_blocks composes BM25 + required phrase + negated
+    term, all EXACT under block-max pruning: results must equal the
+    manually composed long-form pipeline."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from cis555_search_engine_spark.functions.porter import porter_stem
+    from cis555_search_engine_spark.operators.postings_codec import (
+        boolean_topk_blocks,
+        phrase_match_blocks,
+    )
+    from cis555_search_engine_spark.operators.query_ops import parse_boolean_query
+    from cis555_search_engine_spark.operators.scoring import bm25_topk
+
+    # parser shapes
+    assert parse_boolean_query('hash join "merge sort" -noodle -"rice noodle"') == {
+        "terms": ["hash", "join"], "phrases": ["merge sort"],
+        "not_terms": ["noodle"], "not_phrases": ["rice noodle"],
+    }
+    assert parse_boolean_query('"unterminated pair') == {
+        "terms": [], "phrases": ["unterminated pair"],
+        "not_terms": [], "not_phrases": [],
+    }
+
+    # derive a phrase guaranteed to occur (the first two tokens of the
+    # lexicographically-first doc — same recipe as the phrase test)
+    first = spark_index.postings.filter(F.array_contains("positions", 0)).orderBy(
+        "conv_id", "turn_idx"
+    ).first()
+    w0 = first["term"]
+    w1 = spark_index.postings.filter(
+        (F.col("conv_id") == first["conv_id"])
+        & (F.col("turn_idx") == first["turn_idx"])
+        & F.array_contains("positions", 1)
+    ).first()["term"]
+    q = f'{w0} "{w0} {w1}" -waaaf'
+    phrase_docs = {
+        (r["conv_id"], r["turn_idx"])
+        for r in phrase_match_blocks(block_index, f"{w0} {w1}").collect()
+    }
+    assert phrase_docs, "fixture must contain the phrase"
+    negated = {
+        (r["conv_id"], r["turn_idx"])
+        for r in spark_index.postings.filter(
+            F.col("term") == porter_stem("waaaf")
+        ).select("conv_id", "turn_idx").distinct().collect()
+    }
+    # manual composition: BM25 over the positive terms, restricted to
+    # phrase docs, minus negated-term docs
+    want = [
+        (r["conv_id"], r["turn_idx"], r["score"])
+        for r in bm25_topk(spark_index, f"{w0} {w1}", k=10**6).collect()
+        if (r["conv_id"], r["turn_idx"]) in phrase_docs
+        and (r["conv_id"], r["turn_idx"]) not in negated
+    ][:10]
+    assert want, "composition must keep something"
+    for prune in (True, False):
+        got = [
+            (r["conv_id"], r["turn_idx"], r["score"])
+            for r in boolean_topk_blocks(
+                block_index, q, k=10, prune=prune, min_prune_postings=0
+            ).collect()
+        ] if prune else [
+            (r["conv_id"], r["turn_idx"], r["score"])
+            for r in boolean_topk_blocks(block_index, q, k=10, prune=False).collect()
+        ]
+        assert [(c, t) for c, t, _ in got] == [(c, t) for c, t, _ in want], prune
+        for (_, _, gs), (_, _, ws) in zip(got, want):
+            assert math.isclose(gs, ws, rel_tol=1e-12), prune
+
+    # pure-negative and empty queries return the canonical empty frame
+    assert boolean_topk_blocks(block_index, "-rice", k=5).count() == 0  # pure negative
+    assert boolean_topk_blocks(block_index, "", k=5).count() == 0
+    # a required phrase with no hits empties the result
+    assert boolean_topk_blocks(block_index, 'rice "zzzq wwwk"', k=5).count() == 0
