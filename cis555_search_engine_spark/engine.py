@@ -12,6 +12,7 @@ that system gets the same lifecycle here:
     eng.search("rice noodle", ranker="tfidf")  # reference parity ranker
     eng.search("rice noodle", ranker="cosine") # reference cosine ranker
     eng.search_blocks("rice noodle")           # compressed block-max path
+    eng.query('rice "hash join" -noodle')      # boolean query language
     eng.phrase("rice noodle")                  # positional phrase match
     eng.search_many({"q1": "...", "q2": "..."})  # query log in ONE job
     eng.search_with_snippets("rice noodle")    # results + text previews
