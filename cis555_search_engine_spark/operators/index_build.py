@@ -217,25 +217,32 @@ def document_frequency_salted(postings: DataFrame, salt_buckets: int = 32) -> Da
     return partial.groupBy("term").agg(F.sum("pdf").cast("long").alias("df"))
 
 
-def corpus_stats(
-    postings: DataFrame, n_docs: int, n_postings: int
-) -> DataFrame:
-    """(term, df, idf_ref, idf_bm25).
+def stats_from_df(df_frame: DataFrame, n_docs: int, n_postings: int) -> DataFrame:
+    """(term, df) -> (term, df, idf_ref, idf_bm25) — THE one place the
+    idf formulas live (corpus_stats, merge_indexes, append_blocks, and
+    compact_blocks all derive stats through here; the reference's
+    idf_ref quirk below must never diverge between them).
 
     idf_ref  = ln(n_postings / df)   — the reference's quirk: N = total
                posting rows, not doc count (verified SURVEY §1.1 against
                report p.3 example rows).
     idf_bm25 = ln((N - df + .5)/(df + .5) + 1), N = n_docs.
     """
-    df = document_frequency(postings)
-    return df.select(
+    return df_frame.select(
         "term",
-        "df",
+        F.col("df").cast("long").alias("df"),
         F.log(F.lit(float(n_postings)) / F.col("df")).alias("idf_ref"),
         F.log(
             (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
         ).alias("idf_bm25"),
     )
+
+
+def corpus_stats(
+    postings: DataFrame, n_docs: int, n_postings: int
+) -> DataFrame:
+    """(term, df, idf_ref, idf_bm25) — see :func:`stats_from_df`."""
+    return stats_from_df(document_frequency(postings), n_docs, n_postings)
 
 
 @dataclass
@@ -278,14 +285,7 @@ def merge_indexes(a: InvertedIndex, b: InvertedIndex) -> InvertedIndex:
             (F.coalesce("dfa", F.lit(0)) + F.coalesce("dfb", F.lit(0))).alias("df"),
         )
     )
-    cstats = merged_df.select(
-        "term",
-        "df",
-        F.log(F.lit(float(n_postings)) / F.col("df")).alias("idf_ref"),
-        F.log(
-            (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
-        ).alias("idf_bm25"),
-    )
+    cstats = stats_from_df(merged_df, n_docs, n_postings)
     return InvertedIndex(
         postings=postings,
         doc_stats=stats,

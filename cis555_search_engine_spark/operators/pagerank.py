@@ -103,8 +103,11 @@ def pagerank(
             "id", F.coalesce(F.col("rank"), F.lit(BASE)).alias("rank")
         )
         out = full.localCheckpoint(eager=True)
-        if already_ckpt:
-            _release(result)
+        # release the final loop frame too — whether it was checkpointed,
+        # cached by a convergence check (the early-convergence leak: a
+        # cache-only check iteration could exit the loop), or plain
+        # (harmless no-op). `out` is materialized, so nothing re-reads it.
+        _release(result)
         for df in pinned:
             if df is not out and df is not result:
                 _release(df)

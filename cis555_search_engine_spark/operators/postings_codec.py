@@ -375,14 +375,17 @@ def _drop_dead(decoded: DataFrame, dead: DataFrame | None) -> DataFrame:
     """Filter tombstoned / excluded docids out of decoded posting rows.
 
     ``dead`` is a (docid) frame — delete tombstones, NOT-term exclusions,
-    or their union. Always broadcast: a delete set large enough to matter
-    here is what `compact_blocks` exists to purge. Applied BEFORE any
+    or their union. A plain anti-join, NOT a forced broadcast: a NOT on
+    a stopword-frequency term legitimately excludes a large share of
+    the corpus (and a mass delete awaiting compaction is similar), so a
+    forced broadcast would collect an unbounded docid set to the driver;
+    AQE broadcasts the small/common case on its own. Applied BEFORE any
     scoring — including the seed scoring that sets the pruning bar θ,
     where a dead doc's score could otherwise raise θ above a live doc's
     and make block-max pruning drop true top-k members (unsound)."""
     if dead is None:
         return decoded
-    return decoded.join(F.broadcast(dead.select("docid")), "docid", "left_anti")
+    return decoded.join(dead.select("docid"), "docid", "left_anti")
 
 
 def _keep_live(decoded: DataFrame, live: DataFrame | None) -> DataFrame:
@@ -955,20 +958,15 @@ def append_blocks(
     avg_len = total_len / n_docs if n_docs else 0.0
     dfa = old_stats.select("term", F.col("df").alias("dfa"))
     dfb = new_index.corpus_stats.select("term", F.col("df").alias("dfb"))
-    merged = (
-        dfa.join(dfb, "term", "full_outer")
-        .select(
+    from .index_build import stats_from_df
+
+    merged = stats_from_df(
+        dfa.join(dfb, "term", "full_outer").select(
             "term",
             (F.coalesce("dfa", F.lit(0)) + F.coalesce("dfb", F.lit(0))).cast("long").alias("df"),
-        )
-        .select(
-            "term",
-            "df",
-            F.log(F.lit(float(n_postings)) / F.col("df")).alias("idf_ref"),
-            F.log(
-                (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
-            ).alias("idf_bm25"),
-        )
+        ),
+        n_docs,
+        n_postings,
     )
     # merged stats land in a fresh versioned dir; the old version stays
     # live (and readable by in-flight queries) until the manifest flips
@@ -1095,13 +1093,26 @@ def compact_blocks(spark, path: str, vacuum: bool = True) -> None:
     live_map = bidx.docid_map
     decoded = decode_blocks(bidx.blocks, span, with_positions=True)
     if bidx.tombstones is not None:
-        tomb = F.broadcast(bidx.tombstones.select("docid"))
+        # plain anti-join (AQE broadcasts when small): compaction is
+        # exactly when the tombstone set may be LARGE
+        tomb = bidx.tombstones.select("docid")
         live_map = live_map.join(tomb, "docid", "left_anti")
         decoded = decoded.join(tomb, "docid", "left_anti")
 
     # re-mint dense docids over the surviving keys (0..n-1, key order)
     new_map = mint_doc_ids(live_map.select(*dk), dk)
     n_docs = new_map.count()
+    if n_docs == 0:
+        # a fully-tombstoned store compacts to NOTHING: Spark writes no
+        # parquet part files for an empty partitioned frame, so the
+        # compacted layout would be unreadable (schema-less dirs). Fail
+        # loudly and keep serving the (empty-by-tombstones) store as-is
+        # instead of bricking it.
+        raise ValueError(
+            "compact_blocks: every document is tombstoned; an empty store "
+            "cannot be compacted in place — keep serving via tombstones or "
+            "delete the store directory instead"
+        )
     remapped = (
         decoded.join(live_map.withColumnRenamed("docid", "_old"),
                      F.col("docid") == F.col("_old"))
@@ -1109,6 +1120,12 @@ def compact_blocks(spark, path: str, vacuum: bool = True) -> None:
         .join(new_map, dk)
         .select("term", "docid", "tf", "doc_len", "positions")
     )
+    # stage the decode->double-join remap ONCE (mint_doc_ids pattern):
+    # it feeds the avg-len agg, the df/n_postings aggs, AND the final
+    # encode+write below — un-staged, compaction decodes and remaps the
+    # ENTIRE index three times. A compaction is already a full rewrite;
+    # the executor-local spill of one posting pass is the cheap half.
+    remapped = remapped.localCheckpoint(eager=True)
     # recompute corpus stats EXACTLY (integer aggregates — equals a
     # fresh build over the survivors): one pass for df per term, one
     # tiny agg for total length over distinct surviving docs
@@ -1117,16 +1134,11 @@ def compact_blocks(spark, path: str, vacuum: bool = True) -> None:
         .agg(F.sum("doc_len").alias("tl")).collect()[0]
     )
     avg_len = (float(tot["tl"] or 0)) / n_docs if n_docs else 0.0
-    stats = remapped.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
-    n_postings = int(stats.agg(F.sum("df")).collect()[0][0] or 0)
-    stats = stats.select(
-        "term",
-        "df",
-        F.log(F.lit(float(n_postings)) / F.col("df")).alias("idf_ref"),
-        F.log(
-            (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
-        ).alias("idf_bm25"),
-    )
+    dff = remapped.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    n_postings = int(dff.agg(F.sum("df")).collect()[0][0] or 0)
+    from .index_build import stats_from_df
+
+    stats = stats_from_df(dff, n_docs, n_postings)
 
     enriched = (
         remapped.join(F.broadcast(stats.select("term", "idf_bm25")), "term")
@@ -1410,7 +1422,12 @@ def boolean_topk_blocks(
     for ph in p["phrases"]:
         d = _phrase_docids(bidx, ph, stem)
         if d is None:
-            continue
+            # a REQUIRED phrase that tokenizes to nothing (digits,
+            # punctuation) can never be contained by any document —
+            # empty result, consistent with a tokenizable phrase that
+            # matches nothing. (A NEGATED untokenizable phrase below is
+            # the opposite: it excludes nothing.)
+            return _empty_topk(bidx)
         d = d.select("docid")
         include = d if include is None else include.join(d, "docid", "left_semi")
     exclude_docs = None

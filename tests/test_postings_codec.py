@@ -788,3 +788,39 @@ def test_boolean_query_language(spark_index, block_index):
     assert boolean_topk_blocks(block_index, "", k=5).count() == 0
     # a required phrase with no hits empties the result
     assert boolean_topk_blocks(block_index, 'rice "zzzq wwwk"', k=5).count() == 0
+    # ...and so does an UNTOKENIZABLE required phrase (digits strip to
+    # nothing — no doc can contain it; consistent with the above)
+    assert boolean_topk_blocks(block_index, 'rice "123 456"', k=5).count() == 0
+    # an untokenizable NEGATED phrase excludes nothing (opposite pole)
+    assert boolean_topk_blocks(block_index, 'rice -"123 456"', k=3).count() > 0
+
+
+def test_compact_refuses_fully_tombstoned_store(spark, corpus_sdf, tmp_path):
+    """Compacting a store whose every doc is tombstoned must FAIL LOUDLY
+    (an empty partitioned parquet layout would be unreadable — silent
+    bricking) and leave the store serving unchanged via tombstones."""
+    from pyspark.sql import functions as F
+
+    from cis555_search_engine_spark.operators.index_build import build_index
+    from cis555_search_engine_spark.operators.postings_codec import (
+        bm25_topk_blocks,
+        build_blocks,
+        compact_blocks,
+        delete_docs,
+        load_blocks,
+        write_blocks,
+    )
+
+    some = corpus_sdf.filter(F.crc32(F.col("conv_id").cast("binary")) % 7 == 0)
+    idx = build_index(some, cache=False)
+    path = str(tmp_path / "all_dead_store")
+    write_blocks(build_blocks(idx, block_span=64), path, n_buckets=4)
+    delete_docs(spark, path, some.select("conv_id", "turn_idx").distinct())
+
+    with pytest.raises(ValueError, match="every document is tombstoned"):
+        compact_blocks(spark, path)
+
+    # the store still loads and serves (empty results, not a crash)
+    bidx = load_blocks(spark, path)
+    assert bidx.tombstones is not None
+    assert bm25_topk_blocks(bidx, "rice noodle", k=5).count() == 0
