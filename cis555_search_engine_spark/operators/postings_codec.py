@@ -227,19 +227,36 @@ def _encode_posting_blocks(enriched: DataFrame, avg_len: float, span: int) -> Da
         ).alias("plist"),
         F.first("idf_bm25").alias("idf"),
     )
+    # Decompose the struct list into PARALLEL PRIMITIVE ARRAYS before the
+    # Python boundary: Arrow hands a list<int64> to pandas as a numpy
+    # array (zero-copy-ish), while a list<struct> arrives as a list of
+    # per-element dicts whose Python-side unpacking dominated the encode
+    # (the 1.58M-doc store build spent most of its 18 min here). The
+    # sort_array on the struct (docid-first) fixes the order; the
+    # transforms are order-preserving projections of it.
+    cols = grouped.select(
+        "term",
+        "block_id",
+        "idf",
+        F.transform("plist", lambda p: p["docid"]).alias("docids"),
+        F.transform("plist", lambda p: p["tf"]).alias("tfs"),
+        F.transform("plist", lambda p: p["doc_len"]).alias("lens"),
+        F.transform("plist", lambda p: p["positions"]).alias("poss"),
+    )
 
     def encode_batches(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         for pdf in batches:
             if pdf.empty:
                 continue
             out = {k: [] for k in ("term", "block_id", "df_block", "max_tf", "max_impact", "blob")}
-            for term, block_id, plist, idf in zip(
-                pdf["term"], pdf["block_id"], pdf["plist"], pdf["idf"]
+            for term, block_id, idf, b_docids, b_tfs, b_lens, b_poss in zip(
+                pdf["term"], pdf["block_id"], pdf["idf"],
+                pdf["docids"], pdf["tfs"], pdf["lens"], pdf["poss"],
             ):
-                docids = np.fromiter((p["docid"] for p in plist), dtype=np.int64, count=len(plist))
-                tfs = np.fromiter((p["tf"] for p in plist), dtype=np.int64, count=len(plist))
-                lens = np.fromiter((p["doc_len"] for p in plist), dtype=np.int64, count=len(plist))
-                poss = [list(p["positions"]) if p["positions"] is not None else [] for p in plist]
+                docids = np.asarray(b_docids, dtype=np.int64)
+                tfs = np.asarray(b_tfs, dtype=np.int64)
+                lens = np.asarray(b_lens, dtype=np.int64)
+                poss = [p if p is not None else [] for p in b_poss]
                 impacts = _bm25_impact(tfs, lens, float(idf), avg_len)
                 out["term"].append(term)
                 out["block_id"].append(int(block_id))
@@ -249,7 +266,7 @@ def _encode_posting_blocks(enriched: DataFrame, avg_len: float, span: int) -> Da
                 out["blob"].append(encode_block(docids, tfs, lens, poss, int(block_id) * span))
             yield pd.DataFrame(out)
 
-    return grouped.mapInPandas(encode_batches, schema=_BLOCK_SCHEMA)
+    return cols.mapInPandas(encode_batches, schema=_BLOCK_SCHEMA)
 
 
 def build_blocks(
