@@ -133,11 +133,40 @@ def rh_signature_udf(dim: int, n_bands: int = 64, band_bits: int = 4, seed: int 
     return _sig
 
 
+def lsh_band_params(
+    n: int, threshold: float, miss_target: float = 1e-4
+) -> tuple[int, int]:
+    """(band_bits, n_bands) for random-hyperplane LSH, adaptive in the
+    corpus size ``n`` (round-3 verdict item 3 — the old fixed
+    band_bits=4 floods candidate generation as n grows).
+
+    - ``band_bits`` grows with log2(n) so the expected members per
+      band-bucket (~n / 2^band_bits for balanced signs) stays bounded:
+      b = max(4, ceil(log2 n) - 9) targets ~512-member buckets,
+      clamped at 16 bits (beyond that the recall-preserving band count
+      below explodes — see the envelope note in cosine_lsh_pairs).
+    - ``n_bands`` is then chosen to KEEP RECALL: for a pair at cosine
+      s = threshold, per-hyperplane agreement p = 1 - acos(s)/π and
+      P(miss) = (1 - p^b)^n_bands ≤ miss_target requires
+      n_bands ≥ ln(1/miss_target) / p^b (since ln(1-x) ≤ -x).
+
+    Both knobs move together — widening bands without adding bands is
+    how LSH silently loses recall.
+    """
+    import math
+
+    n = max(int(n), 2)
+    p = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    band_bits = min(16, max(4, math.ceil(math.log2(n)) - 9))
+    n_bands = math.ceil(math.log(1.0 / miss_target) / (p**band_bits))
+    return band_bits, n_bands
+
+
 def cosine_lsh_pairs(
     emb: DataFrame,
     threshold: float = 0.4,
-    n_bands: int = 64,
-    band_bits: int = 4,
+    n_bands: int | None = None,
+    band_bits: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 20200553,
@@ -152,11 +181,20 @@ def cosine_lsh_pairs(
     never a cross join); survivors verified by EXACT cosine, so output
     precision is 1.0 and only recall is probabilistic. For a pair at
     cosine s, P(sign agreement per hyperplane) p = 1 - acos(s)/π, and
-    P(miss) = (1 - p^band_bits)^n_bands: at the 0.4 gate threshold
-    (p=0.63, 4 bits, 64 bands) that is ~1.6e-5 per pair — empirically
-    recall 1.0 on the gate data (oracle equality vs the exact SQL is
-    the proof). At larger n, raise ``band_bits`` ~ log2(n) to keep
-    bucket sizes bounded; the verification step is always exact.
+    P(miss) = (1 - p^band_bits)^n_bands.
+
+    ``band_bits``/``n_bands`` default to ADAPTIVE values from one cheap
+    count (see `lsh_band_params`): band width tracks log2(n) so bucket
+    sizes stay bounded as the corpus grows, and the band COUNT tracks
+    the width so per-pair recall stays ≥ 1 - 1e-4 at the gate threshold
+    — empirically recall 1.0 on the gate data (oracle equality vs the
+    exact all-pairs SQL is the proof). Feasibility envelope, disclosed:
+    the recall-preserving band count is ln(1e4)/p^b, so at LOW
+    thresholds (0.4 → p=0.63) wide bands explode the band count — at
+    10⁹ rows high-recall hyperplane LSH is only economical for
+    thresholds ≳0.8 (p≥0.80, b=16 → ~260 bands); below that, cap the
+    width (done here at 16 bits) and rely on ``max_bucket_df`` to keep
+    degenerate buckets from going quadratic.
 
     ``max_bucket_df`` caps the size of any one band-bucket: a
     degenerate band value (e.g. every near-zero vector signs the same
@@ -167,8 +205,31 @@ def cosine_lsh_pairs(
     agreeing buckets, so recall degrades gracefully rather than the job
     degenerating quadratically.
     """
-    first = emb.select(F.size(vec_col).alias("d")).first()
-    dim = int(first["d"]) if first is not None else 0
+    # dim = the MODAL vector length (tie -> smaller) via one tiny agg,
+    # never row 0: a null/ragged first row would mis-size the
+    # hyperplane matrix and null out every real signature (round-3
+    # verdict item 6; same guard kmeans_quantized already has). The
+    # same agg yields n for the adaptive band params — one job, two
+    # scalars.
+    drow = (
+        emb.groupBy(F.size(vec_col).alias("d"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("d") > 0)
+        .orderBy(F.desc("cnt"), F.asc("d"))
+        .collect()
+    )
+    dim = int(drow[0]["d"]) if drow else 0
+    n_rows = sum(int(r["cnt"]) for r in drow)
+    if band_bits is None or n_bands is None:
+        a_bits, a_bands = lsh_band_params(n_rows, threshold)
+        band_bits = a_bits if band_bits is None else band_bits
+        n_bands = a_bands if n_bands is None else n_bands
+        import logging
+
+        logging.getLogger(__name__).info(
+            "cosine_lsh_pairs: adaptive LSH params n=%d -> band_bits=%d n_bands=%d",
+            n_rows, band_bits, n_bands,
+        )
     sig = emb.select(
         F.col(id_col).alias("id"),
         rh_signature_udf(dim, n_bands, band_bits, seed)(F.col(vec_col)).alias("bands"),
@@ -209,17 +270,32 @@ def cosine_lsh_pairs(
         .select(F.col("x.id").alias("i"), F.col("y.id").alias("j"))
         .distinct()
     )
+    # stage the candidate set once (it feeds three consumers below: the
+    # logged count and both vector joins) and surface its size — the
+    # no-silent-caps rule applies to candidate floods too.
+    cands = cands.localCheckpoint(eager=True)
+    import logging
+
+    logging.getLogger(__name__).info(
+        "cosine_lsh_pairs: %d candidate pairs from %d rows (band_bits=%d, n_bands=%d)",
+        cands.count(), n_rows, band_bits, n_bands,
+    )
     # exact verification joins the RAW vectors (no signature UDF
-    # re-evaluation; the vector sides broadcast). The cosine itself is
-    # an Arrow-batched einsum: Spark's zip_with/aggregate lambdas run on
-    # the INTERPRETED expression path (no codegen for higher-order
-    # functions — documented Catalyst trap), which measured 3x slower
-    # over the ~2M candidate pairs this join yields at bench scale.
+    # re-evaluation). NO broadcast hints here: round-3's forced
+    # F.broadcast(va/vb) shipped the ENTIRE embeddings table to every
+    # task — a multi-GB broadcast at 10⁹ rows (round-3 verdict item 2,
+    # the same unbounded-broadcast class _drop_dead was cured of). A
+    # plain equi-join shuffles emb by id once per side — linear, AQE
+    # still broadcasts when the side is genuinely small. The cosine
+    # itself is an Arrow-batched einsum: Spark's zip_with/aggregate
+    # lambdas run on the INTERPRETED expression path (no codegen for
+    # higher-order functions — documented Catalyst trap), which
+    # measured 3x slower over bench-scale candidate counts.
     va = emb.select(F.col(id_col).alias("i"), F.col(vec_col).alias("va"))
     vb = emb.select(F.col(id_col).alias("j"), F.col(vec_col).alias("vb"))
     return (
-        cands.join(F.broadcast(va), "i")
-        .join(F.broadcast(vb), "j")
+        cands.join(va, "i")
+        .join(vb, "j")
         .withColumn("cos_raw", _pair_cosine_udf(F.col("va"), F.col("vb")))
         .filter(F.col("cos_raw") >= threshold)  # filter RAW, like the SQL twin
         .select("i", "j", F.round("cos_raw", 6).alias("cos"))
