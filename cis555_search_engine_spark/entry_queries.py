@@ -1163,7 +1163,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     BIGINT, dedup.simhash_base_hash), so the DuckDB twin computes
     IDENTICAL fingerprints and the output is fully oracle-checked
     (round 1 shipped this rows-only). Candidate generation stays the
-    pigeonhole 4x15-bit chunk join; completeness vs brute force is
+    pigeonhole 3-of-6 compound-chunk join; completeness vs brute force is
     additionally property-tested in tests/test_dedup.py."""
     from .operators.dedup import simhash_pairs
 

@@ -20,8 +20,9 @@ Four families, all over a `documents(doc_id, text, ...)` table:
 - **SimHash**: 60-bit sign-sum fingerprint of token frequencies on an
   SQL-reproducible base hash (md5 hex prefix -> 60-bit int, computable
   identically in DuckDB), all native bit arithmetic; near-dup candidates
-  = equal 15-bit chunk (Hamming ≤ 3 guarantee via pigeonhole over 4
-  chunks), verified by Hamming distance. Fully oracle-checkable.
+  = equal compound key over 3 of 6 10-bit chunks (Hamming ≤ 3 guarantee
+  via pigeonhole; 30-bit keys keep buckets ~n/2^30 at 10^9 docs),
+  verified by Hamming distance. Fully oracle-checkable.
 
 Scale notes: every pair-generating join is keyed (shingle / band bucket /
 chunk) — never a cross join. Hot keys are capped or salted. Outputs are
@@ -411,7 +412,9 @@ def minhash_lsh_pairs(
 # -------------------------------------------------------------- SimHash
 
 SIMHASH_BITS = 60          # 15 hex chars of md5 — fits a positive BIGINT
-SIMHASH_CHUNKS = 4         # 15-bit chunks; pigeonhole covers Hamming <= 3
+SIMHASH_CHUNKS = 6         # 10-bit chunks
+SIMHASH_CHUNK_BITS = SIMHASH_BITS // SIMHASH_CHUNKS
+SIMHASH_COMBO_SIZE = 3     # join on every 3-chunk combination (C(6,3)=20)
 
 
 def simhash_base_hash(tok):
@@ -467,12 +470,28 @@ def simhash_pairs(
 ) -> DataFrame:
     """(i, j, hamming) pairs with Hamming(simhash) <= max_hamming.
 
-    Candidate generation: split the 60-bit hash into 4 15-bit chunks; by
-    pigeonhole any pair within Hamming 3 agrees on >= 1 chunk, so the
-    chunk-keyed equi-join finds ALL qualifying pairs without a cross
-    join. Verification = popcount of xor. Output is oracle-checkable
-    because the base hash is SQL-reproducible (simhash_base_hash).
+    Candidate generation: split the 60-bit hash into 6 10-bit chunks and
+    equi-join on COMPOUND keys — every C(6,3)=20 combination of 3
+    chunks, packed into one long. Pigeonhole: Hamming <= 3 flips bits in
+    at most 3 chunks, so at least 3 of the 6 chunks agree exactly, and
+    that agreeing 3-subset is one of the enumerated combinations — the
+    join finds ALL qualifying pairs, no cross join, no recall loss.
+
+    Why compound keys (round-3 verdict item 4): the old 4x15-bit scheme
+    had only 2^15 distinct join values per chunk, so expected bucket
+    size grew LINEARLY with corpus size (~30k docs/bucket at 10^9 docs
+    -> ~4x10^8 candidate pairs per bucket). Compound 3-chunk keys carry
+    30 simhash bits (2^30 values x 20 combos ~ 2^34 join keys): for
+    quasi-uniform fingerprints the expected bucket stays ~n/2^30 — ~1
+    at 10^9 docs. Residual hot buckets are EXACT-duplicate classes
+    (identical text -> identical fingerprint), whose quadratic pair
+    mass is inherent to the emit-all-pairs output, not to this scheme.
+
+    Verification = popcount of xor. Output is oracle-checkable because
+    the base hash is SQL-reproducible (simhash_base_hash).
     """
+    from itertools import combinations
+
     sims = simhash60(docs, id_col, text_col)
     # stage the (id, simhash) frame ONCE: the chunk self-join below
     # would otherwise evaluate the whole simhash subplan — tokenize +
@@ -481,37 +500,34 @@ def simhash_pairs(
     # query). localCheckpoint (mint_doc_ids pattern): eager, lineage-
     # truncating, released on GC — never a session-pinned cache.
     sims = sims.localCheckpoint(eager=True)
-    chunks = sims.select(
-        "id",
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("c"),
-                        F.shiftright("simhash", c * 15).bitwiseAND(F.lit(0x7FFF)).alias("v"),
-                    )
-                    for c in range(SIMHASH_CHUNKS)
-                ]
-            )
-        ).alias("ch"),
-    ).select("id", "simhash", F.col("ch.c").alias("c"), F.col("ch.v").alias("v"))
-    x = chunks.alias("x")
-    y = chunks.alias("y")
+    mask = (1 << SIMHASH_CHUNK_BITS) - 1
+
+    def chunk_val(c: int):
+        return F.shiftright("simhash", c * SIMHASH_CHUNK_BITS).bitwiseAND(F.lit(mask))
+
+    combo_keys = []
+    for idx, combo in enumerate(combinations(range(SIMHASH_CHUNKS), SIMHASH_COMBO_SIZE)):
+        key = F.lit(idx).cast("long")
+        for c in combo:
+            key = F.shiftleft(key, SIMHASH_CHUNK_BITS) + chunk_val(c)
+        combo_keys.append(key)
+    keys = sims.select(
+        "id", "simhash", F.explode(F.array(*combo_keys)).alias("k")
+    )
+    x = keys.alias("x")
+    y = keys.alias("y")
     return (
         x.join(
             y,
-            (F.col("x.c") == F.col("y.c"))
-            & (F.col("x.v") == F.col("y.v"))
-            & (F.col("x.id") < F.col("y.id")),
+            (F.col("x.k") == F.col("y.k")) & (F.col("x.id") < F.col("y.id")),
         )
         .select(
             F.col("x.id").alias("i"),
             F.col("y.id").alias("j"),
             F.bit_count(F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))).alias("hamming"),
         )
-        # filter BEFORE the distinct: a pair can agree on several chunks
-        # (up to 4 duplicate candidate rows), but only qualifying pairs
+        # filter BEFORE the distinct: a pair can agree on several combos
+        # (up to 20 duplicate candidate rows), but only qualifying pairs
         # need the dedup shuffle — hamming > max_hamming rows would pay
         # the exchange only to be dropped after it
         .filter(F.col("hamming") <= max_hamming)

@@ -99,7 +99,7 @@ def test_simhash_properties(spark):
 
 def test_simhash_pairs_complete_vs_bruteforce(docs_sdf):
     """Chunk-join candidate generation must find every pair with
-    Hamming <= 3 (pigeonhole over 4x15-bit chunks)."""
+    Hamming <= 3 (pigeonhole over 3-of-6 10-bit chunk combinations)."""
     from cis555_search_engine_spark.operators.dedup import simhash60, simhash_pairs
 
     sims = {r["id"]: r["simhash"] for r in simhash60(docs_sdf).collect()}
