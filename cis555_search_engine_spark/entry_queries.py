@@ -1554,6 +1554,69 @@ FROM wt
 """
 
 
+# Deterministic markup wrapper for the html_clean gate: the documents
+# table is plain text (per input_hint), so the query synthesizes the
+# markup column IN the plan — identical string program in both engines —
+# then strips it back. Exercises: script/style content removal, comment
+# removal, tag->space boundaries, entity decoding (incl. the
+# decode-once &amp;lt; case).
+_HTML_PRE = (
+    '<html><head><title>T&amp;A &amp;lt;ok&amp;gt;</title>'
+    "<style>p { color: red; }</style></head>"
+    '<body><!-- note: 1 < 2 > 0 --><h1 class="t">Doc '
+)
+_HTML_MID = '</h1><p id="b">'
+_HTML_POST = (
+    '</p><script type="text/javascript">if (x < 3 && y > 1) '
+    '{ alert("&quot;hi&quot;"); }</script>&nbsp;fin&#39;</body></html>'
+)
+
+
+def q_html_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markup-stripping projection (reference P1, Indexer.java:333-338):
+    wrap each document's text in deterministic HTML (every token its own
+    <p>), then recover the visible text natively
+    (operators/text_analysis.strip_markup_col)."""
+    from .operators.text_analysis import html_clean
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit(_HTML_PRE),
+            F.col("doc_id").cast("string"),
+            F.lit(_HTML_MID),
+            F.regexp_replace("text", r"\s+", "</p>\n<p>"),
+            F.lit(_HTML_POST),
+        ).alias("html"),
+    )
+    return html_clean(docs)
+
+
+def _sql_html_clean() -> str:
+    from .operators.text_analysis import MARKUP_ENTITIES
+
+    decode = "regexp_replace(regexp_replace(regexp_replace(regexp_replace(markup, '(?is)<script[^>]*>.*?</script>', ' ', 'g'), '(?is)<style[^>]*>.*?</style>', ' ', 'g'), '(?s)<!--.*?-->', ' ', 'g'), '(?s)<[^>]*>', ' ', 'g')"
+    for ent, ch in MARKUP_ENTITIES:
+        decode = f"replace({decode}, '{ent}', '{ch.replace(chr(39), chr(39)*2)}')"
+    pre = _HTML_PRE.replace("'", "''")
+    mid = _HTML_MID.replace("'", "''")
+    post = _HTML_POST.replace("'", "''")
+    return f"""
+WITH m AS (
+  SELECT doc_id AS id,
+         '{pre}' || doc_id::VARCHAR || '{mid}'
+         || regexp_replace(text, '\\s+', '</p>' || chr(10) || '<p>', 'g')
+         || '{post}' AS markup
+  FROM documents
+),
+c AS (SELECT id, trim(regexp_replace({decode}, '\\s+', ' ', 'g')) AS clean FROM m)
+SELECT id, clean, len(string_split(clean, ' '))::BIGINT AS n_tokens FROM c
+"""
+
+
+SQL_HTML_CLEAN = _sql_html_clean()
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload metadata extraction via mapInPandas (the multimodal
     plumbing; payload = utf-8 bytes of text as the container has no
@@ -2016,7 +2079,20 @@ SELECT src AS doc_id, min(dst) AS comp FROM reach GROUP BY src
 
 # ---------------------------------------------------------- registry
 
+# Registry ORDER is a driver contract (round-3 verdict item 1): the
+# correctness driver gates the FIRST 50 entries, so positions 1-50 hold
+# exactly one representative per operator FAMILY; near-twin variants
+# (a second serving path or a disclosed baseline whose family is already
+# represented) sit after position 50 and stay covered by
+# tools/selfcheck.py + pytest. Twin -> early representative:
+#   phrase_match/proximity_topk/term_completion -> *_blocks variants
+#   bm25_and_blocks -> bm25_and_topk (AND) + bool_blocks (block serving)
+#   bm25_batch_blocks -> bm25_batch;  bm25_compacted/bm25_not_blocks ->
+#   bm25_compact_deleted / bool_blocks;  ann_kmeans -> ann_ivf_served
+#   (same centroids+oracle);  cosine_pairs -> cosine_lsh_pairs;
+#   window_rank -> sessionize+events_window;  tpch_rollup -> tpch_q1/q3.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # --- core index + ranking (families: postings, stats, rankers) ---
     "postings": q_postings,
     "doc_stats": q_doc_stats,
     "corpus_stats": q_corpus_stats,
@@ -2025,12 +2101,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_blocks": q_bm25_blocks,
     "bm25_and_topk": q_bm25_and_topk,
     "bm25_batch": q_bm25_batch,
-    "bm25_and_blocks": q_bm25_and_blocks,
-    "bm25_batch_blocks": q_bm25_batch_blocks,
     "phrase_blocks": q_phrase_blocks,
     "bm25_append_blocks": q_bm25_append_blocks,
-    "bm25_compacted": q_bm25_compacted,
-    "bm25_not_blocks": q_bm25_not_blocks,
     "bool_blocks": q_bool_blocks,
     "bm25_deleted_blocks": q_bm25_deleted_blocks,
     "bm25_compact_deleted": q_bm25_compact_deleted,
@@ -2041,42 +2113,53 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "topk_join_meta": q_topk_join_meta,
     "topk_snippets": q_topk_snippets,
     "prior_blend": q_prior_blend,
+    # --- serving operators (round-3's ten driver-uncovered families) ---
+    "proximity_blocks": q_proximity_blocks,
+    "term_completion_blocks": q_term_completion_blocks,
+    "spell_suggest": q_spell_suggest,
+    "expand_query": q_expand_query,
+    "more_like_this": q_more_like_this,
+    "group_topk": q_group_topk,
+    # --- relational / window ---
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
-    "tpch_rollup": q_tpch_rollup,
     "events_window": q_events_window,
     "sessionize": q_sessionize,
-    "window_rank": q_window_rank,
+    # --- dedup ---
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_components": q_dedup_components,
+    # --- similarity / ANN ---
     "ann_topk": q_ann_topk,
     "ann_ivf": q_ann_ivf,
-    "ann_kmeans": q_ann_kmeans,
     "ann_ivf_served": q_ann_ivf_served,
-    "cosine_pairs": q_cosine_pairs,
     "cosine_lsh_pairs": q_cosine_lsh_pairs,
+    # --- text analysis / curation / multimodal / graph ---
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
     "token_counts": q_token_counts,
     "fingerprint": q_fingerprint,
+    "html_clean": q_html_clean,
     "hashed_features": q_hashed_features,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_decode": q_multimodal_decode,
     "curate": q_curate,
     "pack_sequences": q_pack_sequences,
     "pagerank": q_pagerank,
+    # ---------------- position 51+: near-twin variants ----------------
     "phrase_match": q_phrase_match,
     "proximity_topk": q_proximity_topk,
-    "proximity_blocks": q_proximity_blocks,
     "term_completion": q_term_completion,
-    "term_completion_blocks": q_term_completion_blocks,
-    "spell_suggest": q_spell_suggest,
-    "expand_query": q_expand_query,
-    "more_like_this": q_more_like_this,
-    "group_topk": q_group_topk,
-    "dedup_components": q_dedup_components,
+    "window_rank": q_window_rank,
+    "tpch_rollup": q_tpch_rollup,
+    "cosine_pairs": q_cosine_pairs,
+    "ann_kmeans": q_ann_kmeans,
+    "bm25_and_blocks": q_bm25_and_blocks,
+    "bm25_batch_blocks": q_bm25_batch_blocks,
+    "bm25_compacted": q_bm25_compacted,
+    "bm25_not_blocks": q_bm25_not_blocks,
 }
 
 ORACLES: dict[str, str] = {
@@ -2127,6 +2210,7 @@ ORACLES: dict[str, str] = {
     "quality_score": SQL_QUALITY,
     "token_counts": SQL_TOKEN_COUNTS,
     "fingerprint": SQL_FINGERPRINT,
+    "html_clean": SQL_HTML_CLEAN,
     "hashed_features": SQL_HASHED_FEATURES,
     "multimodal_meta": SQL_MULTIMODAL_META,
     "multimodal_decode": SQL_MULTIMODAL_DECODE,

@@ -340,6 +340,11 @@ class BlockIndex:
     def cache(self) -> "BlockIndex":
         self.blocks = self.blocks.cache()
         self.docid_map = self.docid_map.cache()
+        if self.tombstones is not None:
+            # every query consults the dead set twice (seed-θ scoring
+            # and final scoring) — leaving it uncached re-scans every
+            # tombstone dir per consultation (ADVICE r3)
+            self.tombstones = self.tombstones.cache()
         return self
 
 
@@ -1153,6 +1158,16 @@ def compact_blocks(spark, path: str, vacuum: bool = True) -> None:
     avg_len = (float(tot["tl"] or 0)) / n_docs if n_docs else 0.0
     dff = remapped.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
     n_postings = int(dff.agg(F.sum("df")).collect()[0][0] or 0)
+    if n_postings == 0:
+        # same hazard as the n_docs==0 guard above (ADVICE r3): docs may
+        # survive with ZERO postings (every surviving doc empty), and an
+        # empty partitioned blocks frame writes no part files — the
+        # committed layout would be schema-less and unreadable
+        raise ValueError(
+            "compact_blocks: no postings survive compaction; an empty "
+            "blocks layout cannot be written — keep serving via "
+            "tombstones or delete the store directory instead"
+        )
     from .index_build import stats_from_df
 
     stats = stats_from_df(dff, n_docs, n_postings)
@@ -1242,6 +1257,16 @@ def load_blocks(spark, path: str) -> "BlockIndex":
         tombstones = frames[0]
         for fr in frames[1:]:
             tombstones = tombstones.unionByName(fr)
+        if len(tdirs) > 1:
+            # stage the multi-dir union ONCE at open (ADVICE r3): each
+            # query consults the dead set twice (seed-θ and final
+            # scoring), so an unstaged N-dir union re-scans every delete
+            # epoch's parquet 2x per query — per-query overhead growing
+            # with delete epochs until compaction. The set is docids
+            # only (bounded by n_docs); dirs are disjoint by
+            # construction (delete_docs anti-joins already-tombstoned
+            # ids), so no distinct is needed.
+            tombstones = tombstones.localCheckpoint(eager=True)
     return BlockIndex(
         blocks=union_read("blocks"),
         docid_map=union_read("docid_map"),

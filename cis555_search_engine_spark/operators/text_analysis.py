@@ -119,6 +119,48 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     return docs.select(F.col(id_col).alias("id"), fp.alias("fp"))
 
 
+# entity -> char, decoded in this order: &amp; LAST so already-escaped
+# sequences ("&amp;lt;") decode exactly once ("&lt;"), never twice
+MARKUP_ENTITIES: list[tuple[str, str]] = [
+    ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+    ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&"),
+]
+
+
+def strip_markup_col(html):
+    """HTML/markup -> visible text, as a native regexp_replace chain
+    (no UDF, whole-stage codegen) — the P1 projection the reference does
+    with Jsoup (`Indexer.java:333-338`: parse, drop script/style, take
+    element text, concatenate with separators).
+
+    Steps: drop <script>/<style> elements WITH their contents, drop
+    comments, replace every remaining tag with a space (tag boundaries
+    become word boundaries, matching the reference's per-element
+    concatenation), decode the common entities, collapse whitespace.
+    Every pattern is shared Java-regex/RE2 syntax ((?is) inline flags,
+    lazy quantifiers — no backreferences), so the DuckDB twin runs the
+    IDENTICAL patterns and the output is hash-checkable cross-engine.
+    """
+    s = F.regexp_replace(html, r"(?is)<script[^>]*>.*?</script>", " ")
+    s = F.regexp_replace(s, r"(?is)<style[^>]*>.*?</style>", " ")
+    s = F.regexp_replace(s, r"(?s)<!--.*?-->", " ")
+    s = F.regexp_replace(s, r"(?s)<[^>]*>", " ")
+    for ent, ch in MARKUP_ENTITIES:
+        s = F.replace(s, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(s, r"\s+", " "))
+
+
+def html_clean(docs: DataFrame, id_col: str = "doc_id", html_col: str = "html") -> DataFrame:
+    """(id, clean, n_tokens) — markup-stripped visible text plus its
+    whitespace token count, over a markup column."""
+    clean = strip_markup_col(F.col(html_col))
+    return docs.select(
+        F.col(id_col).alias("id"),
+        clean.alias("clean"),
+        F.size(F.split(clean, " ")).cast("long").alias("n_tokens"),
+    )
+
+
 def hashed_tfidf_features(
     docs: DataFrame,
     dim: int = 1024,

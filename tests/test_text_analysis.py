@@ -350,3 +350,24 @@ def test_pack_sequences_bucketed_equals_global_window(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "SinglePartition" not in plan, plan
+
+
+def test_strip_markup_semantics(spark):
+    """P1 projection (reference Indexer.java:333-338): script/style
+    contents dropped, comments dropped, tags become word boundaries,
+    entities decode exactly once, whitespace collapses."""
+    from cis555_search_engine_spark.operators.text_analysis import html_clean
+
+    rows = [
+        (1, '<html><head><style>p{x:1}</style></head><body>'
+            '<h1>A&amp;B</h1><p>one</p><p>two</p>'
+            '<script>if (a < b && c > d) { alert("x"); }</script>'
+            '<!-- 1 < 2 -->tail&amp;lt;raw&amp;gt;</body></html>'),
+        (2, 'no markup at   all'),
+        (3, '<p></p>'),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, html string")
+    got = {r["id"]: (r["clean"], r["n_tokens"]) for r in html_clean(df).collect()}
+    assert got[1] == ("A&B one two tail&lt;raw&gt;", 4)
+    assert got[2] == ("no markup at all", 4)
+    assert got[3] == ("", 1)  # split('') -> [''] in both engines

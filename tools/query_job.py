@@ -39,6 +39,11 @@ def main() -> None:
     args = ap.parse_args()
     if (args.index is None) == (args.block_store is None):
         ap.error("exactly one of --index / --block-store is required")
+    if args.block_store is not None and (args.ranker != "bm25" or args.blocks):
+        # the block-store path always serves boolean/BM25 — silently
+        # ignoring --ranker/--blocks would serve BM25 under a tfidf flag
+        ap.error("--block-store always serves boolean BM25: "
+                 "--ranker/--blocks apply only to --index")
 
     from pyspark.sql import SparkSession
 
