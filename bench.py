@@ -137,7 +137,7 @@ def _maintain_drain(spark, sf_dir, timings) -> None:
     n_arriving = arriving.count()
 
     t0 = time.perf_counter()
-    write_blocks(build_blocks(build_index(base, cache=False), block_span=256),
+    write_blocks(build_blocks(build_index(base, cache="checkpoint"), block_span=256),
                  store, n_buckets=16)
     timings["maintain_bootstrap"] = round(time.perf_counter() - t0, 3)
 

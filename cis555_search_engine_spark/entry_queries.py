@@ -826,10 +826,10 @@ def _ensure_append_store(spark: SparkSession, sf_dir: str):
         shutil.rmtree(path, ignore_errors=True)
         os.makedirs(os.path.dirname(path), exist_ok=True)
         a = build_index(docs.filter(F.col("doc_id") % 2 == 0), doc_key=("doc_id",),
-                        text_col="text", stem=False, cache=False)
+                        text_col="text", stem=False, cache="checkpoint")
         write_blocks(build_blocks(a, block_span=256), path, n_buckets=8)
         b = build_index(docs.filter(F.col("doc_id") % 2 == 1), doc_key=("doc_id",),
-                        text_col="text", stem=False, cache=False)
+                        text_col="text", stem=False, cache="checkpoint")
         append_blocks(spark, path, b)
         bidx = load_blocks(spark, path)
         _BLOCK_CACHE[key] = bidx
@@ -1070,9 +1070,9 @@ def q_merge_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     a = build_index(docs.filter(F.col("doc_id") % 2 == 0), doc_key=("doc_id",),
-                    text_col="text", stem=False, cache=False)
+                    text_col="text", stem=False, cache="checkpoint")
     b = build_index(docs.filter(F.col("doc_id") % 2 == 1), doc_key=("doc_id",),
-                    text_col="text", stem=False, cache=False)
+                    text_col="text", stem=False, cache="checkpoint")
     merged = merge_indexes(a, b)
     return merged.corpus_stats.select(
         "term",

@@ -303,19 +303,30 @@ def build_index(
     text_col: str = "text",
     stem: bool = True,
     use_pandas_udf: bool = False,
-    cache: bool = True,
+    cache: bool | str = True,
     doc_local: bool = True,
 ) -> InvertedIndex:
     """End-to-end batch index build (SURVEY.md §7 step 2/3).
 
     ``doc_local=True`` (default) uses the shuffle-free postings build;
-    both paths are property-tested identical."""
+    both paths are property-tested identical.
+
+    ``cache``: True pins postings/stats with .cache() (session-lived —
+    right for a serving index); ``"checkpoint"`` stages them with an
+    eager localCheckpoint instead (materialized once, lineage-truncated,
+    RELEASED when the frames are GC'd — right for one-shot consumers
+    like a streaming-maintenance epoch, where per-epoch .cache() calls
+    would accumulate for the stream's lifetime); False leaves the plan
+    lazy (every downstream consumer re-tokenizes — the round-3 drain
+    paid the tokenize pipeline ~5x per epoch this way)."""
     build = build_postings_doclocal if doc_local else build_postings_long
     postings = build(corpus, doc_key, text_col, stem, use_pandas_udf)
-    if cache:
+    if cache == "checkpoint":
+        postings = postings.localCheckpoint(eager=True)
+    elif cache:
         postings = postings.cache()
     stats = doc_stats(postings, doc_key)
-    if cache:
+    if cache is True:
         stats = stats.cache()
     totals = stats.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("doc_len").alias("total_len")
@@ -324,7 +335,7 @@ def build_index(
     avg_len = float(totals["total_len"] or 0) / n_docs if n_docs else 0.0
     n_postings = postings.count()
     cstats = corpus_stats(postings, n_docs, n_postings)
-    if cache:
+    if cache is True:
         cstats = cstats.cache()
     return InvertedIndex(
         postings=postings,

@@ -832,7 +832,7 @@ def vacuum_blocks(spark, path: str) -> None:
             fsio.delete(spark, f"{path}/{child}")
 
 
-def _write_stats(stats: DataFrame, dest: str) -> None:
+def _write_stats(stats: DataFrame, dest: str, n_terms_hint: int | None = None) -> None:
     """Persist corpus stats as a RANGE-partitioned term dictionary:
     repartitionByRange + sortWithinPartitions on ``term`` gives each
     parquet file a tight, disjoint [min_term, max_term] footer range, so
@@ -840,14 +840,21 @@ def _write_stats(stats: DataFrame, dest: str) -> None:
     StartsWith pushes down as `term >= p AND term < p̄`) prune to the
     one or two files whose range covers the probe — at a 10⁸-term
     vocabulary that is the difference between a dictionary lookup and a
-    dictionary scan. File count follows spark.sql.shuffle.partitions,
-    scaling with the session's parallelism."""
-    (
+    dictionary scan.
+
+    File count follows spark.sql.shuffle.partitions (scaling with the
+    session's parallelism) unless ``n_terms_hint`` (an upper bound is
+    fine, e.g. n_postings) says the dictionary is small — per-epoch
+    append commits otherwise write shuffle_partitions near-empty files
+    every time, and open that many footers at every lookup."""
+    ranged = (
         stats.repartitionByRange("term")
-        .sortWithinPartitions("term")
-        .write.mode("overwrite")
-        .parquet(dest)
+        if n_terms_hint is None
+        else stats.repartitionByRange(
+            max(1, min(n_terms_hint // 1_000_000 + 1, 10_000)), "term"
+        )
     )
+    ranged.sortWithinPartitions("term").write.mode("overwrite").parquet(dest)
 
 
 def write_blocks(
@@ -894,6 +901,12 @@ def write_blocks(
         "data_dirs": [data_dir],
         "stats_dir": stats_dir,
         "n_docs": bidx.n_docs,
+        # one Σdf agg here saves every future append an old-stats scan +
+        # agg job (the manifest, not the stats parquet, is the running
+        # total's source of truth; append/compact keep it current)
+        "n_postings": int(
+            bidx.corpus_stats.agg(F.sum("df")).collect()[0][0] or 0
+        ),
         "avg_doc_len": bidx.avg_doc_len,
         "block_span": bidx.block_span,
         "n_buckets": n_buckets,
@@ -954,7 +967,10 @@ def append_blocks(
         f"{path}/{old_stats_dir}" if old_stats_dir else f"{path}/corpus_stats"
     )
     old_stats = spark.read.parquet(old_stats_path)
-    n_old_postings = int(old_stats.agg(F.sum("df")).collect()[0][0] or 0)
+    if "n_postings" in meta:
+        n_old_postings = int(meta["n_postings"])
+    else:  # legacy store (pre-round-4 manifest): recover via one agg
+        n_old_postings = int(old_stats.agg(F.sum("df")).collect()[0][0] or 0)
 
     offset = int(meta["n_docs"])
     new_map = mint_doc_ids(new_index.doc_stats, new_index.doc_key).withColumn(
@@ -966,12 +982,24 @@ def append_blocks(
     data_dirs = _manifest_dirs(meta)
     seg_dir = fsio.new_segment_name("seg", len(data_dirs))
     (
+        # appended segments are SMALL relative to the store (that is why
+        # they are appends): co-locate each bucket into one task so the
+        # layout gets n_buckets files, not shuffle_partitions x n_buckets
+        # near-empty ones — per-epoch file-system overhead was a third of
+        # the round-3 drain's 10x per-doc penalty. The full-build path
+        # (write_blocks) keeps many files per bucket on purpose.
         seg.blocks.withColumn("bucket", bucket)
+        .repartition(n_buckets, "bucket")
         .write.mode("overwrite")
         .partitionBy("bucket")
         .parquet(f"{path}/{seg_dir}/blocks")
     )
-    new_map.write.mode("overwrite").parquet(f"{path}/{seg_dir}/docid_map")
+    # size the map files to the segment (one file per ~5M docids), not
+    # to shuffle_partitions — an epoch of a few thousand docs otherwise
+    # writes 32 near-empty files per append
+    new_map.coalesce(max(1, new_index.n_docs // 5_000_000 + 1)).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/{seg_dir}/docid_map")
 
     # stats-level merge (never re-aggregates posting rows)
     n_docs = offset + new_index.n_docs
@@ -993,7 +1021,7 @@ def append_blocks(
     # merged stats land in a fresh versioned dir; the old version stays
     # live (and readable by in-flight queries) until the manifest flips
     stats_dir = fsio.new_segment_name("stats", len(data_dirs))
-    _write_stats(merged, f"{path}/{stats_dir}")
+    _write_stats(merged, f"{path}/{stats_dir}", n_terms_hint=n_postings)
 
     meta.update(
         {
@@ -1001,6 +1029,7 @@ def append_blocks(
             "data_dirs": data_dirs + [seg_dir],
             "stats_dir": stats_dir,
             "n_docs": n_docs,
+            "n_postings": n_postings,
             "avg_doc_len": avg_len,
             "stale_bounds": True,
             "key_ordered": False,
@@ -1193,13 +1222,14 @@ def compact_blocks(spark, path: str, vacuum: bool = True) -> None:
     # consolidated re-minted docid map lands in the compacted dir
     new_map.write.mode("overwrite").parquet(f"{path}/{new_dir}/docid_map")
     stats_dir = fsio.new_segment_name("stats", 0)
-    _write_stats(stats, f"{path}/{stats_dir}")
+    _write_stats(stats, f"{path}/{stats_dir}", n_terms_hint=n_postings)
     meta.update(
         {
             "layout": 2,
             "data_dirs": [new_dir],
             "stats_dir": stats_dir,
             "n_docs": n_docs,
+            "n_postings": n_postings,
             "avg_doc_len": avg_len,
             "stale_bounds": False,  # bounds recomputed under exact stats
             "key_ordered": True,    # re-minted in doc_key order

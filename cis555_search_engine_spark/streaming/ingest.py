@@ -159,7 +159,13 @@ def streaming_index_maintenance(
         meta = _read_meta(spark, index_path)
         if marker in meta.get("applied_epochs", []):
             return  # crash-redelivered epoch: append already committed
-        idx = build_index(batch_df, doc_key=doc_key, stem=stem, cache=False)
+        # cache="checkpoint": the epoch's postings materialize ONCE
+        # (eager localCheckpoint, GC-released) instead of re-running the
+        # tokenize pipeline for every consumer in append_blocks —
+        # cache=False paid it ~5x per epoch (round-3's 10x drain
+        # penalty), while .cache() would pin an entry per epoch for the
+        # stream's lifetime
+        idx = build_index(batch_df, doc_key=doc_key, stem=stem, cache="checkpoint")
         append_blocks(spark, index_path, idx, applied_marker=marker)
         if vacuum_every and int(epoch_id) % vacuum_every == vacuum_every - 1:
             vacuum_blocks(spark, index_path)

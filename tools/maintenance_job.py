@@ -79,7 +79,7 @@ def main() -> None:
         if not args.bootstrap:
             raise SystemExit(f"no index at {args.index}; pass --bootstrap <corpus.parquet>")
         corpus = spark.read.parquet(args.bootstrap)
-        bidx = build_blocks(build_index(corpus, cache=False), block_span=args.block_span)
+        bidx = build_blocks(build_index(corpus, cache="checkpoint"), block_span=args.block_span)
         write_blocks(bidx, args.index, n_buckets=args.n_buckets)
     n_before = _read_meta(spark, args.index)["n_docs"]
 
