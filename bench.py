@@ -8,6 +8,14 @@ Runs the headline queries from ``__spark_entry__.queries()`` at
     {"metric": "e2e_sec", "value": N, "unit": "sec",
      "queries": {"q1": sec, ...}, "sf": 0.1}
 
+plus round-4 attribution keys: per-query MEDIANS of N_RUNS in-process
+runs ("queries"), every raw run ("queries_runs"), the previous driver
+round's number per query ("queries_prev") with self-reported
+regressions ("regressions"), block-max WAND pruning ratios over the
+20-query log ("wand_pruning"), and the drain fixed/marginal cost split
+("drain"). Builds (index/blocks/append/compact/ivf/bootstrap) stay
+n=1 — they are full rewrites with their own directories.
+
 Sectioned for ATTRIBUTABILITY (round-2 verdict: sub-second queries
 doubled under cache/GC pressure from later build sections, making
 regressions unattributable):
@@ -49,6 +57,7 @@ sys.path.insert(0, REPO)
 WARM_FIRST = [
     "tpch_q1", "tpch_q3", "tpch_rollup", "events_window", "sessionize",
     "window_rank", "lang_id", "quality_score", "token_counts", "fingerprint",
+    "html_clean",
 ]
 # Section A: no inverted/block index involved — fresh-JVM comparable.
 LIGHT_TIER = WARM_FIRST + [
@@ -78,6 +87,9 @@ MAINT_TIER = [
 ]
 
 
+N_RUNS = 3  # per-query runs; the reported number is the MEDIAN
+
+
 def _sf_of(sf_dir: str) -> float:
     base = os.path.basename(sf_dir.rstrip("/"))
     try:
@@ -86,19 +98,55 @@ def _sf_of(sf_dir: str) -> float:
         return -1.0
 
 
-def _time_queries(spark, sf_dir, names, fns, timings):
+def _prev_round_queries() -> dict[str, float]:
+    """Per-query seconds from the newest driver-recorded BENCH_r*.json —
+    carried into this run's output so cross-round regressions are
+    MECHANICALLY visible (round-3 verdict item 7: r2 vs r3 comparison
+    needed forensics)."""
+    import glob
+    import re
+
+    best: tuple[int, str] | None = None
+    for p in glob.glob(os.path.join(REPO, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m:
+            rnd = int(m.group(1))
+            if best is None or rnd > best[0]:
+                best = (rnd, p)
+    if best is None:
+        return {}
+    try:
+        with open(best[1]) as f:
+            doc = json.load(f)
+        return dict(doc.get("parsed", doc).get("queries", {}))
+    except Exception:
+        return {}
+
+
+def _time_queries(spark, sf_dir, names, fns, timings, runs_log):
+    """Median of N_RUNS timed runs per query, all runs disclosed.
+
+    Medians within one process absorb this box's documented hypervisor
+    CPU-steal episodes (round-3: one contaminated pass read as 5x
+    regressions); the first run additionally carries this query's
+    codegen, so the median usually reflects steady state."""
     for name in names:
         fn = fns.get(name)
         if fn is None:
             continue
-        t0 = time.perf_counter()
-        n = fn(spark, sf_dir).count()
-        dt = time.perf_counter() - t0
-        timings[name] = round(dt, 3)
-        print(f"# {name}: {dt:.3f}s rows={n}", file=sys.stderr)
+        durs = []
+        n = -1
+        for _ in range(N_RUNS):
+            t0 = time.perf_counter()
+            n = fn(spark, sf_dir).count()
+            durs.append(round(time.perf_counter() - t0, 3))
+        med = sorted(durs)[len(durs) // 2]
+        timings[name] = med
+        runs_log[name] = durs
+        print(f"# {name}: median {med:.3f}s of {durs} rows={n}", file=sys.stderr)
 
 
-def _maintain_drain(spark, sf_dir, timings) -> None:
+def _maintain_drain(spark, sf_dir, timings) -> dict:
     """One streaming-maintenance tick: bootstrap a block store from half
     the corpus, stage the other half as 2 arriving files, drain with
     trigger(availableNow) — 2 exactly-once appends into the manifest
@@ -156,7 +204,36 @@ def _maintain_drain(spark, sf_dir, timings) -> None:
         f"({n_arriving / drain_s:.1f} docs/s) store_docs={n_after}",
         file=sys.stderr,
     )
+
+    # the SAME docs drained as ONE epoch: the (2ep, 1ep) pair splits
+    # drain cost into per-epoch fixed overhead + marginal per-doc rate —
+    # the quantified bound behind "micro-batch throughput scales with
+    # docs/epoch" (round-3 verdict item 5). drain(e epochs) ~
+    # e*overhead + docs/marginal_rate.
+    store1, ckpt1 = f"{base_dir}/store1", f"{base_dir}/ckpt1"
+    write_blocks(build_blocks(build_index(base, cache="checkpoint"), block_span=256),
+                 store1, n_buckets=16)
+    t0 = time.perf_counter()
+    q = streaming_index_maintenance(
+        read_transcript_stream(spark, arrivals, max_files_per_trigger=2),
+        store1, ckpt1,
+    )
+    q.awaitTermination()
+    drain1_s = time.perf_counter() - t0
+    timings["maintain_drain_1ep"] = round(drain1_s, 3)
+    overhead = max(0.0, drain_s - drain1_s)  # cost of the extra epoch
+    print(
+        f"# maintain_drain_1ep: {drain1_s:.3f}s ({n_arriving / drain1_s:.1f} docs/s); "
+        f"per-epoch fixed overhead ~{overhead:.1f}s",
+        file=sys.stderr,
+    )
     shutil.rmtree(base_dir, ignore_errors=True)
+    return {
+        "docs": n_arriving,
+        "docs_per_sec_2ep": round(n_arriving / drain_s, 1),
+        "docs_per_sec_1ep": round(n_arriving / drain1_s, 1),
+        "epoch_overhead_sec": round(overhead, 2),
+    }
 
 
 def main() -> None:
@@ -170,6 +247,8 @@ def main() -> None:
     spark = get_spark("bench", cores=cpus, shuffle_partitions=cpus)
 
     timings: dict[str, float] = {}
+    runs_log: dict[str, list[float]] = {}
+    prev = _prev_round_queries()
     fns = entry_mod.queries()
     known = set(LIGHT_TIER) | set(INDEX_TIER) | set(BLOCK_TIER) | set(MAINT_TIER)
     extra = [n for n in fns if n not in known]  # new queries never skipped
@@ -199,7 +278,7 @@ def main() -> None:
     for name in WARM_FIRST:  # untimed warm pass (see WARM_FIRST note)
         if name in fns:
             fns[name](spark, sf_dir).count()
-    _time_queries(spark, sf_dir, LIGHT_TIER, fns, timings)
+    _time_queries(spark, sf_dir, LIGHT_TIER, fns, timings, runs_log)
 
     # ---- section B: index build + long-postings-served queries ----------
     t0 = time.perf_counter()
@@ -209,7 +288,7 @@ def main() -> None:
     idx.corpus_stats.count()
     build_s = time.perf_counter() - t0
     timings["index_build"] = round(build_s, 3)
-    _time_queries(spark, sf_dir, INDEX_TIER, fns, timings)
+    _time_queries(spark, sf_dir, INDEX_TIER, fns, timings, runs_log)
 
     # ---- section C: block-index build + persist, then serving -----------
     import shutil
@@ -218,7 +297,7 @@ def main() -> None:
     shutil.rmtree(EQ._block_index_path(sf_dir), ignore_errors=True)  # cold build
     EQ.ensure_block_index(spark, sf_dir)
     timings["blocks_build"] = round(time.perf_counter() - t0, 3)
-    _time_queries(spark, sf_dir, BLOCK_TIER, fns, timings)
+    _time_queries(spark, sf_dir, BLOCK_TIER, fns, timings, runs_log)
 
     # ---- rank-identical top-k match rate (the north metric's second
     # half, measured not asserted): the 20-query log scored by the
@@ -239,6 +318,33 @@ def main() -> None:
     )
     print(f"# bm25_match_rate: {match_rate} over {len(qids)} queries", file=sys.stderr)
 
+    # ---- block-max WAND pruning effectiveness (round-3 verdict item 9):
+    # blocks decoded vs total query-term blocks over the 20-query log,
+    # from the SAME _prune_live_blocks the serving path uses — the
+    # numeric evidence behind the block-max design's 100x-scale claim.
+    from cis555_search_engine_spark.entry_queries import BATCH_QUERIES
+    from cis555_search_engine_spark.operators.postings_codec import (
+        count_live_blocks,
+        load_blocks,
+    )
+
+    bidx_w = load_blocks(spark, EQ._block_index_path(sf_dir)).cache()
+    live_tot = [count_live_blocks(bidx_w, q, k=10) for q in BATCH_QUERIES.values()]
+    wand = {
+        "blocks_live": sum(l for l, _ in live_tot),
+        "blocks_total": sum(t for _, t in live_tot),
+        "queries": len(live_tot),
+    }
+    wand["skip_ratio"] = (
+        round(1.0 - wand["blocks_live"] / wand["blocks_total"], 4)
+        if wand["blocks_total"] else None
+    )
+    print(
+        f"# wand_pruning: decoded {wand['blocks_live']}/{wand['blocks_total']} "
+        f"blocks over {wand['queries']} queries (skip ratio {wand['skip_ratio']})",
+        file=sys.stderr,
+    )
+
     # ---- section D: maintenance (append / compact / stream / IVF) -------
     t0 = time.perf_counter()
     EQ._ensure_append_store(spark, sf_dir)
@@ -256,15 +362,28 @@ def main() -> None:
     shutil.rmtree(EQ._ivf_index_path(sf_dir), ignore_errors=True)  # cold build
     EQ.ensure_ivf_index(spark, sf_dir)
     timings["ivf_build"] = round(time.perf_counter() - t0, 3)
-    _time_queries(spark, sf_dir, MAINT_TIER + extra, fns, timings)
-    _maintain_drain(spark, sf_dir, timings)
+    _time_queries(spark, sf_dir, MAINT_TIER + extra, fns, timings, runs_log)
+    drain_info = _maintain_drain(spark, sf_dir, timings)
 
     total = round(sum(timings.values()), 3)
+    regressions = {
+        q: {"sec": timings[q], "prev": prev[q]}
+        for q in timings
+        if q in prev and prev[q] > 0 and timings[q] > 1.5 * prev[q] + 0.3
+    }
+    for q, rec in sorted(regressions.items()):
+        print(f"# REGRESSION {q}: {rec['sec']}s vs prev {rec['prev']}s", file=sys.stderr)
     out = {
         "metric": "e2e_sec",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        "queries": timings,            # median of N_RUNS per query
+        "queries_prev": {q: prev[q] for q in timings if q in prev},
+        "queries_runs": runs_log,      # every timed run, noise visible
+        "regressions": regressions,    # > 1.5x prev + 0.3s, self-reported
+        "n_runs": N_RUNS,
+        "wand_pruning": wand,
+        "drain": drain_info,
         "sf": _sf_of(sf_dir),
         "cpus": cpus,
         "index_docs": idx.n_docs,

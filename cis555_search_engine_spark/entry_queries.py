@@ -726,7 +726,14 @@ def ensure_block_index(spark: SparkSession, sf_dir: str):
         except (OSError, ValueError):
             fresh = False
     if not fresh:
-        bidx = build_blocks(get_index(spark, sf_dir), block_span=256)
+        # impact_ordered: docids minted by ascending doc_len (docid
+        # reordering for block-max WAND) — block upper bounds decay with
+        # block_id, so θ prunes the tail; results identical, tie-breaks
+        # via the doc_key join (key_ordered=False). Measured on the
+        # 1.58M-turn store: blocks decoded at k=80 drop 12118/12257 ->
+        # 8365/12198 vs key-ordered minting (BENCH/BASELINE.md).
+        bidx = build_blocks(get_index(spark, sf_dir), block_span=256,
+                            impact_ordered=True)
         write_blocks(bidx, path, n_buckets=16, extra_meta={"source_mtime": src_mtime})
     loaded = load_blocks(spark, path)
     _BLOCK_CACHE[skey] = (loaded, src_mtime)

@@ -1,0 +1,101 @@
+"""Manifest-commit modes (fsio): rename (HDFS/local-atomic) vs log
+(object-store-safe immutable versioned objects) — round-3 verdict
+item 8. The log mode's guarantee under test: a torn / partially-written
+newest manifest (what a non-atomic rename or a crashed PUT leaves
+behind) is INVISIBLE to readers, who fall back to the previous good
+commit."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from cis555_search_engine_spark import fsio
+
+
+@pytest.fixture
+def log_mode(spark):
+    spark.conf.set(fsio.MANIFEST_MODE_CONF, "log")
+    yield
+    spark.conf.set(fsio.MANIFEST_MODE_CONF, "rename")
+
+
+def _build_store(spark, corpus_sdf, path: str) -> None:
+    from cis555_search_engine_spark.operators.index_build import build_index
+    from cis555_search_engine_spark.operators import postings_codec as pc
+
+    pc.write_blocks(
+        pc.build_blocks(build_index(corpus_sdf, cache="checkpoint"), block_span=64),
+        path, n_buckets=8,
+    )
+
+
+def test_manifest_log_mode_end_to_end(spark, corpus_sdf, log_mode, tmp_path):
+    """Build + append under log mode: every commit is a new immutable
+    versioned object, no _meta.json is ever written, reads auto-detect,
+    and queries serve identically to rename mode."""
+    from cis555_search_engine_spark.operators.index_build import build_index
+    from cis555_search_engine_spark.operators import postings_codec as pc
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "store")
+    half_a = corpus_sdf.filter(F.col("turn_idx") % 2 == 0)
+    half_b = corpus_sdf.filter(F.col("turn_idx") % 2 == 1)
+    _build_store(spark, half_a, path)
+
+    logs = sorted(n for n in fsio.list_children(spark, path) if n.startswith("_meta-"))
+    assert len(logs) == 1 and not fsio.exists(spark, f"{path}/_meta.json")
+
+    idx_b = build_index(half_b, cache="checkpoint")
+    pc.append_blocks(spark, path, idx_b)
+    logs = sorted(n for n in fsio.list_children(spark, path) if n.startswith("_meta-"))
+    assert len(logs) == 2
+    versions = [int(n.split("-")[1]) for n in logs]
+    assert versions == sorted(versions) and versions[1] == versions[0] + 1
+
+    bidx = pc.load_blocks(spark, path)
+    assert bidx.n_docs == corpus_sdf.count()
+    rows = pc.bm25_topk_blocks(bidx, "rice noodle", k=5).collect()
+    assert rows and all(rows[i].score >= rows[i + 1].score for i in range(len(rows) - 1))
+
+
+def test_torn_manifest_invisible_to_readers(spark, corpus_sdf, log_mode, tmp_path):
+    """Simulate the torn state a NON-ATOMIC rename / crashed PUT leaves:
+    a newer manifest object exists but holds truncated JSON. Readers
+    must skip it and keep serving the last good commit — never a torn
+    manifest, never an error."""
+    from cis555_search_engine_spark.operators import postings_codec as pc
+
+    path = str(tmp_path / "store")
+    _build_store(spark, corpus_sdf, path)
+    good = pc._read_meta(spark, path)
+
+    # a torn write at the next version: truncated JSON payload
+    torn = json.dumps({"layout": 2, "data_dirs": ["seg-oops"]})[:17]
+    fs, p, _ = fsio._jfs(spark, f"{path}/_meta-{good.get('v', 0) + 999:012d}-deadbeef.json")
+    out = fs.create(p, False)
+    try:
+        out.write(bytearray(torn.encode("utf-8")))
+    finally:
+        out.close()
+
+    seen = pc._read_meta(spark, path)
+    assert seen == good  # torn newest skipped, previous commit served
+    bidx = pc.load_blocks(spark, path)
+    assert bidx.n_docs == good["n_docs"]
+    assert pc.bm25_topk_blocks(bidx, "rice noodle", k=3).count() > 0
+
+
+def test_vacuum_keeps_recent_manifest_logs(spark, corpus_sdf, log_mode, tmp_path):
+    """vacuum_blocks must not sweep live manifest-log entries (they are
+    not in data_dirs) and must keep the newest MANIFEST_LOG_KEEP."""
+    from cis555_search_engine_spark.operators import postings_codec as pc
+
+    path = str(tmp_path / "store")
+    _build_store(spark, corpus_sdf, path)
+    n_docs = pc._read_meta(spark, path)["n_docs"]
+    pc.vacuum_blocks(spark, path)
+    assert pc.load_blocks(spark, path).n_docs == n_docs
+    logs = [n for n in fsio.list_children(spark, path) if n.startswith("_meta-")]
+    assert 1 <= len(logs) <= fsio.MANIFEST_LOG_KEEP

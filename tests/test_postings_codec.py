@@ -824,3 +824,56 @@ def test_compact_refuses_fully_tombstoned_store(spark, corpus_sdf, tmp_path):
     bidx = load_blocks(spark, path)
     assert bidx.tombstones is not None
     assert bm25_topk_blocks(bidx, "rice noodle", k=5).count() == 0
+
+
+def test_impact_ordered_build_same_results_better_pruning(spark, spark_index, block_index):
+    """Docid reordering for block-max WAND (mint_doc_ids order_cols):
+    an impact-ordered build must return IDENTICAL top-k (doc_key, score)
+    rows — docids are internal — while pruning at least as well as the
+    key-ordered layout, and strictly better on a length-skewed corpus."""
+    from cis555_search_engine_spark.operators.postings_codec import (
+        bm25_topk_blocks,
+        build_blocks,
+        count_live_blocks,
+    )
+
+    imp = build_blocks(spark_index, block_span=64, impact_ordered=True).cache()
+    assert imp.key_ordered is False
+    # docid 0 must now be (one of) the SHORTEST docs
+    m = {tuple(r[c] for c in ("conv_id", "turn_idx")): r["docid"]
+         for r in imp.docid_map.collect()}
+    lens = {(r["conv_id"], r["turn_idx"]): r["doc_len"]
+            for r in spark_index.doc_stats.collect()}
+    zero_key = next(k for k, d in m.items() if d == 0)
+    assert lens[zero_key] == min(lens.values())
+
+    for q in QUERIES:
+        want = [(r["conv_id"], r["turn_idx"], round(r["score"], 9))
+                for r in bm25_topk_blocks(block_index, q, k=7).collect()]
+        got = [(r["conv_id"], r["turn_idx"], round(r["score"], 9))
+               for r in bm25_topk_blocks(imp, q, k=7).collect()]
+        assert got == want, q
+
+    # a length-skewed corpus: a few short docs dominate the ranking; the
+    # impact-ordered layout packs them into the low blocks so θ prunes
+    # the long tail, while key order scatters them across all blocks
+    from cis555_search_engine_spark.operators.index_build import build_index
+
+    rows = []
+    for i in range(400):
+        if i % 100 == 0:
+            rows.append((f"c{i:04d}", 0, "user", "zebra quark", None))
+        else:
+            filler = " ".join(f"w{j:03d}" for j in range(40))
+            rows.append((f"c{i:04d}", 0, "user", f"zebra {filler}", None))
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string"
+    ).withColumn("ts", F.to_timestamp(F.lit("2020-05-01 00:00:00")))
+    idx = build_index(df, cache="checkpoint")
+    key_b = build_blocks(idx, block_span=16)
+    imp_b = build_blocks(idx, block_span=16, impact_ordered=True)
+    lk, tk = count_live_blocks(key_b, "zebra", k=3)
+    li, ti = count_live_blocks(imp_b, "zebra", k=3)
+    assert ti == tk and li < lk, (li, ti, lk, tk)
