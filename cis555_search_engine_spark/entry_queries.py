@@ -2084,6 +2084,128 @@ SELECT src AS doc_id, min(dst) AS comp FROM reach GROUP BY src
 )
 
 
+# --------------------------------------- round-4 pipeline additions
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs (doc_id % 41 != 0)
+    sharing >= 1 trigram shingle with the eval split (doc_id % 41 == 0).
+    The eval-hash frame is known-small here, so it opts into the
+    broadcast; the operator default leaves the strategy to AQE."""
+    from .operators.decontam import decontaminate
+
+    docs = load(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 41 != 0)
+    ev = docs.filter(F.col("doc_id") % 41 == 0)
+    return decontaminate(train, ev, n=3, broadcast_eval=True)
+
+
+SQL_DECONTAMINATE = (
+    "WITH "
+    + SQL_SHINGLE_CTES
+    + """,
+ev AS (SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc_id % 41 = 0),
+dx AS (SELECT doc_id, len(shingles)::BIGINT AS n_shingles, unnest(shingles) AS s
+       FROM sh WHERE doc_id % 41 <> 0)
+SELECT d.doc_id AS id, count(*)::BIGINT AS n_hits, d.n_shingles,
+       round(count(*)::DOUBLE / d.n_shingles, 6) AS overlap_frac
+FROM dx d JOIN ev ON d.s = ev.s
+GROUP BY d.doc_id, d.n_shingles
+"""
+)
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document."""
+    from .operators.text_analysis import repetition_stats
+
+    return repetition_stats(load(spark, sf_dir, "documents"))
+
+
+SQL_REPETITION_STATS = """
+WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+base AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+                len(list_distinct(toks))::BIGINT AS n_distinct FROM t),
+bg AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS g
+       FROM t, unnest(generate_series(1, len(toks) - 1)) s(i)),
+bgc AS (SELECT doc_id, g, count(*)::BIGINT AS c FROM bg GROUP BY doc_id, g),
+bga AS (SELECT doc_id, max(c) AS mx, sum(c) AS tot FROM bgc GROUP BY doc_id),
+tg AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g
+       FROM t, unnest(generate_series(1, len(toks) - 2)) s(i)),
+tgc AS (SELECT doc_id, g, count(*)::BIGINT AS c FROM tg GROUP BY doc_id, g),
+tga AS (SELECT doc_id, count(*)::BIGINT AS dis, sum(c) AS tot FROM tgc GROUP BY doc_id)
+SELECT b.doc_id AS id, b.n_tokens,
+       round(1 - b.n_distinct / b.n_tokens::DOUBLE, 6) AS dup_token_frac,
+       round(coalesce(bga.mx / bga.tot::DOUBLE, 0), 6) AS top_bigram_frac,
+       round(coalesce(1 - tga.dis / tga.tot::DOUBLE, 0), 6) AS dup_trigram_frac
+FROM base b
+LEFT JOIN bga ON b.doc_id = bga.doc_id
+LEFT JOIN tga ON b.doc_id = tga.doc_id
+"""
+
+# data-mixing rates for the stratified-sampling query (zh/fr fall to the
+# default rate 0.0 — absent strata must drop, part of the contract)
+STRATA_RATES = {"en": 0.5, "de": 0.25, "es": 0.1}
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum (language) sampling — the data-mixing
+    step; membership is a pure function of doc_id, twinned in SQL."""
+    from .operators.curation import sample_stratified
+
+    docs = load(spark, sf_dir, "documents")
+    return sample_stratified(docs, STRATA_RATES, stratum_col="lang").select(
+        "doc_id", "lang"
+    )
+
+
+def _hex_thr(rate: float) -> str:
+    return "g" if rate >= 1.0 else format(max(int(rate * 16**8), 0), "08x")
+
+
+SQL_SAMPLE_STRATIFIED = """
+SELECT doc_id, lang FROM documents
+WHERE substr(md5(doc_id::VARCHAR), 1, 8) <
+      CASE lang {cases} ELSE '{default}' END
+""".format(
+    cases=" ".join(
+        f"WHEN '{s}' THEN '{_hex_thr(r)}'" for s, r in sorted(STRATA_RATES.items())
+    ),
+    default=_hex_thr(0.0),
+)
+
+
+def q_facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-result facetting: per-source n_docs + max/min BM25 score
+    over the FULL match set of the standard query (no top-k cut)."""
+    from .operators.scoring import facet_counts
+
+    idx = get_index(spark, sf_dir)
+    meta = load(spark, sf_dir, "documents").select("doc_id", "source")
+    return facet_counts(idx, BM25_QUERY, meta, "source", stem=False)
+
+
+SQL_FACET_COUNTS = (
+    SQL_TOK
+    + """,
+scored AS (
+  SELECT p.doc_id,
+         round(sum(ln((tot.n_docs - cs.df + 0.5) / (cs.df + 0.5) + 1.0)
+                   * p.tf * 2.2
+                   / (p.tf + 1.2 * (0.25 + 0.75 * ds.doc_len / tot.avg_len))), 4) AS s
+  FROM postings p, cs, ds, tot
+  WHERE p.term = cs.term AND p.doc_id = ds.doc_id
+    AND p.term IN ('hash', 'join', 'merge')
+  GROUP BY p.doc_id
+)
+SELECT d.source AS facet, count(*)::BIGINT AS n_docs,
+       max(s.s) AS max_score, min(s.s) AS min_score
+FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+GROUP BY d.source
+"""
+)
+
+
 # ---------------------------------------------------------- registry
 
 # Registry ORDER is a driver contract (round-3 verdict item 1): the
@@ -2093,11 +2215,13 @@ SELECT src AS doc_id, min(dst) AS comp FROM reach GROUP BY src
 # represented) sit after position 50 and stay covered by
 # tools/selfcheck.py + pytest. Twin -> early representative:
 #   phrase_match/proximity_topk/term_completion -> *_blocks variants
-#   bm25_and_blocks -> bm25_and_topk (AND) + bool_blocks (block serving)
-#   bm25_batch_blocks -> bm25_batch;  bm25_compacted/bm25_not_blocks ->
-#   bm25_compact_deleted / bool_blocks;  ann_kmeans -> ann_ivf_served
-#   (same centroids+oracle);  cosine_pairs -> cosine_lsh_pairs;
-#   window_rank -> sessionize+events_window;  tpch_rollup -> tpch_q1/q3.
+#   bm25_and_topk/bm25_and_blocks -> bool_blocks (AND semantics + block
+#   serving);  bm25_batch_blocks -> bm25_batch;  bm25_compacted/
+#   bm25_not_blocks -> bm25_compact_deleted / bool_blocks;
+#   ann_ivf/ann_kmeans -> ann_ivf_served (same centroids+oracle);
+#   cosine_pairs -> cosine_lsh_pairs;  window_rank/events_window ->
+#   sessionize;  tpch_q3/tpch_rollup -> tpch_q1 (+ the engine's own
+#   join/topk families J1-J8).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- core index + ranking (families: postings, stats, rankers) ---
     "postings": q_postings,
@@ -2106,7 +2230,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "wordcount": q_wordcount,
     "bm25_topk": q_bm25_topk,
     "bm25_blocks": q_bm25_blocks,
-    "bm25_and_topk": q_bm25_and_topk,
     "bm25_batch": q_bm25_batch,
     "phrase_blocks": q_phrase_blocks,
     "bm25_append_blocks": q_bm25_append_blocks,
@@ -2127,10 +2250,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "expand_query": q_expand_query,
     "more_like_this": q_more_like_this,
     "group_topk": q_group_topk,
+    "facet_counts": q_facet_counts,
     # --- relational / window ---
     "tpch_q1": q_tpch_q1,
-    "tpch_q3": q_tpch_q3,
-    "events_window": q_events_window,
     "sessionize": q_sessionize,
     # --- dedup ---
     "dedup_exact": q_dedup_exact,
@@ -2138,9 +2260,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "dedup_components": q_dedup_components,
+    "decontaminate": q_decontaminate,
     # --- similarity / ANN ---
     "ann_topk": q_ann_topk,
-    "ann_ivf": q_ann_ivf,
     "ann_ivf_served": q_ann_ivf_served,
     "cosine_lsh_pairs": q_cosine_lsh_pairs,
     # --- text analysis / curation / multimodal / graph ---
@@ -2148,14 +2270,20 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_score": q_quality_score,
     "token_counts": q_token_counts,
     "fingerprint": q_fingerprint,
+    "repetition_stats": q_repetition_stats,
     "html_clean": q_html_clean,
     "hashed_features": q_hashed_features,
+    "sample_stratified": q_sample_stratified,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_decode": q_multimodal_decode,
     "curate": q_curate,
     "pack_sequences": q_pack_sequences,
     "pagerank": q_pagerank,
     # ---------------- position 51+: near-twin variants ----------------
+    "bm25_and_topk": q_bm25_and_topk,
+    "tpch_q3": q_tpch_q3,
+    "events_window": q_events_window,
+    "ann_ivf": q_ann_ivf,
     "phrase_match": q_phrase_match,
     "proximity_topk": q_proximity_topk,
     "term_completion": q_term_completion,
@@ -2235,4 +2363,8 @@ ORACLES: dict[str, str] = {
     "more_like_this": SQL_MORE_LIKE_THIS,
     "group_topk": SQL_GROUP_TOPK,
     "dedup_components": SQL_DEDUP_COMPONENTS,
+    "decontaminate": SQL_DECONTAMINATE,
+    "repetition_stats": SQL_REPETITION_STATS,
+    "sample_stratified": SQL_SAMPLE_STRATIFIED,
+    "facet_counts": SQL_FACET_COUNTS,
 }

@@ -49,6 +49,48 @@ def sample_filter(
     return docs.filter(keep)
 
 
+def sample_stratified(
+    docs: DataFrame,
+    rates: dict[str, float],
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum sampling — the data-mixing step of a
+    pretraining pipeline ("take 50% of en, 25% of de, ..."), as one
+    scan-side filter with NO shuffle and NO randomness.
+
+    Key = first 8 hex chars of md5(id-as-string) — uniform in [0, 16^8)
+    and identically computable in Spark and ANSI SQL (the same
+    SQL-reproducible hash family as `hashed_tfidf_features` /
+    `dedup.simhash_base_hash`). A row is kept iff its hex key is
+    lexicographically below the stratum's threshold
+    ``format(int(rate * 16^8), '08x')`` — fixed-width lowercase hex, so
+    string order IS numeric order. Properties a 100 TB pipeline needs:
+
+    - membership depends only on (id, rate): re-runs, retries, and any
+      cluster size produce the identical sample (Spark's df.sample is
+      seeded per-partition — NOT stable under repartitioning);
+    - raising a stratum's rate strictly GROWS its sample (nested
+      samples: the 25% set is a subset of the 50% set) — reproducible
+      ablations;
+    - the whole predicate is a native column expression fused into the
+      scan (codegen; no UDF, no join, no shuffle).
+
+    Unknown strata get ``default_rate``. ``rate >= 1`` keeps the whole
+    stratum (threshold 'g' sorts above every hex digit).
+    """
+
+    def thr(rate: float) -> str:
+        return "g" if rate >= 1.0 else format(max(int(rate * 16**8), 0), "08x")
+
+    key = F.substring(F.md5(F.col(id_col).cast("string").cast("binary")), 1, 8)
+    bound = F.lit(thr(default_rate))
+    for stratum, rate in sorted(rates.items()):
+        bound = F.when(F.col(stratum_col) == stratum, F.lit(thr(rate))).otherwise(bound)
+    return docs.filter(key < bound)
+
+
 def curate(
     docs: DataFrame,
     min_score: float = 0.55,

@@ -74,9 +74,27 @@ def bm25_topk(
     Catalyst folds into the aggregate: no second pass. The reference is
     OR-semantics (Σ over whatever terms hit, SearchHelper.java:167-177).
     """
+    scored = bm25_scores(index, query, stem=stem, conjunctive=conjunctive)
+    if scored is None:
+        return _empty(index)
+    return _topk(scored, list(index.doc_key), k)
+
+
+def bm25_scores(
+    index: InvertedIndex,
+    query: str,
+    stem: bool = True,
+    conjunctive: bool = False,
+) -> DataFrame | None:
+    """The FULL BM25 match set (doc_key..., score) — no top-k cut.
+
+    The shared body of :func:`bm25_topk` (which adds the
+    TakeOrderedAndProject) and :func:`facet_counts` (which aggregates
+    the whole match set instead of cutting it). Returns None for an
+    empty query (callers decide the empty shape)."""
     terms = bm25_query_terms(query) if stem else list(dict.fromkeys(tokenize_py(query)))
     if not terms:
-        return _empty(index)
+        return None
     key = list(index.doc_key)
     matched = index.postings.filter(F.col("term").isin(terms))
     grouped = (
@@ -94,7 +112,54 @@ def bm25_topk(
     )
     if conjunctive:
         grouped = grouped.filter(F.col("n_terms_hit") == len(terms))
-    return _topk(grouped.select(*key, "score"), key, k)
+    return grouped.select(*key, "score")
+
+
+def facet_counts(
+    index: InvertedIndex,
+    query: str,
+    meta: DataFrame,
+    facet_col: str,
+    stem: bool = True,
+    conjunctive: bool = False,
+) -> DataFrame:
+    """(facet, n_docs, max_score, min_score) over the FULL BM25 match
+    set of ``query`` — search-result facetting (the "narrow by source /
+    site / language" panel every production search UI has; the reference
+    frontend has no facets, SURVEY §3.1, so this is an engine addition).
+
+    ``meta`` is a (doc_key..., facet_col) frame. Shape at scale: the
+    match set (bounded by the query terms' document frequencies) joins
+    doc metadata on the doc key, then ONE hash agg keyed by the facet
+    value — partial agg map-side, and per-facet max/min/count are
+    order-independent, so the result is bit-deterministic under any
+    partitioning (a SUM of floats would not be: accumulation order
+    varies run to run — that is why the facet "score summary" is
+    max/min, not mean).
+
+    Scores are rounded to 4 dp BEFORE the facet agg (same contract as
+    the ranked queries' outputs).
+    """
+    key = list(index.doc_key)
+    scored = bm25_scores(index, query, stem=stem, conjunctive=conjunctive)
+    if scored is None:
+        empty = meta.select(F.col(facet_col).alias("facet")).limit(0)
+        return empty.select(
+            "facet",
+            F.lit(0).cast("long").alias("n_docs"),
+            F.lit(0.0).alias("max_score"),
+            F.lit(0.0).alias("min_score"),
+        )
+    rounded = scored.select(*key, F.round("score", 4).alias("s"))
+    return (
+        rounded.join(meta.select(*key, F.col(facet_col).alias("facet")), key)
+        .groupBy("facet")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.max("s").alias("max_score"),
+            F.min("s").alias("min_score"),
+        )
+    )
 
 
 def bm25_topk_many(

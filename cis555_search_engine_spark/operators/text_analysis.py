@@ -161,6 +161,63 @@ def html_clean(docs: DataFrame, id_col: str = "doc_id", html_col: str = "html") 
     )
 
 
+def repetition_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, n_tokens, dup_token_frac, top_bigram_frac, dup_trigram_frac)
+    — Gopher-style repetition signals (Rae et al. 2021 §A1.1, public:
+    "fraction of duplicate lines / most-common n-gram fraction"; this
+    corpus is single-line text, so the signals are token-level):
+
+    - ``dup_token_frac`` = 1 - distinct/total tokens (type-token
+      inverse) — boilerplate and keyword-stuffing pushes this up;
+    - ``top_bigram_frac`` = occurrences of the doc's most frequent
+      bigram / total bigram occurrences;
+    - ``dup_trigram_frac`` = fraction of trigram occurrences that are
+      repeats (1 - distinct/total).
+
+    Scale shape: the per-doc token stats are a narrow map; the n-gram
+    modes are two hash aggs keyed by (id, gram) then (id) — doc-id in
+    the key spreads hot grams, so there is no skew and partial
+    aggregation does the heavy lifting map-side. Docs too short to have
+    bigrams/trigrams get 0.0 (left join + coalesce, twinned in SQL).
+    """
+    toks = docs.select(F.col(id_col).alias("id"), _toks(F.col(text_col)).alias("toks"))
+    base = toks.select(
+        "id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).cast("long").alias("n_distinct"),
+    )
+
+    def grams(n: int):
+        idx = F.sequence(F.lit(0), F.size("toks") - n)
+        g = F.transform(idx, lambda i: F.array_join(F.slice("toks", i + 1, n), " "))
+        arr = F.when(F.size("toks") >= n, g).otherwise(F.array().cast("array<string>"))
+        return toks.select("id", F.explode(arr).alias("g")).groupBy("id", "g").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+
+    bg = grams(2).groupBy("id").agg(
+        F.max("c").alias("bg_max"), F.sum("c").alias("bg_tot")
+    )
+    tg = grams(3).groupBy("id").agg(
+        F.count(F.lit(1)).alias("tg_distinct"), F.sum("c").alias("tg_tot")
+    )
+    return (
+        base.join(bg, "id", "left")
+        .join(tg, "id", "left")
+        .select(
+            "id",
+            "n_tokens",
+            F.round(1 - F.col("n_distinct") / F.col("n_tokens"), 6).alias("dup_token_frac"),
+            F.round(
+                F.coalesce(F.col("bg_max") / F.col("bg_tot"), F.lit(0.0)), 6
+            ).alias("top_bigram_frac"),
+            F.round(
+                F.coalesce(1 - F.col("tg_distinct") / F.col("tg_tot"), F.lit(0.0)), 6
+            ).alias("dup_trigram_frac"),
+        )
+    )
+
+
 def hashed_tfidf_features(
     docs: DataFrame,
     dim: int = 1024,

@@ -1,0 +1,218 @@
+"""Round-4 training-pipeline operators: decontamination, repetition
+signals, stratified sampling, facet counts — each vs a pure-Python
+oracle plus edge cases the driver's sf0.01 data may not exercise."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_sdf(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def docs_rows(docs_sdf):
+    return [(r["doc_id"], r["text"]) for r in docs_sdf.select("doc_id", "text").collect()]
+
+
+def _shingles(text: str, n: int = 3) -> set[str]:
+    toks = text.split()
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+# ------------------------------------------------------- decontaminate
+
+
+def test_decontaminate_matches_oracle(spark, docs_sdf, docs_rows):
+    from pyspark.sql import functions as F
+
+    from cis555_search_engine_spark.operators.decontam import decontaminate
+
+    train = docs_sdf.filter(F.col("doc_id") % 7 != 0)
+    ev = docs_sdf.filter(F.col("doc_id") % 7 == 0)
+
+    ev_sh = set().union(*(_shingles(t) for i, t in docs_rows if i % 7 == 0))
+    want = {}
+    for i, t in docs_rows:
+        if i % 7 == 0:
+            continue
+        sh = _shingles(t)
+        hits = len(sh & ev_sh)
+        if hits:
+            want[i] = (hits, len(sh), round(hits / len(sh), 6))
+
+    got = {
+        r["id"]: (r["n_hits"], r["n_shingles"], r["overlap_frac"])
+        for r in decontaminate(train, ev).collect()
+    }
+    assert got == want
+    assert want, "fixture corpus must actually overlap or the test is vacuous"
+
+
+def test_decontaminate_broadcast_mode_identical(spark, docs_sdf):
+    from pyspark.sql import functions as F
+
+    from cis555_search_engine_spark.operators.decontam import decontaminate
+
+    train = docs_sdf.filter(F.col("doc_id") % 7 != 0)
+    ev = docs_sdf.filter(F.col("doc_id") % 7 == 0)
+    a = sorted(map(tuple, decontaminate(train, ev, broadcast_eval=False).collect()))
+    b = sorted(map(tuple, decontaminate(train, ev, broadcast_eval=True).collect()))
+    assert a == b
+
+
+def test_decontaminate_short_docs_never_flagged(spark):
+    from cis555_search_engine_spark.operators.decontam import decontaminate
+
+    train = spark.createDataFrame(
+        [(1, "too short"), (2, "alpha beta gamma delta")], ["doc_id", "text"]
+    )
+    ev = spark.createDataFrame([(9, "too short alpha beta gamma")], ["doc_id", "text"])
+    got = {r["id"]: r["n_hits"] for r in decontaminate(train, ev).collect()}
+    # doc 1 has < 3 tokens -> no shingles -> cannot be flagged;
+    # doc 2 shares "alpha beta gamma"
+    assert got == {2: 1}
+
+
+# ----------------------------------------------------- repetition_stats
+
+
+def test_repetition_stats_matches_oracle(spark, docs_sdf, docs_rows):
+    from cis555_search_engine_spark.operators.text_analysis import repetition_stats
+
+    def oracle(text):
+        toks = text.lower().split()
+        n = len(toks)
+        dup_tok = round(1 - len(set(toks)) / n, 6)
+        bgs = [" ".join(toks[i : i + 2]) for i in range(n - 1)]
+        top_bg = 0.0
+        if bgs:
+            top_bg = round(max(bgs.count(g) for g in set(bgs)) / len(bgs), 6)
+        tgs = [" ".join(toks[i : i + 3]) for i in range(n - 2)]
+        dup_tg = round(1 - len(set(tgs)) / len(tgs), 6) if tgs else 0.0
+        return (n, dup_tok, top_bg, dup_tg)
+
+    want = {i: oracle(t) for i, t in docs_rows}
+    got = {
+        r["id"]: (
+            r["n_tokens"],
+            r["dup_token_frac"],
+            r["top_bigram_frac"],
+            r["dup_trigram_frac"],
+        )
+        for r in repetition_stats(docs_sdf).collect()
+    }
+    assert got == want
+
+
+def test_repetition_stats_degenerate_docs(spark):
+    from cis555_search_engine_spark.operators.text_analysis import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "solo"),  # no bigrams, no trigrams
+            (2, "a b"),  # one bigram, no trigrams
+            (3, "spam spam spam spam"),  # maximal repetition
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["id"]: r for r in repetition_stats(df).collect()}
+    assert got[1]["top_bigram_frac"] == 0.0 and got[1]["dup_trigram_frac"] == 0.0
+    assert got[2]["top_bigram_frac"] == 1.0 and got[2]["dup_trigram_frac"] == 0.0
+    assert got[3]["dup_token_frac"] == 0.75
+    assert got[3]["top_bigram_frac"] == 1.0  # "spam spam" is every bigram
+    assert got[3]["dup_trigram_frac"] == 0.5  # 2 occurrences, 1 distinct
+
+
+# ---------------------------------------------------- sample_stratified
+
+
+def _hexkey(doc_id) -> str:
+    return hashlib.md5(str(doc_id).encode()).hexdigest()[:8]
+
+
+def test_sample_stratified_matches_oracle(spark, docs_sdf):
+    from cis555_search_engine_spark.operators.curation import sample_stratified
+
+    rates = {"en": 0.5, "de": 0.25, "es": 0.1}
+    rows = docs_sdf.select("doc_id", "lang").collect()
+    want = {
+        r["doc_id"]
+        for r in rows
+        if rates.get(r["lang"]) is not None
+        and _hexkey(r["doc_id"]) < format(int(rates[r["lang"]] * 16**8), "08x")
+    }
+    got = {r["doc_id"] for r in sample_stratified(docs_sdf, rates).collect()}
+    assert got == want
+    # unknown strata (zh, fr) fall to default_rate=0 -> dropped entirely
+    langs = {r["lang"] for r in rows}
+    assert {"zh", "fr"} <= langs
+    kept_langs = {
+        r["lang"] for r in sample_stratified(docs_sdf, rates).select("lang").collect()
+    }
+    assert kept_langs <= set(rates)
+
+
+def test_sample_stratified_nested_and_stable(spark, docs_sdf):
+    """Raising a rate strictly grows the sample; membership is invariant
+    under repartitioning (the property df.sample lacks)."""
+    from cis555_search_engine_spark.operators.curation import sample_stratified
+
+    small = {r["doc_id"] for r in sample_stratified(docs_sdf, {"en": 0.2}).collect()}
+    big = {r["doc_id"] for r in sample_stratified(docs_sdf, {"en": 0.6}).collect()}
+    assert small < big
+    re48 = {
+        r["doc_id"]
+        for r in sample_stratified(docs_sdf.repartition(48), {"en": 0.6}).collect()
+    }
+    assert re48 == big
+
+
+def test_sample_stratified_rate_one_keeps_all(spark, docs_sdf):
+    from cis555_search_engine_spark.operators.curation import sample_stratified
+
+    n_en = docs_sdf.filter("lang = 'en'").count()
+    assert sample_stratified(docs_sdf, {"en": 1.0}).count() == n_en
+
+
+# -------------------------------------------------------- facet_counts
+
+
+def test_facet_counts_matches_bm25_scores(spark, docs_sdf):
+    from pyspark.sql import functions as F
+
+    from cis555_search_engine_spark.operators.index_build import build_index
+    from cis555_search_engine_spark.operators.scoring import bm25_scores, facet_counts
+
+    idx = build_index(docs_sdf, doc_key=("doc_id",), text_col="text", stem=False)
+    meta = docs_sdf.select("doc_id", "source")
+    got = {
+        r["facet"]: (r["n_docs"], r["max_score"], r["min_score"])
+        for r in facet_counts(idx, "hash join merge", meta, "source", stem=False).collect()
+    }
+
+    scored = bm25_scores(idx, "hash join merge", stem=False)
+    src = {r["doc_id"]: r["source"] for r in meta.collect()}
+    per_facet: dict[str, list[float]] = {}
+    for r in scored.select("doc_id", F.round("score", 4).alias("s")).collect():
+        per_facet.setdefault(src[r["doc_id"]], []).append(r["s"])
+    want = {f: (len(v), max(v), min(v)) for f, v in per_facet.items()}
+    assert got == want
+    assert len(want) > 1, "need several facets for a meaningful check"
+
+
+def test_facet_counts_empty_query(spark, docs_sdf):
+    from cis555_search_engine_spark.operators.index_build import build_index
+    from cis555_search_engine_spark.operators.scoring import facet_counts
+
+    idx = build_index(docs_sdf.limit(20), doc_key=("doc_id",), text_col="text", stem=False)
+    meta = docs_sdf.select("doc_id", "source")
+    out = facet_counts(idx, "", meta, "source", stem=False)
+    assert out.count() == 0
+    assert out.columns == ["facet", "n_docs", "max_score", "min_score"]
