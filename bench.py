@@ -65,6 +65,7 @@ LIGHT_TIER = WARM_FIRST + [
     "pack_sequences", "pagerank", "dedup_exact", "dedup_ngram_jaccard",
     "dedup_minhash_lsh", "dedup_simhash", "dedup_components", "ann_topk",
     "ann_ivf", "ann_kmeans", "cosine_pairs", "cosine_lsh_pairs",
+    "decontaminate", "repetition_stats", "sample_stratified",
 ]
 # Section B: served from the in-memory long-postings index.
 INDEX_TIER = [
@@ -73,6 +74,7 @@ INDEX_TIER = [
     "term_semi_join", "topk_join_meta", "topk_snippets", "prior_blend",
     "phrase_match", "merge_stats", "proximity_topk", "term_completion",
     "spell_suggest", "expand_query", "more_like_this", "group_topk",
+    "facet_counts",
 ]
 # Section C: served from the persisted bucketed block layout.
 BLOCK_TIER = [

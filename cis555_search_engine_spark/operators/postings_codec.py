@@ -717,18 +717,37 @@ def bm25_topk_blocks(
         # selects the same boundary rows as a doc_key tie-break
         top = scores.orderBy(F.desc("score"), F.asc("docid")).limit(k)
         joined = top.join(bidx.docid_map, "docid")
-    else:
-        # appended indexes: docid order is NOT key order — join the doc
-        # keys BEFORE the top-k so score ties at the k boundary break on
-        # the doc_key, matching the long-form path and the SQL oracle
-        joined = (
-            scores.join(bidx.docid_map, "docid")
+        return (
+            joined.select(*key, "score")
             .orderBy(F.desc("score"), *[F.asc(c) for c in key])
-            .limit(k)
         )
+    return _boundary_keyed_topk(scores, bidx, k)
+
+
+def _boundary_keyed_topk(scores, bidx: "BlockIndex", k: int, extra_cols=()) -> DataFrame:
+    """Top-k with doc_key tie-breaks when docid order is NOT key order
+    (appended / impact-ordered stores) — WITHOUT joining the full match
+    set against the docid->doc_key map.
+
+    Two phases over a staged scores frame: (1) TakeOrdered on score
+    alone gives the kth score θ_k (its min); (2) only rows with
+    score >= θ_k — the k results plus boundary ties, the exact set whose
+    membership a tie-break can affect — join the key map and take the
+    final keyed top-k. At 10^9 docs the old shape (map-join every
+    candidate, then cut to k) paid a full candidate-size shuffle join
+    for rows immediately discarded; this pays one extra tiny job on the
+    staged frame instead.
+    """
+    key = list(bidx.doc_key)
+    st = scores.localCheckpoint(eager=False)  # read by both phases, decoded once
+    thr = st.orderBy(F.desc("score")).limit(k).agg(F.min("score").alias("_thr"))
+    cand = st.join(F.broadcast(thr)).filter(F.col("score") >= F.col("_thr"))
+    order = [F.desc("score")] + [F.asc(c) for c in key]
     return (
-        joined.select(*key, "score")
-        .orderBy(F.desc("score"), *[F.asc(c) for c in key])
+        cand.join(bidx.docid_map, "docid")
+        .select(*key, *extra_cols, "score")
+        .orderBy(*order)
+        .limit(k)
     )
 
 
@@ -790,11 +809,25 @@ def bm25_topk_many_blocks(
         w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))
         top = scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
         return top.join(bidx.docid_map, "docid").select("qid", *key, "score")
-    # appended index: tie-break on doc_key (see bm25_topk_blocks)
-    scored = scored.join(bidx.docid_map, "docid")
+    # appended/impact-ordered index: tie-break on doc_key — but join the
+    # docid->doc_key map over the K-BOUNDARY CANDIDATE SET only, not the
+    # full match set. rank() (ties kept) <= k is exactly the set of docs
+    # that could make the final cut under ANY tie-break (>= k strictly
+    # higher scores excludes a doc regardless of key order), so the map
+    # join touches O(#queries * k + boundary ties) rows instead of every
+    # scored candidate — at 10^9 docs the full-set join is a second
+    # full-size shuffle for rows that are then thrown away. Both windows
+    # share the qid partitioning: one shuffle, two sorts.
+    w_score = Window.partitionBy("qid").orderBy(F.desc("score"))
+    cand = (
+        scored.withColumn("rk", F.rank().over(w_score))
+        .filter(F.col("rk") <= k)
+        .drop("rk")
+        .join(bidx.docid_map, "docid")
+    )
     w = Window.partitionBy("qid").orderBy(F.desc("score"), *[F.asc(c) for c in key])
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
+        cand.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("qid", *key, "score")
     )
@@ -1482,10 +1515,9 @@ def proximity_topk_blocks(
     if bidx.key_ordered:
         top = scored.orderBy(F.desc("score"), F.asc("docid")).limit(k)
         joined = top.join(bidx.docid_map, "docid")
-    else:
-        joined = scored.join(bidx.docid_map, "docid")
-    order = [F.desc("score")] + [F.asc(c) for c in key]
-    return joined.select(*key, "min_gap", "score").orderBy(*order).limit(k)
+        order = [F.desc("score")] + [F.asc(c) for c in key]
+        return joined.select(*key, "min_gap", "score").orderBy(*order).limit(k)
+    return _boundary_keyed_topk(scored, bidx, k, extra_cols=("min_gap",))
 
 
 def count_live_blocks(

@@ -104,6 +104,53 @@ def test_tpch_q3_builds_broadcast_join(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_sample_stratified_is_scan_fused(spark):
+    """The stratified sampler must stay a narrow scan-side filter: no
+    Exchange, no join, no Python — the property that makes it free at
+    100 TB (it rides the scan the downstream consumer already pays for)."""
+    from cis555_search_engine_spark.operators.curation import sample_stratified
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = explain_str(sample_stratified(docs, {"en": 0.5, "de": 0.25}))
+    for op in ("Exchange", "Join", "ArrowEvalPython", "BatchEvalPython"):
+        assert op not in plan, plan
+
+
+def test_decontaminate_plan_shape(spark):
+    """No cartesian/nested-loop anywhere (the join is keyed by shingle
+    hash), and no forced broadcast of the big training side; the eval
+    side broadcast is opt-in."""
+    from pyspark.sql import functions as F
+
+    from cis555_search_engine_spark.operators.decontam import decontaminate
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    train = docs.filter(F.col("doc_id") % 7 != 0)
+    ev = docs.filter(F.col("doc_id") % 7 == 0)
+    plan = explain_str(decontaminate(train, ev, broadcast_eval=True))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan  # the opted-in eval side
+    plan_shuffle = explain_str(decontaminate(train, ev, broadcast_eval=False))
+    assert "CartesianProduct" not in plan_shuffle
+
+
+def test_facet_counts_single_agg_after_join(spark_index, corpus_sdf):
+    """Facet agg stays one hash aggregate pair (partial+final) over the
+    match-set join — no window, no sort, no Python."""
+    plan = explain_str(
+        __import__(
+            "cis555_search_engine_spark.operators.scoring", fromlist=["facet_counts"]
+        ).facet_counts(
+            spark_index, "rice noodle", corpus_sdf.select("conv_id", "turn_idx", "role"), "role"
+        )
+    )
+    # Arrow stem lineage (ArrowEvalPython) is fine — the invariants are
+    # no window/sort machinery, no cartesian, and no row-at-a-time Python
+    for op in ("Window", "BatchEvalPython", "CartesianProduct"):
+        assert op not in plan, plan
+    assert "HashAggregate" in plan
+
+
 def test_dictionary_prefix_scan_pushdown(spark, spark_index, tmp_path):
     """The persisted term dictionary is range-partitioned + sorted by
     term (postings_codec._write_stats), and a prefix completion over it
