@@ -58,6 +58,57 @@ def eval_shingle_hashes(
     return sh.select(F.explode("shh").alias("h")).distinct()
 
 
+def write_eval_dict(
+    eval_docs: DataFrame,
+    path: str,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_files: int = 16,
+) -> int:
+    """Persist the distinct eval-shingle-hash dictionary to parquet and
+    return its size. Built once per benchmark release; every training
+    batch (batch or streaming) then joins against this frame without
+    re-shingling the eval set."""
+    ev = eval_shingle_hashes(eval_docs, n=n, id_col=id_col, text_col=text_col)
+    ev.repartition(n_files).write.mode("overwrite").parquet(path)
+    return eval_docs.sparkSession.read.parquet(path).count()
+
+
+def read_eval_dict(spark, path: str) -> DataFrame:
+    """The (h: long) frame persisted by :func:`write_eval_dict`."""
+    return spark.read.parquet(path)
+
+
+def decontaminate_against(
+    docs: DataFrame,
+    eval_hashes: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_eval: bool = False,
+) -> DataFrame:
+    """:func:`decontaminate` against a precomputed (h: long) eval-hash
+    frame — the incremental shape (persisted dictionary, arriving
+    training batches)."""
+    ev = F.broadcast(eval_hashes) if broadcast_eval else eval_hashes
+    sh = with_shingle_hashes(docs, n=n, id_col=id_col, text_col=text_col)
+    exploded = sh.select(
+        "id", F.size("shh").cast("long").alias("n_shingles"), F.explode("shh").alias("h")
+    )
+    hits = (
+        exploded.join(ev, "h")
+        .groupBy("id", "n_shingles")  # n_shingles is functionally dependent on id
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    return hits.select(
+        "id",
+        "n_hits",
+        "n_shingles",
+        F.round(F.col("n_hits") / F.col("n_shingles"), 6).alias("overlap_frac"),
+    )
+
+
 def decontaminate(
     docs: DataFrame,
     eval_docs: DataFrame,
@@ -86,20 +137,6 @@ def decontaminate(
         id_col=eval_id_col or id_col,
         text_col=eval_text_col or text_col,
     )
-    if broadcast_eval:
-        ev = F.broadcast(ev)
-    sh = with_shingle_hashes(docs, n=n, id_col=id_col, text_col=text_col)
-    exploded = sh.select(
-        "id", F.size("shh").cast("long").alias("n_shingles"), F.explode("shh").alias("h")
-    )
-    hits = (
-        exploded.join(ev, "h")
-        .groupBy("id", "n_shingles")  # n_shingles is functionally dependent on id
-        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
-    )
-    return hits.select(
-        "id",
-        "n_hits",
-        "n_shingles",
-        F.round(F.col("n_hits") / F.col("n_shingles"), 6).alias("overlap_frac"),
+    return decontaminate_against(
+        docs, ev, n=n, id_col=id_col, text_col=text_col, broadcast_eval=broadcast_eval
     )

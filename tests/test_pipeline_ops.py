@@ -216,3 +216,102 @@ def test_facet_counts_empty_query(spark, docs_sdf):
     out = facet_counts(idx, "", meta, "source", stem=False)
     assert out.count() == 0
     assert out.columns == ["facet", "n_docs", "max_score", "min_score"]
+
+
+def test_decontaminate_randomized_cross_check(spark):
+    """Seeded random corpus from a tiny vocabulary (forces heavy shingle
+    sharing) vs the pure-Python string-shingle oracle — exercises
+    overlap shapes the fixture corpus doesn't (repeats, near-total
+    overlap, sub-3-token docs)."""
+    import random
+
+    from cis555_search_engine_spark.operators.decontam import decontaminate
+
+    rng = random.Random(20200553)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 12))))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    train = df.filter("doc_id % 5 != 0")
+    ev = df.filter("doc_id % 5 = 0")
+
+    ev_sh = set().union(*(_shingles(t) for i, t in rows if i % 5 == 0))
+    want = {}
+    for i, t in rows:
+        if i % 5 == 0:
+            continue
+        sh = _shingles(t)
+        hits = len(sh & ev_sh)
+        if hits:
+            want[i] = (hits, len(sh), round(hits / len(sh), 6))
+    got = {
+        r["id"]: (r["n_hits"], r["n_shingles"], r["overlap_frac"])
+        for r in decontaminate(train, ev).collect()
+    }
+    assert got == want
+
+
+def test_sample_stratified_threshold_math(spark):
+    """Random rates: kept fraction matches the exact md5-threshold count
+    computed in Python (no statistical tolerance — the sampler is a
+    deterministic function, so the check is exact)."""
+    import random
+
+    from cis555_search_engine_spark.operators.curation import sample_stratified
+
+    rng = random.Random(7)
+    rows = [(i, rng.choice(["a", "b", "c"])) for i in range(2000)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    rates = {"a": 0.123, "b": 0.777, "c": 1.0}
+
+    def kept(i, s):
+        r = rates[s]
+        return r >= 1.0 or _hexkey(i) < format(int(r * 16**8), "08x")
+
+    want = {i for i, s in rows if kept(i, s)}
+    got = {r["doc_id"] for r in sample_stratified(df, rates).collect()}
+    assert got == want
+
+
+# ---------------------------------------------------------- pipeline_job
+
+
+def test_pipeline_job_end_to_end(spark, tmp_path, monkeypatch):
+    """The composed spark-submit pipeline entry: stage counts are
+    monotone non-increasing through the funnel, metrics.json is written,
+    and re-running is idempotent (same counts)."""
+    import json
+    import runpy
+    import sys as _sys
+
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    src = str(tmp_path / "docs")
+    ev = str(tmp_path / "eval")
+    docs.filter(F.col("doc_id") % 11 != 0).write.parquet(src)
+    docs.filter(F.col("doc_id") % 11 == 0).write.parquet(ev)
+    out = str(tmp_path / "out")
+
+    argv = [
+        "pipeline_job.py", "--docs", src, "--out", out,
+        "--eval-docs", ev, "--rates", "en=0.9,de=0.9,es=0.9,fr=0.9,zh=0.9",
+        "--min-score", "0.3",
+    ]
+
+    def run():
+        monkeypatch.setattr(_sys, "argv", argv)
+        runpy.run_path("tools/pipeline_job.py", run_name="__main__")
+        with open(f"{out}/metrics.json") as f:
+            return json.load(f)
+
+    m1 = run()
+    c = m1["counts"]
+    assert c["input"] >= c["curated"] >= c["decontaminated"] >= c["sampled"]
+    assert c["sampled"] == c["packed_docs"] > 0
+    assert c["chunks"] >= 1
+    assert set(m1["phases"]) == {"curate", "decontaminate", "sample", "pack"}
+    m2 = run()  # idempotent re-run: every stage overwrites its own dir
+    assert m2["counts"] == m1["counts"]

@@ -1,0 +1,170 @@
+#!/usr/bin/env python
+"""spark-submit entry: the composed training-data pipeline over a corpus.
+
+    spark-submit --master local[N] --py-files pkg.zip \
+        tools/pipeline_job.py --docs <parquet> --out <dir> \
+        [--eval-docs <parquet> | --eval-dict <dir>] \
+        [--rates en=0.5,de=0.25] [--min-score 0.55] [--budget-tokens 512]
+
+One job running the full curation chain a pretraining corpus goes
+through before tokenization, each stage a declarative operator from this
+package, with per-stage wall-time and row counts logged as ONE JSON line
+(the metrics/lineage contract of the other job entries):
+
+  1. curate         quality x language x exact-dedup keep-set
+  2. decontaminate  drop docs overlapping the eval set by trigram
+                    (skipped unless --eval-docs/--eval-dict given)
+  3. sample         deterministic per-language stratified rates
+                    (skipped unless --rates given)
+  4. pack           sequence packing into fixed token-budget chunks
+
+Output layout under --out:
+  kept/        (doc_id, lang, text) surviving docs
+  flagged/     decontamination hits (id, n_hits, n_shingles, overlap_frac)
+  packed/      (id, n_tokens, start_offset, chunk_id)
+  metrics.json the same JSON line, persisted
+
+Each stage writes parquet with mode=overwrite, so re-running the job is
+idempotent. Stage inputs re-read the previous stage's parquet rather
+than chaining lineage — at 100 TB each stage is its own restartable unit
+(the checkpointed-build rationale), and a failed stage reruns alone.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+# runnable both via spark-submit --py-files pkg.zip and directly from a
+# checkout (same convention as tools/selfcheck.py)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", required=True, help="input parquet: (doc_id, lang, text, ...)")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--eval-docs", default=None, help="eval-set parquet to decontaminate against")
+    ap.add_argument("--eval-dict", default=None, help="persisted write_eval_dict directory")
+    ap.add_argument("--rates", default=None, help="stratified rates, e.g. en=0.5,de=0.25")
+    ap.add_argument("--min-score", type=float, default=0.55)
+    ap.add_argument("--langs", default="en,de")
+    ap.add_argument("--budget-tokens", type=int, default=512)
+    ap.add_argument("--shingle-n", type=int, default=3)
+    ap.add_argument("--shuffle-partitions", type=int, default=None)
+    args = ap.parse_args()
+    if args.eval_docs and args.eval_dict:
+        ap.error("give at most one of --eval-docs / --eval-dict")
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    builder = (
+        SparkSession.builder.appName("pipeline_job")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.shuffle.sort.bypassMergeThreshold", "2")
+    )
+    if args.shuffle_partitions:
+        builder = builder.config("spark.sql.shuffle.partitions", str(args.shuffle_partitions))
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from cis555_search_engine_spark.operators.curation import curate, sample_stratified
+    from cis555_search_engine_spark.operators.decontam import (
+        decontaminate_against,
+        eval_shingle_hashes,
+        read_eval_dict,
+    )
+    from cis555_search_engine_spark.operators.curation import pack_sequences
+
+    docs = spark.read.parquet(args.docs)
+    n_in = docs.count()
+    phases: dict[str, float] = {}
+    counts: dict[str, int] = {"input": n_in}
+
+    def mark(name: str, t0: float) -> float:
+        phases[name] = round(time.perf_counter() - t0, 3)
+        return time.perf_counter()
+
+    # 1. curate -> keep-set ids, then materialize the surviving docs
+    t0 = time.perf_counter()
+    kept_ids = curate(
+        docs, min_score=args.min_score, langs=tuple(args.langs.split(","))
+    ).select("id")
+    kept = docs.join(kept_ids.withColumnRenamed("id", "doc_id"), "doc_id", "left_semi")
+    kept_path = os.path.join(args.out, "kept")
+    kept.write.mode("overwrite").parquet(kept_path)
+    t0 = mark("curate", t0)
+    kept = spark.read.parquet(kept_path)
+    counts["curated"] = kept.count()
+
+    # 2. decontaminate: drop overlapping docs from the kept set
+    ev = None
+    if args.eval_dict:
+        ev = read_eval_dict(spark, args.eval_dict)
+    elif args.eval_docs:
+        ev = eval_shingle_hashes(
+            spark.read.parquet(args.eval_docs), n=args.shingle_n
+        )
+    if ev is not None:
+        t0 = time.perf_counter()
+        flagged = decontaminate_against(kept, ev, n=args.shingle_n)
+        flagged_path = os.path.join(args.out, "flagged")
+        flagged.write.mode("overwrite").parquet(flagged_path)
+        flagged_ids = spark.read.parquet(flagged_path).select(
+            F.col("id").alias("doc_id")
+        )
+        kept = kept.join(flagged_ids, "doc_id", "left_anti")
+        kept_path = os.path.join(args.out, "kept_decontaminated")
+        kept.write.mode("overwrite").parquet(kept_path)
+        t0 = mark("decontaminate", t0)
+        kept = spark.read.parquet(kept_path)
+        counts["flagged"] = spark.read.parquet(flagged_path).count()
+        counts["decontaminated"] = kept.count()
+
+    # 3. stratified sample
+    if args.rates:
+        rates = {
+            k: float(v) for k, v in (kv.split("=") for kv in args.rates.split(","))
+        }
+        t0 = time.perf_counter()
+        kept = sample_stratified(kept, rates, stratum_col="lang")
+        kept_path = os.path.join(args.out, "sampled")
+        kept.write.mode("overwrite").parquet(kept_path)
+        t0 = mark("sample", t0)
+        kept = spark.read.parquet(kept_path)
+        counts["sampled"] = kept.count()
+
+    # 4. sequence packing over the survivors
+    t0 = time.perf_counter()
+    packed = pack_sequences(kept, budget_tokens=args.budget_tokens)
+    packed.write.mode("overwrite").parquet(os.path.join(args.out, "packed"))
+    mark("pack", t0)
+    pk = spark.read.parquet(os.path.join(args.out, "packed"))
+    counts["packed_docs"] = pk.count()
+    counts["chunks"] = pk.select("chunk_id").distinct().count()
+
+    total = round(sum(phases.values()), 3)
+    line = {
+        "metric": "pipeline_docs/sec",
+        "value": round(n_in / total, 1) if total else None,
+        "unit": "docs/sec",
+        "phases": phases,
+        "counts": counts,
+        "total_s": total,
+    }
+    with open(os.path.join(args.out, "metrics.json"), "w") as f:
+        json.dump(line, f)
+    print(json.dumps(line))
+    sys.stdout.flush()
+
+
+if __name__ == "__main__":
+    main()
