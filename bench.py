@@ -325,13 +325,16 @@ def main() -> None:
     # from the SAME _prune_live_blocks the serving path uses — the
     # numeric evidence behind the block-max design's 100x-scale claim.
     from cis555_search_engine_spark.entry_queries import BATCH_QUERIES
-    from cis555_search_engine_spark.operators.postings_codec import (
-        count_live_blocks,
-        load_blocks,
-    )
+    from cis555_search_engine_spark.operators.postings_codec import count_live_blocks
 
-    bidx_w = load_blocks(spark, EQ._block_index_path(sf_dir)).cache()
-    live_tot = [count_live_blocks(bidx_w, q, k=10) for q in BATCH_QUERIES.values()]
+    # reuse the ALREADY-cached serving index (a second load+cache here
+    # held a duplicate copy through section D's timings), and match the
+    # serving path's stem=False — the sf stores are unstemmed, so
+    # stemmed probe terms would measure pruning over the wrong term set
+    bidx_w = EQ.ensure_block_index(spark, sf_dir)
+    live_tot = [
+        count_live_blocks(bidx_w, q, k=10, stem=False) for q in BATCH_QUERIES.values()
+    ]
     wand = {
         "blocks_live": sum(l for l, _ in live_tot),
         "blocks_total": sum(t for _, t in live_tot),

@@ -717,14 +717,18 @@ def ensure_block_index(spark: SparkSession, sf_dir: str):
     cached, cached_mtime = _BLOCK_CACHE.get(skey, (None, None))
     if cached is not None and cached_mtime == src_mtime:
         return cached
-    meta_path = os.path.join(path, "_meta.json")
+    # mode-agnostic manifest read (fsio): a local open("_meta.json")
+    # would judge a log-mode or non-local (hdfs://, s3a://) store stale
+    # every session and rebuild the whole index per process
+    from . import fsio
+
     fresh = False
-    if os.path.exists(meta_path):
-        try:
-            with open(meta_path) as f:
-                fresh = json.load(f).get("source_mtime") == src_mtime
-        except (OSError, ValueError):
-            fresh = False
+    try:
+        fresh = json.loads(fsio.read_manifest(spark, path)).get(
+            "source_mtime"
+        ) == src_mtime
+    except Exception:
+        fresh = False
     if not fresh:
         # impact_ordered: docids minted by ascending doc_len (docid
         # reordering for block-max WAND) — block upper bounds decay with
@@ -2159,9 +2163,7 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _hex_thr(rate: float) -> str:
-    return "g" if rate >= 1.0 else format(max(int(rate * 16**8), 0), "08x")
-
+from .operators.curation import hex_rate_threshold as _hex_thr
 
 SQL_SAMPLE_STRATIFIED = """
 SELECT doc_id, lang FROM documents

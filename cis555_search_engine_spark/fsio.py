@@ -22,8 +22,12 @@ writer via the Spark conf ``spark.cis555.manifestMode``:
   entries are retired by ``vacuum_blocks`` with a keep-window.
 
 Readers auto-detect: if any ``_meta-*.json`` log entries exist they win
-over a legacy ``_meta.json``; a store can be migrated by simply flipping
-the writer conf.
+over a legacy ``_meta.json``. Migration rename->log is flipping the
+writer conf; the REVERSE is deliberately not honored — once a store has
+log entries, :func:`write_manifest` keeps committing to the log even
+under ``manifestMode=rename``, because readers prefer log entries and a
+rename-mode ``_meta.json`` commit on such a store would be silently
+invisible (stale serving + wrong docid offsets on the next append).
 
 Reference analog: the crawler's BerkeleyDB checkpoint store
 (storage/MyDatabase.java:30-65) — a local-only KV; this layer is the
@@ -141,11 +145,27 @@ def read_manifest(spark, store: str, fallback: str = "_meta.json") -> str:
 
 
 def write_manifest(spark, store: str, text: str) -> None:
-    """Commit a store manifest in the session's configured mode."""
-    if manifest_mode(spark) == "log":
+    """Commit a store manifest in the session's configured mode.
+
+    A store that already has log entries ALWAYS commits to the log,
+    whatever the conf says: readers prefer log entries (read_manifest),
+    so a rename-mode ``_meta.json`` commit on a log-mode store would be
+    invisible — every subsequent append would serve stale and re-mint
+    duplicate docid offsets. Log-mode stores are therefore log-mode for
+    life (see the module docstring's migration note)."""
+    if manifest_mode(spark) == "log" or _manifest_log_entries(spark, store):
         write_manifest_log(spark, store, text)
     else:
         write_text_atomic(spark, f"{store}/_meta.json", text)
+
+
+def manifest_exists(spark, store: str, fallback: str = "_meta.json") -> bool:
+    """True if `store` has a committed manifest in EITHER mode — the
+    store-existence probe (checking `_meta.json` alone misses log-mode
+    stores, which never write that file)."""
+    if _manifest_log_entries(spark, store):
+        return True
+    return exists(spark, f"{store}/{fallback}")
 
 
 def manifest_log_names_to_keep(spark, store: str) -> set[str]:

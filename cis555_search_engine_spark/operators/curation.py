@@ -80,15 +80,22 @@ def sample_stratified(
     Unknown strata get ``default_rate``. ``rate >= 1`` keeps the whole
     stratum (threshold 'g' sorts above every hex digit).
     """
-
-    def thr(rate: float) -> str:
-        return "g" if rate >= 1.0 else format(max(int(rate * 16**8), 0), "08x")
-
     key = F.substring(F.md5(F.col(id_col).cast("string").cast("binary")), 1, 8)
-    bound = F.lit(thr(default_rate))
+    bound = F.lit(hex_rate_threshold(default_rate))
     for stratum, rate in sorted(rates.items()):
-        bound = F.when(F.col(stratum_col) == stratum, F.lit(thr(rate))).otherwise(bound)
+        bound = F.when(
+            F.col(stratum_col) == stratum, F.lit(hex_rate_threshold(rate))
+        ).otherwise(bound)
     return docs.filter(key < bound)
+
+
+def hex_rate_threshold(rate: float) -> str:
+    """The sampling threshold for a keep-rate: fixed-width lowercase hex
+    of ``int(rate * 16^8)`` ('g' for rate >= 1 — sorts above every hex
+    digit). ONE definition, shared by :func:`sample_stratified` and the
+    SQL oracle twin (entry_queries) — the oracle's bit-for-bit agreement
+    depends on this exact formula, so it must not be duplicated."""
+    return "g" if rate >= 1.0 else format(max(int(rate * 16**8), 0), "08x")
 
 
 def curate(

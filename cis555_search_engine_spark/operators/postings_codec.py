@@ -155,7 +155,20 @@ def mint_doc_ids(
     # pass) — unlike round 1, CORRECTNESS no longer depends on retention:
     # the bucket expression is a literal function of the row key, so an
     # evicted+recomputed partition produces the same buckets
-    keyed = docs.select(*sel_cols).distinct().persist()
+    extra_order = [c for c in (order_cols or []) if c not in doc_key]
+    if extra_order:
+        # one docid per doc_key even when the input has several rows per
+        # key with differing order-col values (a bare distinct over
+        # key+order_cols would mint one docid per VARIANT — duplicate
+        # docids for one document): collapse to min(order_col) per key
+        keyed = (
+            docs.groupBy(*doc_key)
+            .agg(*[F.min(c).alias(c) for c in extra_order])
+            .select(*sel_cols)
+            .persist()
+        )
+    else:
+        keyed = docs.select(*sel_cols).distinct().persist()
     # fail fast on null key components: a null doc key has no place in
     # the total order (the reference's registry PK could not be null
     # either); letting it through would misbucket silently (a null

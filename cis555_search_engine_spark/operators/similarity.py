@@ -21,6 +21,8 @@ tie-break (score DESC, id ASC) everywhere.
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -159,7 +161,27 @@ def lsh_band_params(
     p = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
     band_bits = min(16, max(4, math.ceil(math.log2(n)) - 9))
     n_bands = math.ceil(math.log(1.0 / miss_target) / (p**band_bits))
+    if n_bands > MAX_LSH_BANDS:
+        # the recall-preserving count is infeasible for this (threshold,
+        # n) combination (low threshold x wide bands — the envelope in
+        # cosine_lsh_pairs' docstring). Cap the signature cost and LOG
+        # the achieved miss bound instead of silently emitting a
+        # 10^4-band signature that multiplies every downstream shuffle.
+        achieved_miss = (1.0 - p**band_bits) ** MAX_LSH_BANDS
+        logging.getLogger(__name__).warning(
+            "lsh_band_params: capping n_bands %d -> %d (threshold=%.3f, "
+            "n=%d); per-pair P(miss at threshold) <= %.3g instead of %g",
+            n_bands, MAX_LSH_BANDS, threshold, n, achieved_miss, miss_target,
+        )
+        n_bands = MAX_LSH_BANDS
     return band_bits, n_bands
+
+
+# Signature width ceiling: beyond this the LSH preprocessing (n_bands
+# hyperplane blocks per row + n_bands exploded bucket rows per row)
+# dominates whatever the candidate join saves. 1024 bands keeps recall
+# >= 1 - 1e-4 down to p^b ~ 0.009 (threshold ~0.8 at 16-bit bands).
+MAX_LSH_BANDS = 1024
 
 
 def cosine_lsh_pairs(

@@ -99,3 +99,41 @@ def test_vacuum_keeps_recent_manifest_logs(spark, corpus_sdf, log_mode, tmp_path
     assert pc.load_blocks(spark, path).n_docs == n_docs
     logs = [n for n in fsio.list_children(spark, path) if n.startswith("_meta-")]
     assert 1 <= len(logs) <= fsio.MANIFEST_LOG_KEEP
+
+
+def test_log_mode_store_rejects_silent_rename_downgrade(spark, corpus_sdf, log_mode, tmp_path):
+    """A store with log entries keeps committing to the log even after
+    the writer conf flips back to rename — a rename-mode _meta.json on
+    such a store would be invisible to readers (read_manifest prefers
+    log entries), i.e. silent stale serving."""
+    path = str(tmp_path / "store")
+    _build_store(spark, corpus_sdf, path)
+    n_logs = len([n for n in fsio.list_children(spark, path) if n.startswith("_meta-")])
+    assert n_logs == 1
+
+    spark.conf.set(fsio.MANIFEST_MODE_CONF, "rename")
+    doc = json.loads(fsio.read_manifest(spark, path))
+    doc["marker"] = "after-flip"
+    fsio.write_manifest(spark, path, json.dumps(doc))
+
+    # the commit landed as a NEW log entry, not an invisible _meta.json
+    assert not fsio.exists(spark, f"{path}/_meta.json")
+    logs = [n for n in fsio.list_children(spark, path) if n.startswith("_meta-")]
+    assert len(logs) == n_logs + 1
+    assert json.loads(fsio.read_manifest(spark, path))["marker"] == "after-flip"
+
+
+def test_manifest_exists_is_mode_agnostic(spark, corpus_sdf, log_mode, tmp_path):
+    """The store-existence probe sees log-mode stores (no _meta.json)
+    and rename-mode stores alike — the maintenance job's re-bootstrap
+    guard depends on this."""
+    log_store = str(tmp_path / "log_store")
+    _build_store(spark, corpus_sdf, log_store)
+    assert not fsio.exists(spark, f"{log_store}/_meta.json")
+    assert fsio.manifest_exists(spark, log_store)
+
+    spark.conf.set(fsio.MANIFEST_MODE_CONF, "rename")
+    ren_store = str(tmp_path / "ren_store")
+    _build_store(spark, corpus_sdf, ren_store)
+    assert fsio.manifest_exists(spark, ren_store)
+    assert not fsio.manifest_exists(spark, str(tmp_path / "nowhere"))

@@ -877,3 +877,23 @@ def test_impact_ordered_build_same_results_better_pruning(spark, spark_index, bl
     lk, tk = count_live_blocks(key_b, "zebra", k=3)
     li, ti = count_live_blocks(imp_b, "zebra", k=3)
     assert ti == tk and li < lk, (li, ti, lk, tk)
+
+
+def test_mint_doc_ids_order_cols_dedupes_per_key(spark):
+    """order_cols minting must assign ONE docid per doc_key even when
+    the input has several rows per key with differing order-col values
+    (e.g. a postings frame instead of doc_stats) — min(order_col) per
+    key, then rank. A distinct over key+order_cols would mint duplicate
+    docids for one document."""
+    from cis555_search_engine_spark.operators.postings_codec import mint_doc_ids
+
+    rows = [  # doc "b" appears with two different doc_len values
+        ("a", 0, 10), ("b", 0, 5), ("b", 0, 99), ("c", 0, 1), ("a", 0, 10),
+    ]
+    df = spark.createDataFrame(rows, ["conv_id", "turn_idx", "doc_len"])
+    m = mint_doc_ids(df, order_cols=("doc_len",)).collect()
+    assert len(m) == 3  # one row per distinct key
+    by_key = {(r["conv_id"], r["turn_idx"]): r["docid"] for r in m}
+    assert sorted(by_key.values()) == [0, 1, 2]  # dense, no duplicates
+    # order: min(doc_len) per key -> c(1) < b(5) < a(10)
+    assert by_key[("c", 0)] == 0 and by_key[("b", 0)] == 1 and by_key[("a", 0)] == 2

@@ -302,3 +302,22 @@ def test_lsh_band_params_adaptive():
     widths = [lsh_band_params(n, 0.4)[0] for n in (10**3, 10**6, 10**9, 10**12)]
     assert widths == sorted(widths)
     assert widths[-1] == 16
+
+
+def test_lsh_band_params_caps_infeasible_band_counts():
+    """Low threshold x wide bands: the recall-preserving band count is
+    infeasible (1e4+ bands at n=1e9, threshold 0.4) — the params must
+    cap at MAX_LSH_BANDS (logged, not silent) instead of emitting a
+    signature that multiplies every downstream shuffle by 10^4."""
+    from cis555_search_engine_spark.operators.similarity import (
+        MAX_LSH_BANDS,
+        lsh_band_params,
+    )
+
+    bits, bands = lsh_band_params(10**9, 0.4)
+    assert bands == MAX_LSH_BANDS
+    # feasible regimes stay uncapped and recall-preserving
+    bits_hi, bands_hi = lsh_band_params(10**9, 0.9)
+    assert bands_hi < MAX_LSH_BANDS
+    p = 1.0 - __import__("math").acos(0.9) / __import__("math").pi
+    assert (1 - p**bits_hi) ** bands_hi <= 1e-4

@@ -75,7 +75,10 @@ def main() -> None:
     )
 
     t0 = time.perf_counter()
-    if not fsio.exists(spark, f"{args.index}/_meta.json"):
+    # mode-agnostic probe: log-mode stores never write _meta.json, so an
+    # exists() check on that file would silently re-bootstrap (and then
+    # vacuum away) a live store
+    if not fsio.manifest_exists(spark, args.index):
         if not args.bootstrap:
             raise SystemExit(f"no index at {args.index}; pass --bootstrap <corpus.parquet>")
         corpus = spark.read.parquet(args.bootstrap)
