@@ -287,17 +287,25 @@ def test_cosine_lsh_verify_join_not_hinted_broadcast(emb_sdf):
 
 def test_lsh_band_params_adaptive():
     """Band width tracks log2(n); band count tracks width so the
-    per-pair miss probability stays <= the target at the threshold."""
+    per-pair miss probability stays <= the target at the threshold —
+    up to the MAX_LSH_BANDS feasibility cap (logged, tested
+    separately), beyond which the count stays put at the cap."""
     import math
 
-    from cis555_search_engine_spark.operators.similarity import lsh_band_params
+    from cis555_search_engine_spark.operators.similarity import (
+        MAX_LSH_BANDS,
+        lsh_band_params,
+    )
 
     for n in (100, 10_000, 1_000_000, 10**9):
         b, nb = lsh_band_params(n, threshold=0.4)
         assert 4 <= b <= 16
         p = 1.0 - math.acos(0.4) / math.pi
         miss = (1.0 - p**b) ** nb
-        assert miss <= 1e-4 + 1e-12, (n, b, nb, miss)
+        if nb < MAX_LSH_BANDS:
+            assert miss <= 1e-4 + 1e-12, (n, b, nb, miss)
+        else:
+            assert nb == MAX_LSH_BANDS  # infeasible combo: capped, disclosed
     # monotone width growth with n, clamped
     widths = [lsh_band_params(n, 0.4)[0] for n in (10**3, 10**6, 10**9, 10**12)]
     assert widths == sorted(widths)
