@@ -2177,6 +2177,39 @@ WHERE substr(md5(doc_id::VARCHAR), 1, 8) <
 )
 
 
+def q_dup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level dedup: maximal spans of 5-token windows repeated
+    anywhere in the corpus (substring dedup, not whole-doc)."""
+    from .operators.dedup import repeated_passages
+
+    return repeated_passages(load(spark, sf_dir, "documents"), w=5)
+
+
+def _sql_repeated_passages(w: int) -> str:
+    gram = " || ' ' || ".join(f"toks[i+{k}]" for k in range(w))
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+sh AS (SELECT doc_id, i - 1 AS pos, {gram} AS g
+       FROM t, unnest(generate_series(1, len(toks) - {w - 1})) s(i)),
+dup AS (SELECT g FROM sh GROUP BY g HAVING count(*) >= 2),
+hits AS (SELECT doc_id, pos FROM sh JOIN dup USING (g)),
+m AS (SELECT doc_id, pos,
+             CASE WHEN pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + {w}
+                  THEN 1 ELSE 0 END AS brk
+      FROM hits),
+s AS (SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS span
+      FROM m)
+SELECT doc_id AS id, min(pos)::BIGINT AS span_start,
+       (max(pos) + {w})::BIGINT AS span_end,
+       (max(pos) + {w} - min(pos))::BIGINT AS span_tokens
+FROM s GROUP BY doc_id, span
+"""
+
+
+SQL_DUP_PASSAGES = _sql_repeated_passages(5)
+
+
 def q_facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Search-result facetting: per-source n_docs + max/min BM25 score
     over the FULL match set of the standard query (no top-k cut)."""
@@ -2223,13 +2256,13 @@ GROUP BY d.source
 #   ann_ivf/ann_kmeans -> ann_ivf_served (same centroids+oracle);
 #   cosine_pairs -> cosine_lsh_pairs;  window_rank/events_window ->
 #   sessionize;  tpch_q3/tpch_rollup -> tpch_q1 (+ the engine's own
-#   join/topk families J1-J8).
+#   join/topk families J1-J8);  wordcount -> corpus_stats (same
+#   term-keyed partial+final hash-agg shape, A3 vs A4).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- core index + ranking (families: postings, stats, rankers) ---
     "postings": q_postings,
     "doc_stats": q_doc_stats,
     "corpus_stats": q_corpus_stats,
-    "wordcount": q_wordcount,
     "bm25_topk": q_bm25_topk,
     "bm25_blocks": q_bm25_blocks,
     "bm25_batch": q_bm25_batch,
@@ -2263,6 +2296,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_components": q_dedup_components,
     "decontaminate": q_decontaminate,
+    "dup_passages": q_dup_passages,
     # --- similarity / ANN ---
     "ann_topk": q_ann_topk,
     "ann_ivf_served": q_ann_ivf_served,
@@ -2282,6 +2316,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_sequences": q_pack_sequences,
     "pagerank": q_pagerank,
     # ---------------- position 51+: near-twin variants ----------------
+    "wordcount": q_wordcount,
     "bm25_and_topk": q_bm25_and_topk,
     "tpch_q3": q_tpch_q3,
     "events_window": q_events_window,
@@ -2366,6 +2401,7 @@ ORACLES: dict[str, str] = {
     "group_topk": SQL_GROUP_TOPK,
     "dedup_components": SQL_DEDUP_COMPONENTS,
     "decontaminate": SQL_DECONTAMINATE,
+    "dup_passages": SQL_DUP_PASSAGES,
     "repetition_stats": SQL_REPETITION_STATS,
     "sample_stratified": SQL_SAMPLE_STRATIFIED,
     "facet_counts": SQL_FACET_COUNTS,

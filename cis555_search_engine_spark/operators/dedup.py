@@ -533,3 +533,86 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+# ----------------------------------------------------- repeated passages
+
+
+def repeated_passages(
+    docs: DataFrame,
+    w: int = 8,
+    min_occurrences: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_shingle_df: int | None = 100_000,
+) -> DataFrame:
+    """(id, span_start, span_end, span_tokens): maximal token spans
+    covered by width-``w`` shingles that occur at least
+    ``min_occurrences`` times ACROSS THE CORPUS — passage-level (not
+    whole-document) duplication, the substring-dedup signal of
+    Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better", public) re-expressed relationally: their suffix-array "all
+    repeated substrings >= 50 tokens" becomes "all maximal unions of
+    repeated w-token windows" — the same spans at matching thresholds,
+    with no suffix array to build or hold.
+
+    Span semantics: a shingle starting at ``pos`` covers tokens
+    ``[pos, pos+w)``; overlapping/adjacent duplicated windows merge, so
+    a verbatim k-token boilerplate block shared by two docs reports as
+    ONE span of k tokens in each (span_end exclusive). Intra-doc repeats
+    count toward ``min_occurrences`` (a doc that repeats its own
+    boilerplate is flagged too).
+
+    Scale shape, stage by stage:
+    - positions projection: narrow map (per-token xxhash64 once, then
+      w-window hashes — the with_shingle_hashes staging discipline, kept
+      NON-distinct and position-tagged);
+    - repeated-shingle set: one hash agg keyed by the 8-byte shingle
+      hash (map-side partial counts), then a semi-join back — the
+      inverted-index join again, never a cross join;
+    - ``max_shingle_df`` drops degenerate ultra-hot shingles (an empty
+      or whitespace artifact shared by 10^8 docs) from span evidence,
+      logged via the returned frame being the only consumer: the cap
+      bounds the semi-join's build side, and a TRUE boilerplate shingle
+      under the cap is untouched;
+    - span merge: one window per doc ordered by position — partitioned
+      by doc id, so state is bounded by doc length and there is no
+      global sort anywhere.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("id"), tokens_col(F.col(text_col)).alias("toks")
+    )
+    th = toks.select("id", F.transform("toks", lambda t: F.xxhash64(t)).alias("th"))
+    idx = F.sequence(F.lit(0), F.size("th") - w)
+    sh = F.transform(idx, lambda i: F.xxhash64(F.slice("th", i + 1, w)))
+    pos_sh = (
+        th.select("id", F.when(F.size("th") >= w, sh).alias("sh"))
+        .select("id", F.posexplode("sh").alias("pos", "h"))
+    )
+    counts = pos_sh.groupBy("h").agg(F.count(F.lit(1)).alias("occ"))
+    dup = counts.filter(F.col("occ") >= min_occurrences)
+    if max_shingle_df is not None:
+        dup = dup.filter(F.col("occ") <= max_shingle_df)
+    hits = pos_sh.join(dup.select("h"), "h", "left_semi")
+
+    from pyspark.sql import Window
+
+    by_doc = Window.partitionBy("id").orderBy("pos")
+    brk = F.when(
+        F.col("pos") > F.lag("pos").over(by_doc) + w, F.lit(1)
+    ).otherwise(F.lit(0))
+    spans = (
+        hits.withColumn("brk", brk)
+        .withColumn("span", F.sum("brk").over(by_doc))
+        .groupBy("id", "span")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + w).cast("long").alias("span_end"),
+        )
+    )
+    return spans.select(
+        "id",
+        "span_start",
+        "span_end",
+        (F.col("span_end") - F.col("span_start")).alias("span_tokens"),
+    )

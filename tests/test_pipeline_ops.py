@@ -315,3 +315,72 @@ def test_pipeline_job_end_to_end(spark, tmp_path, monkeypatch):
     assert set(m1["phases"]) == {"curate", "decontaminate", "sample", "pack"}
     m2 = run()  # idempotent re-run: every stage overwrites its own dir
     assert m2["counts"] == m1["counts"]
+
+
+# ------------------------------------------------------- dup_passages
+
+
+def _passage_oracle(rows, w=3, min_occ=2):
+    from collections import Counter
+
+    grams = Counter()
+    per_doc = {}
+    for i, t in rows:
+        toks = t.split()
+        pos = [(p, " ".join(toks[p : p + w])) for p in range(len(toks) - w + 1)]
+        per_doc[i] = pos
+        grams.update(g for _, g in pos)
+    out = {}
+    for i, pos in per_doc.items():
+        dup = sorted(p for p, g in pos if grams[g] >= min_occ)
+        spans = []
+        for p in dup:
+            if spans and p <= spans[-1][1]:
+                spans[-1][1] = max(spans[-1][1], p + w)
+            else:
+                spans.append([p, p + w])
+        for s, e in spans:
+            out.setdefault(i, set()).add((s, e, e - s))
+    return out
+
+
+def test_repeated_passages_matches_oracle(spark, docs_rows, docs_sdf):
+    from cis555_search_engine_spark.operators.dedup import repeated_passages
+
+    want = _passage_oracle(docs_rows, w=3)
+    got = {}
+    for r in repeated_passages(docs_sdf, w=3).collect():
+        got.setdefault(r["id"], set()).add(
+            (r["span_start"], r["span_end"], r["span_tokens"])
+        )
+    assert got == want
+    assert want, "corpus must contain repeated 3-grams or the test is vacuous"
+
+
+def test_repeated_passages_span_semantics(spark):
+    """A verbatim boilerplate block shared by two docs reports as ONE
+    maximal span per doc of exactly the block length; an intra-doc
+    repeat is flagged too; unique docs are absent."""
+    from cis555_search_engine_spark.operators.dedup import repeated_passages
+
+    block = "terms of service apply to all users"  # 7 tokens
+    df = spark.createDataFrame(
+        [
+            (1, f"intro text here {block} closing words"),
+            (2, f"{block} and some unique trailing content"),
+            (3, "entirely unique document with no repeats at all"),
+            (4, "echo alpha beta gamma echo alpha beta gamma done"),  # self-repeat
+        ],
+        ["doc_id", "text"],
+    )
+    got = {}
+    for r in repeated_passages(df, w=3).collect():
+        got.setdefault(r["id"], []).append(
+            (r["span_start"], r["span_end"], r["span_tokens"])
+        )
+    assert got[1] == [(3, 10, 7)]  # the block, exactly, offset by the intro
+    assert got[2] == [(0, 7, 7)]
+    assert 3 not in got
+    # "echo alpha beta gamma" repeated at 0 and 4: windows 0,1,4,5 merge
+    # into one span [0, 8) (the repeat is contiguous with itself)
+    assert got[4] == [(0, 8, 8)]
