@@ -571,8 +571,9 @@ def repeated_passages(
       hash (map-side partial counts), then a semi-join back — the
       inverted-index join again, never a cross join;
     - ``max_shingle_df`` drops degenerate ultra-hot shingles (an empty
-      or whitespace artifact shared by 10^8 docs) from span evidence,
-      logged via the returned frame being the only consumer: the cap
+      or whitespace artifact shared by 10^8 docs) from span evidence —
+      LOGGED when it fires (the ngram_jaccard_pairs no-silent-caps
+      pattern: one bounded probe job, a WARNING with the count); the cap
       bounds the semi-join's build side, and a TRUE boilerplate shingle
       under the cap is untouched;
     - span merge: one window per doc ordered by position — partitioned
@@ -592,6 +593,18 @@ def repeated_passages(
     counts = pos_sh.groupBy("h").agg(F.count(F.lit(1)).alias("occ"))
     dup = counts.filter(F.col("occ") >= min_occurrences)
     if max_shingle_df is not None:
+        n_hot = len(
+            dup.filter(F.col("occ") > max_shingle_df).select("h").limit(10_001).collect()
+        )
+        if n_hot:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "repeated_passages: dropping %s shingles with occurrences > %d "
+                "from span evidence (coverage cap; spans witnessed ONLY by "
+                "these are not reported)",
+                n_hot if n_hot <= 10_000 else "10k+", max_shingle_df,
+            )
         dup = dup.filter(F.col("occ") <= max_shingle_df)
     hits = pos_sh.join(dup.select("h"), "h", "left_semi")
 
