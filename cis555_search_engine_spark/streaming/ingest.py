@@ -129,7 +129,9 @@ def streaming_decontaminate(
     spark = stream.sparkSession
     from ..operators.decontam import decontaminate_against, read_eval_dict
 
-    ev = read_eval_dict(spark, eval_dict_path)
+    # cache the static side: every micro-batch joins the same dictionary,
+    # and without this each epoch re-scans the dict parquet
+    ev = read_eval_dict(spark, eval_dict_path).cache()
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
