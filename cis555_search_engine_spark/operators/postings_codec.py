@@ -58,8 +58,12 @@ from ..functions.tokenizer import tokenize_py
 from ..functions.varint import decode_block, encode_block
 from .index_build import DOC_KEY, InvertedIndex
 
-K1 = 1.2
-B = 0.75
+# ONE definition of the BM25 constants (scoring.py): the stored per-block
+# max_impact upper bounds and the serving-side pruning bar θ MUST use
+# identical constants — a drift (tuning one file, not the other) would
+# make stored bounds smaller than actual scores and block-max pruning
+# silently drop true top-k docs.
+from .scoring import B, K1  # noqa: E402
 
 DEFAULT_BLOCK_SPAN = 4096  # docids per block (tune: posting rows per group)
 
@@ -224,7 +228,7 @@ def mint_doc_ids(
     # one dataset per call (unbounded under streaming maintenance, which
     # mints ids every micro-batch); localCheckpoint also truncates the
     # lineage so later evictions can never re-derive anything
-    out = out.localCheckpoint(eager=True)
+    out = _stage(out)
     keyed.unpersist()
     return out
 
@@ -576,7 +580,7 @@ def _prune_live_blocks(
     # (3-5 scans per query on the hot serving path). Bounds rows are
     # one per (query-term reachable) block — distributed, never
     # collected unbounded.
-    bounds_df = bounds_df.localCheckpoint(eager=True)
+    bounds_df = _stage(bounds_df)
     tot = bounds_df.agg(
         F.count(F.lit(1)).alias("nb"),
         F.sum("nd").alias("np"),
@@ -705,10 +709,10 @@ def bm25_topk_blocks(
         # the final scoring — without this each consumer re-decodes the
         # excluded terms' blocks / phrase subplans (mint_doc_ids
         # pattern: eager, lineage-truncating, freed on GC)
-        dead = dead.localCheckpoint(eager=True)
+        dead = _stage(dead)
     if include_docs is not None:
         # same staging argument for the required-phrase include set
-        include_docs = include_docs.select("docid").distinct().localCheckpoint(eager=True)
+        include_docs = _stage(include_docs.select("docid").distinct())
 
     tblocks = bidx.blocks.filter(_term_filter(bidx, terms))
     if prune:
@@ -752,7 +756,7 @@ def _boundary_keyed_topk(scores, bidx: "BlockIndex", k: int, extra_cols=()) -> D
     staged frame instead.
     """
     key = list(bidx.doc_key)
-    st = scores.localCheckpoint(eager=False)  # read by both phases, decoded once
+    st = _stage(scores, eager=False)  # read by both phases, decoded once
     thr = st.orderBy(F.desc("score")).limit(k).agg(F.min("score").alias("_thr"))
     cand = st.join(F.broadcast(thr)).filter(F.col("score") >= F.col("_thr"))
     order = [F.desc("score")] + [F.asc(c) for c in key]
@@ -862,6 +866,40 @@ def term_bucket(term: str, n_buckets: int) -> int:
     import zlib
 
     return zlib.crc32(term.encode("utf-8")) % n_buckets
+
+
+STAGE_MODE_CONF = "spark.cis555.stageMode"  # "local" | "reliable"
+
+
+def _stage(df: DataFrame, eager: bool = True) -> DataFrame:
+    """Materialize a frame read by multiple downstream jobs.
+
+    - ``local`` (default): ``localCheckpoint`` — executor-local blocks,
+      truncated lineage. Fast, and right for a single-machine session,
+      but on a cluster with dynamic allocation / spot executors a lost
+      executor makes the truncated lineage unrecoverable: a routine node
+      loss then aborts the consuming query/compaction instead of
+      recomputing.
+    - ``reliable``: ``df.checkpoint()`` — blocks land in the CLUSTER
+      checkpoint dir (``sc.setCheckpointDir``, HDFS/object store), so
+      staged frames survive executor loss. Set
+      ``spark.cis555.stageMode=reliable`` (plus a checkpoint dir) on
+      long multi-stage maintenance jobs at fleet scale.
+    """
+    mode = df.sparkSession.conf.get(STAGE_MODE_CONF, "local")
+    if mode == "reliable":
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
+
+
+def _bucket_col(n_buckets: int):
+    """The executor-side twin of :func:`term_bucket` — the ONE bucket
+    column expression shared by write_blocks / append_blocks /
+    compact_blocks. Editing the hash or encoding in one writer but not
+    the others (it happened once: xxhash64 -> crc32) desynchronizes the
+    layouts and makes `_term_filter` prune to the wrong partitions —
+    silently empty query results."""
+    return F.pmod(F.crc32(F.encode("term", "utf-8")), F.lit(n_buckets)).alias("bucket")
 
 
 def _read_meta(spark, path: str) -> dict:
@@ -978,7 +1016,7 @@ def write_blocks(
     spark = bidx.blocks.sparkSession
     data_dir = fsio.new_segment_name("seg", 0)
     stats_dir = fsio.new_segment_name("stats", 0)
-    bucket = F.pmod(F.crc32(F.encode("term", "utf-8")), F.lit(n_buckets)).alias("bucket")
+    bucket = _bucket_col(n_buckets)
     (
         bidx.blocks.withColumn("bucket", bucket)
         .write.mode("overwrite")
@@ -987,6 +1025,19 @@ def write_blocks(
     )
     bidx.docid_map.write.mode("overwrite").parquet(f"{path}/{data_dir}/docid_map")
     _write_stats(bidx.corpus_stats, f"{path}/{stats_dir}")
+
+    tombstone_dirs: list[str] = []
+    if bidx.tombstones is not None:
+        # re-persisting a LOADED index with pending deletes: the
+        # tombstones must travel or every delete-marked doc would
+        # resurrect in the new store (and the default vacuum below would
+        # sweep the only other copy). One consolidated dir in the new
+        # layout, named by the same manifest commit.
+        tomb_dir = fsio.new_segment_name("del", 0)
+        bidx.tombstones.select("docid").write.mode("overwrite").parquet(
+            f"{path}/{tomb_dir}"
+        )
+        tombstone_dirs = [tomb_dir]
 
     meta = {
         "layout": 2,
@@ -1008,6 +1059,11 @@ def write_blocks(
         # must not resurrect tight-bounds pruning or docid tie-breaking
         "stale_bounds": bool(bidx.stale_bounds),
         "key_ordered": bool(bidx.key_ordered),
+        # NOTE: streaming applied_epochs markers are deliberately NOT
+        # carried — a re-persist is a new store with a new stream
+        # lifecycle (new checkpoint); pointing an OLD checkpoint at the
+        # new store is unsupported either way.
+        "tombstone_dirs": tombstone_dirs,
     }
     meta.update(extra_meta or {})
     _commit_meta(spark, path, meta)
@@ -1052,8 +1108,45 @@ def append_blocks(
     from .. import fsio
 
     meta = _read_meta(spark, path)
+    if applied_marker is not None and applied_marker in meta.get("applied_epochs", []):
+        # crash-redelivered epoch: the append already committed — the
+        # exactly-once contract must hold INSIDE this function (a caller
+        # retrying after a post-commit failure would otherwise re-append
+        # the same docs at a new offset: duplicate docids, doubled
+        # scores). delete_docs has the same guard.
+        return
     if list(new_index.doc_key) != list(meta["doc_key"]):
         raise ValueError(f"doc_key mismatch: {new_index.doc_key} vs {meta['doc_key']}")
+    # fail fast on keys already in the store: appends are key-disjoint
+    # by contract (an update is delete + append) — without this check a
+    # re-sent document silently gets a SECOND docid (appears twice in
+    # top-k, double-counted in df/n_docs). Shape: the store's docid map
+    # semi-joined against the broadcast incoming key set, short-circuited
+    # at the first collision — one scan of the map per append.
+    key = list(new_index.doc_key)
+    existing_maps = [f"{path}/{d}/docid_map" for d in _manifest_dirs(meta)]
+    live = spark.read.parquet(*existing_maps)
+    tomb_dirs = meta.get("tombstone_dirs", [])
+    if tomb_dirs:
+        # tombstoned keys stay in the map until compaction but are NOT
+        # live — re-appending them is exactly the documented update path
+        # (delete -> append -> compact), so they must not collide
+        dead = spark.read.parquet(*[f"{path}/{d}" for d in tomb_dirs])
+        live = live.join(dead.select("docid"), "docid", "left_anti")
+    collisions = (
+        live.join(
+            F.broadcast(new_index.doc_stats.select(*key).distinct()), key, "left_semi"
+        )
+        .limit(1)
+        .collect()
+    )
+    if collisions:
+        raise ValueError(
+            f"append contains doc keys already present in the store "
+            f"(e.g. {tuple(collisions[0][c] for c in key)}); appends must be "
+            f"key-disjoint — tombstone the old version first (delete_docs), "
+            f"then append, then compact"
+        )
     old_stats_dir = meta.get("stats_dir")
     old_stats_path = (
         f"{path}/{old_stats_dir}" if old_stats_dir else f"{path}/corpus_stats"
@@ -1070,7 +1163,7 @@ def append_blocks(
     )
     seg = build_blocks(new_index, block_span=int(meta["block_span"]), docid_map=new_map)
     n_buckets = int(meta["n_buckets"])
-    bucket = F.pmod(F.crc32(F.encode("term", "utf-8")), F.lit(n_buckets)).alias("bucket")
+    bucket = _bucket_col(n_buckets)
     data_dirs = _manifest_dirs(meta)
     seg_dir = fsio.new_segment_name("seg", len(data_dirs))
     (
@@ -1175,7 +1268,7 @@ def delete_docs(spark, path: str, doc_keys: DataFrame, applied_marker: str | Non
     )
     if bidx.tombstones is not None:
         tomb = tomb.join(bidx.tombstones, "docid", "left_anti")
-    tomb = tomb.localCheckpoint(eager=True)  # count + write read it once
+    tomb = _stage(tomb)  # count + write read it once
     n_new = tomb.count()
     if n_new == 0 and applied_marker is None:
         return 0
@@ -1268,7 +1361,7 @@ def compact_blocks(spark, path: str, vacuum: bool = True) -> None:
     # encode+write below — un-staged, compaction decodes and remaps the
     # ENTIRE index three times. A compaction is already a full rewrite;
     # the executor-local spill of one posting pass is the cheap half.
-    remapped = remapped.localCheckpoint(eager=True)
+    remapped = _stage(remapped)
     # recompute corpus stats EXACTLY (integer aggregates — equals a
     # fresh build over the survivors): one pass for df per term, one
     # tiny agg for total length over distinct surviving docs
@@ -1303,7 +1396,7 @@ def compact_blocks(spark, path: str, vacuum: bool = True) -> None:
     )
     blocks = _encode_posting_blocks(enriched, avg_len, span)
     n_buckets = int(bidx.n_buckets or 16)
-    bucket = F.pmod(F.crc32(F.encode("term", "utf-8")), F.lit(n_buckets)).alias("bucket")
+    bucket = _bucket_col(n_buckets)
     new_dir = fsio.new_segment_name("seg", 0)
     (
         blocks.withColumn("bucket", bucket)
@@ -1327,6 +1420,13 @@ def compact_blocks(spark, path: str, vacuum: bool = True) -> None:
             "key_ordered": True,    # re-minted in doc_key order
             "tombstone_dirs": [],   # purged physically
             "n_deleted": 0,
+            # the bucket metadata must describe what THIS rewrite wrote:
+            # a pre-crc32 store (bucket_fn != crc32 -> n_buckets=None on
+            # load) is re-bucketed crc32 here, and carrying the old
+            # values forward would permanently disable bucket pruning on
+            # correctly bucketed data
+            "n_buckets": n_buckets,
+            "bucket_fn": "crc32",
         }
     )
     _commit_meta(spark, path, meta)
@@ -1388,7 +1488,7 @@ def load_blocks(spark, path: str) -> "BlockIndex":
             # only (bounded by n_docs); dirs are disjoint by
             # construction (delete_docs anti-joins already-tombstoned
             # ids), so no distinct is needed.
-            tombstones = tombstones.localCheckpoint(eager=True)
+            tombstones = _stage(tombstones)
     return BlockIndex(
         blocks=union_read("blocks"),
         docid_map=union_read("docid_map"),
@@ -1464,7 +1564,11 @@ def phrase_match_blocks(
     (doc_key..., n_occurrences > 0)."""
     out = _phrase_docids(bidx, phrase, stem)
     if out is None:
-        return _empty_topk(bidx).select(*bidx.doc_key)
+        # same schema as the non-empty path: an untokenizable phrase
+        # must not surprise unionByName / column-referencing callers
+        return _empty_topk(bidx).select(
+            *bidx.doc_key, F.lit(0).cast("long").alias("n_occurrences")
+        )
     key = list(bidx.doc_key)
     return (
         out.join(bidx.docid_map, "docid")

@@ -897,3 +897,119 @@ def test_mint_doc_ids_order_cols_dedupes_per_key(spark):
     assert sorted(by_key.values()) == [0, 1, 2]  # dense, no duplicates
     # order: min(doc_len) per key -> c(1) < b(5) < a(10)
     assert by_key[("c", 0)] == 0 and by_key[("b", 0)] == 1 and by_key[("a", 0)] == 2
+
+
+def test_append_blocks_internal_idempotence_and_key_guard(spark, corpus_sdf, tmp_path):
+    """The exactly-once contract holds INSIDE append_blocks: a retried
+    applied_marker is a no-op, and an append whose keys already live in
+    the store fails fast instead of silently minting duplicate docids."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from cis555_search_engine_spark.operators.index_build import build_index
+    from cis555_search_engine_spark.operators.postings_codec import (
+        append_blocks,
+        build_blocks,
+        load_blocks,
+        write_blocks,
+    )
+
+    half_a = corpus_sdf.filter(F.col("turn_idx") % 2 == 0)
+    half_b = corpus_sdf.filter(F.col("turn_idx") % 2 == 1)
+    path = str(tmp_path / "store")
+    write_blocks(build_blocks(build_index(half_a, cache=False), block_span=64), path, n_buckets=8)
+    idx_b = build_index(half_b, cache=False)
+
+    append_blocks(spark, path, idx_b, applied_marker="epoch-1")
+    n_after = load_blocks(spark, path).n_docs
+    # post-commit retry of the same epoch: no-op, no duplicate docids
+    append_blocks(spark, path, idx_b, applied_marker="epoch-1")
+    assert load_blocks(spark, path).n_docs == n_after
+
+    # unmarked re-append of live keys: rejected loudly
+    with _pytest.raises(ValueError, match="key-disjoint"):
+        append_blocks(spark, path, idx_b)
+
+
+def test_append_after_tombstone_is_allowed(spark, corpus_sdf, tmp_path):
+    """The documented update path — delete old version, append new —
+    must pass the key-disjointness guard (tombstoned keys are not live)."""
+    from pyspark.sql import functions as F
+
+    from cis555_search_engine_spark.operators.index_build import build_index
+    from cis555_search_engine_spark.operators.postings_codec import (
+        append_blocks,
+        build_blocks,
+        delete_docs,
+        load_blocks,
+        write_blocks,
+    )
+
+    path = str(tmp_path / "store")
+    write_blocks(
+        build_blocks(build_index(corpus_sdf, cache=False), block_span=64), path, n_buckets=8
+    )
+    victim = corpus_sdf.filter(
+        (F.col("conv_id") == "conv000001") & (F.col("turn_idx") == 0)
+    )
+    assert victim.count() == 1
+    delete_docs(spark, path, victim.select("conv_id", "turn_idx"))
+    # re-append the updated version of the deleted doc: allowed
+    append_blocks(spark, path, build_index(victim, cache=False))
+    bidx = load_blocks(spark, path)
+    # the key serves exactly once (old docid tombstoned, new one live)
+    from cis555_search_engine_spark.operators.postings_codec import bm25_topk_blocks
+
+    hits = (
+        bm25_topk_blocks(bidx, "the", k=10_000, stem=False)
+        .filter((F.col("conv_id") == "conv000001") & (F.col("turn_idx") == 0))
+        .count()
+    )
+    assert hits <= 1
+
+
+def test_write_blocks_carries_tombstones(spark, corpus_sdf, tmp_path):
+    """Re-persisting a loaded index with pending deletes must carry the
+    tombstones — otherwise every delete-marked doc resurrects in the new
+    store."""
+    from pyspark.sql import functions as F
+
+    from cis555_search_engine_spark.operators.index_build import build_index
+    from cis555_search_engine_spark.operators.postings_codec import (
+        bm25_topk_blocks,
+        build_blocks,
+        delete_docs,
+        load_blocks,
+        write_blocks,
+    )
+
+    src = str(tmp_path / "src")
+    write_blocks(
+        build_blocks(build_index(corpus_sdf, cache=False), block_span=64), src, n_buckets=8
+    )
+    victims = corpus_sdf.select("conv_id", "turn_idx").limit(5)
+    n_del = delete_docs(spark, src, victims)
+    assert n_del == 5
+
+    dst = str(tmp_path / "dst")
+    write_blocks(load_blocks(spark, src), dst, n_buckets=8)
+    re = load_blocks(spark, dst)
+    assert re.tombstones is not None and re.tombstones.count() == 5
+    dead_keys = {tuple(r) for r in victims.collect()}
+    served = {
+        (r["conv_id"], r["turn_idx"])
+        for r in bm25_topk_blocks(re, "the", k=100_000, stem=False).collect()
+    }
+    assert not (served & dead_keys)
+
+
+def test_phrase_match_blocks_empty_phrase_schema(spark, spark_index):
+    from cis555_search_engine_spark.operators.postings_codec import (
+        build_blocks,
+        phrase_match_blocks,
+    )
+
+    bidx = build_blocks(spark_index, block_span=64)
+    out = phrase_match_blocks(bidx, "1234!@#")
+    assert out.columns == ["conv_id", "turn_idx", "n_occurrences"]
+    assert out.count() == 0
