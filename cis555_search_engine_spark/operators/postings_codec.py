@@ -1072,7 +1072,11 @@ def write_blocks(
 
 
 def append_blocks(
-    spark, path: str, new_index: InvertedIndex, applied_marker: str | None = None
+    spark,
+    path: str,
+    new_index: InvertedIndex,
+    applied_marker: str | None = None,
+    check_new_keys: bool = True,
 ) -> None:
     """Incrementally append a new document segment to a PERSISTED block
     index — the north rule's posting-list merge as index MAINTENANCE,
@@ -1123,30 +1127,35 @@ def append_blocks(
     # top-k, double-counted in df/n_docs). Shape: the store's docid map
     # semi-joined against the broadcast incoming key set, short-circuited
     # at the first collision — one scan of the map per append.
+    # ``check_new_keys=False`` skips it for callers whose input is
+    # already exactly-once by construction (the streaming maintenance
+    # path: checkpointed file consumption + epoch markers) — there the
+    # per-epoch map scan is pure overhead on the drain's fixed cost.
     key = list(new_index.doc_key)
-    existing_maps = [f"{path}/{d}/docid_map" for d in _manifest_dirs(meta)]
-    live = spark.read.parquet(*existing_maps)
-    tomb_dirs = meta.get("tombstone_dirs", [])
-    if tomb_dirs:
-        # tombstoned keys stay in the map until compaction but are NOT
-        # live — re-appending them is exactly the documented update path
-        # (delete -> append -> compact), so they must not collide
-        dead = spark.read.parquet(*[f"{path}/{d}" for d in tomb_dirs])
-        live = live.join(dead.select("docid"), "docid", "left_anti")
-    collisions = (
-        live.join(
-            F.broadcast(new_index.doc_stats.select(*key).distinct()), key, "left_semi"
+    if check_new_keys:
+        existing_maps = [f"{path}/{d}/docid_map" for d in _manifest_dirs(meta)]
+        live = spark.read.parquet(*existing_maps)
+        tomb_dirs = meta.get("tombstone_dirs", [])
+        if tomb_dirs:
+            # tombstoned keys stay in the map until compaction but are
+            # NOT live — re-appending them is exactly the documented
+            # update path (delete -> append -> compact), so no collision
+            dead = spark.read.parquet(*[f"{path}/{d}" for d in tomb_dirs])
+            live = live.join(dead.select("docid"), "docid", "left_anti")
+        collisions = (
+            live.join(
+                F.broadcast(new_index.doc_stats.select(*key).distinct()), key, "left_semi"
+            )
+            .limit(1)
+            .collect()
         )
-        .limit(1)
-        .collect()
-    )
-    if collisions:
-        raise ValueError(
-            f"append contains doc keys already present in the store "
-            f"(e.g. {tuple(collisions[0][c] for c in key)}); appends must be "
-            f"key-disjoint — tombstone the old version first (delete_docs), "
-            f"then append, then compact"
-        )
+        if collisions:
+            raise ValueError(
+                f"append contains doc keys already present in the store "
+                f"(e.g. {tuple(collisions[0][c] for c in key)}); appends must be "
+                f"key-disjoint — tombstone the old version first (delete_docs), "
+                f"then append, then compact"
+            )
     old_stats_dir = meta.get("stats_dir")
     old_stats_path = (
         f"{path}/{old_stats_dir}" if old_stats_dir else f"{path}/corpus_stats"

@@ -216,7 +216,11 @@ def streaming_index_maintenance(
         # penalty), while .cache() would pin an entry per epoch for the
         # stream's lifetime
         idx = build_index(batch_df, doc_key=doc_key, stem=stem, cache="checkpoint")
-        append_blocks(spark, index_path, idx, applied_marker=marker)
+        # check_new_keys off: this input is exactly-once by construction
+        # (checkpointed file consumption + the applied_marker guard), so
+        # the per-epoch docid-map collision scan would be pure fixed
+        # overhead on the drain
+        append_blocks(spark, index_path, idx, applied_marker=marker, check_new_keys=False)
         if vacuum_every and int(epoch_id) % vacuum_every == vacuum_every - 1:
             vacuum_blocks(spark, index_path)
 
