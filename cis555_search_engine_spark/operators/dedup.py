@@ -126,23 +126,38 @@ def with_shingle_hashes(
 # ------------------------------------------------------------------ exact
 
 def exact_dedup(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    canonical: bool = True,
 ) -> DataFrame:
-    """Group docs by canonical content key = sorted distinct token set;
-    return (rep_id, dup_id) for every non-representative duplicate.
-    Representative = min id per group (deterministic).
+    """Group docs by content key; return (rep_id, dup_id) for every
+    non-representative duplicate. Representative = min id per group
+    (deterministic).
+
+    **Key semantics — read before trusting the word "exact"**:
+    ``canonical=True`` (default, and what the driver oracle + `curate`
+    key on) canonicalizes to the SORTED DISTINCT TOKEN SET — docs that
+    differ only in word order or token multiplicity ("the cat sat on
+    the cat" vs "on sat the cat") land in ONE group and the
+    non-representative is reported as a duplicate. That is bag-of-words
+    dedup (the near-dup-tolerant convention); when byte-level identity
+    is required — dropping a reordering IS data loss for
+    order-sensitive corpora — pass ``canonical=False`` to key on the
+    verbatim text.
 
     The hash-groupBy exact-dedup: one shuffle on the content key. The
-    shuffle key is NOT the canonical string (arbitrarily wide at scale)
+    shuffle key is NOT the key string (arbitrarily wide at scale)
     but two independent 64-bit hashes of it (xxhash64 with two salts =
-    128 bits total). The probability of two distinct canonical forms
+    128 bits total). The probability of two distinct key forms
     colliding on both hashes is ~n²/2^129 — cryptographically negligible
     (n = 10^12 docs -> ~1e-15); the double hash IS the in-group
     verification, computed map-side so only 16 bytes/row shuffle.
     """
     from pyspark.sql import Window
 
-    key = F.array_join(F.array_sort(F.array_distinct(tokens_col(F.col(text_col)))), " ")
+    if canonical:
+        key = F.array_join(F.array_sort(F.array_distinct(tokens_col(F.col(text_col)))), " ")
+    else:
+        key = F.col(text_col)
     keyed = docs.select(
         F.col(id_col).alias("id"),
         F.xxhash64(key).alias("k1"),
@@ -197,7 +212,13 @@ def ngram_jaccard_pairs(
     capped array — no extra join), so the pair aggregation groups by
     (i, j, na, nb) and the Jaccard needs no size backfill joins.
     """
-    arr = with_shingle_hashes(docs, n, id_col, text_col)
+    # stage ONCE: the hot-shingle probe job, the post-cap array rewrite,
+    # and both sides of the pair self-join all read this frame — without
+    # staging, the tokenize->hash->shingle subplan re-evaluates up to
+    # three times (the same discipline minhash/simhash/cosine_lsh
+    # already apply; localCheckpoint = eager, lineage-truncating, freed
+    # on GC)
+    arr = with_shingle_hashes(docs, n, id_col, text_col).localCheckpoint(eager=True)
     if max_shingle_df is not None:
         exploded = arr.select(F.explode_outer("shh").alias("h")).filter(
             F.col("h").isNotNull()
@@ -351,6 +372,17 @@ def minhash_lsh_pairs(
     never all pairs — which is what makes this the 100 TB path while
     `ngram_jaccard_pairs` is the exact small-scale baseline.
     """
+    if bands <= 0 or num_hashes % bands != 0:
+        # r = num_hashes // bands with r == 0 would make every band hash
+        # a constant (xxhash64 over zero signature elements): all docs
+        # collide in every bucket = bands x O(n^2) candidate joins, the
+        # exact quadratic blow-up this operator exists to avoid; a
+        # non-dividing count silently ignores the tail hashes and
+        # weakens the documented recall math — both are caller errors.
+        raise ValueError(
+            f"bands ({bands}) must divide num_hashes ({num_hashes}) with "
+            f"rows-per-band >= 1"
+        )
     r = num_hashes // bands
     # stage the (id, shingle-hash array) frame ONCE: it feeds the
     # signature UDF AND both sides of the exact-Jaccard verification —
@@ -492,6 +524,17 @@ def simhash_pairs(
     """
     from itertools import combinations
 
+    if max_hamming > SIMHASH_CHUNKS - SIMHASH_COMBO_SIZE:
+        # pigeonhole only guarantees an agreeing 3-chunk subset for
+        # Hamming <= CHUNKS - COMBO_SIZE; a larger radius could flip
+        # bits in 4+ chunks and the qualifying pair would silently never
+        # share a join key (recall loss with no error)
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the candidate scheme's "
+            f"exact radius {SIMHASH_CHUNKS - SIMHASH_COMBO_SIZE} "
+            f"(={SIMHASH_CHUNKS} chunks, {SIMHASH_COMBO_SIZE}-chunk keys); "
+            f"lower SIMHASH_COMBO_SIZE or the radius"
+        )
     sims = simhash60(docs, id_col, text_col)
     # stage the (id, simhash) frame ONCE: the chunk self-join below
     # would otherwise evaluate the whole simhash subplan — tokenize +
@@ -590,6 +633,10 @@ def repeated_passages(
         th.select("id", F.when(F.size("th") >= w, sh).alias("sh"))
         .select("id", F.posexplode("sh").alias("pos", "h"))
     )
+    # stage ONCE: pos_sh feeds the occurrence agg, the cap-probe job,
+    # and the probe side of the hits semi-join — un-staged, the per-doc
+    # window hashing (the expensive map stage) runs ~3x per call
+    pos_sh = pos_sh.localCheckpoint(eager=True)
     counts = pos_sh.groupBy("h").agg(F.count(F.lit(1)).alias("occ"))
     dup = counts.filter(F.col("occ") >= min_occurrences)
     if max_shingle_df is not None:

@@ -5,9 +5,11 @@
 - `ann_topk_bruteforce`: exact top-k neighbors of one query vector —
   one broadcast row against the table, TakeOrderedAndProject for the
   top-k. The correctness baseline.
-- `cosine_near_dup_pairs`: all pairs >= threshold (exact; keyed join on
-  an id-range block to avoid a planner cross-join, still O(n²) work —
-  the small-scale oracle baseline).
+- `cosine_near_dup_pairs`: all pairs >= threshold — an EXACT O(n²)
+  baseline that plans as a nested-loop/cartesian join (no equi-key
+  exists for an inequality pair join); ``max_id`` bounds the scored id
+  range. It exists as the small-scale oracle twin of the LSH scale
+  path, never as a production operator.
 - `ann_topk_ivf`: the scale path. Coarse quantizer = `n_centroids` seed
   vectors chosen deterministically (first ids); every row is assigned to
   its nearest centroid (broadcast join + native argmax); a query probes
@@ -89,15 +91,40 @@ def cosine_near_dup_pairs(
 ) -> DataFrame:
     """(i, j, cos) for all pairs with cosine >= threshold, i < j. Exact
     O(n²) baseline — `max_id` bounds the scored id range so the operator
-    stays exact-but-bounded at larger sf (coverage cap, disclosed)."""
+    stays exact-but-bounded at larger sf (coverage cap, disclosed).
+
+    The threshold is applied to the RAW cosine (the rounded value is
+    display-only): filtering on the rounded value would admit boundary
+    pairs the SQL oracle and the LSH scale path both exclude (a raw
+    0.3999996 rounds to 0.4), breaking the claimed oracle equality."""
     base = emb if max_id is None else emb.filter(F.col(id_col) < max_id)
     a = base.select(F.col(id_col).alias("i"), F.col(vec_col).alias("va"))
     b = base.select(F.col(id_col).alias("j"), F.col(vec_col).alias("vb"))
     return (
         a.join(b, F.col("i") < F.col("j"))
-        .select("i", "j", F.round(cosine_col(F.col("va"), F.col("vb")), 6).alias("cos"))
-        .filter(F.col("cos") >= threshold)
+        .select("i", "j", cosine_col(F.col("va"), F.col("vb")).alias("cos_raw"))
+        .filter(F.col("cos_raw") >= threshold)
+        .select("i", "j", F.round("cos_raw", 6).alias("cos"))
     )
+
+
+_RH_PLANES: dict[tuple, np.ndarray] = {}
+
+
+def _rh_planes(dim: int, n_bands: int, band_bits: int, seed: int) -> np.ndarray:
+    """Seed-deterministic hyperplane matrix, memoized PER PYTHON WORKER:
+    generating it inside the UDF body cost one full Gaussian draw per
+    Arrow batch (at dim=768 with capped adaptive params that is ~100 MB
+    of float64 regenerated every ~10k rows — it can dominate the actual
+    signature matmul). Memoizing by parameters instead of capturing the
+    array in the closure also keeps the serialized task small."""
+    key = (dim, n_bands, band_bits, seed)
+    R = _RH_PLANES.get(key)
+    if R is None:
+        rng = np.random.default_rng(seed + dim)
+        R = rng.standard_normal((dim, n_bands * band_bits))
+        _RH_PLANES[key] = R
+    return R
 
 
 def rh_signature_udf(dim: int, n_bands: int = 64, band_bits: int = 4, seed: int = 20200553):
@@ -123,8 +150,7 @@ def rh_signature_udf(dim: int, n_bands: int = 64, band_bits: int = 4, seed: int 
         out: list[list[int] | None] = [None] * len(rows)
         if valid.any():
             M = np.array([rows[i] for i in np.flatnonzero(valid)], dtype=np.float64)
-            rng = np.random.default_rng(seed + dim)
-            R = rng.standard_normal((dim, n_bands * band_bits))
+            R = _rh_planes(dim, n_bands, band_bits, seed)
             bits = ((M @ R) > 0.0).reshape(len(M), n_bands, band_bits)
             weights = (1 << np.arange(band_bits)).astype(np.int64)
             vals = (bits * weights).sum(axis=2).astype(np.int32)
@@ -136,7 +162,7 @@ def rh_signature_udf(dim: int, n_bands: int = 64, band_bits: int = 4, seed: int 
 
 
 def lsh_band_params(
-    n: int, threshold: float, miss_target: float = 1e-4
+    n: int, threshold: float, miss_target: float = 1e-4, band_bits: int | None = None
 ) -> tuple[int, int]:
     """(band_bits, n_bands) for random-hyperplane LSH, adaptive in the
     corpus size ``n`` (round-3 verdict item 3 — the old fixed
@@ -159,7 +185,11 @@ def lsh_band_params(
 
     n = max(int(n), 2)
     p = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
-    band_bits = min(16, max(4, math.ceil(math.log2(n)) - 9))
+    if band_bits is None:
+        band_bits = min(16, max(4, math.ceil(math.log2(n)) - 9))
+    # the band COUNT is always sized for the band WIDTH actually used —
+    # sizing it for a different width than the caller's fixed one made
+    # recall collapse silently (p^16 vs p^4 is 3 orders of magnitude)
     n_bands = math.ceil(math.log(1.0 / miss_target) / (p**band_bits))
     if n_bands > MAX_LSH_BANDS:
         # the recall-preserving count is infeasible for this (threshold,
@@ -243,13 +273,29 @@ def cosine_lsh_pairs(
     dim = int(drow[0]["d"]) if drow else 0
     n_rows = sum(int(r["cnt"]) for r in drow)
     if band_bits is None or n_bands is None:
-        a_bits, a_bands = lsh_band_params(n_rows, threshold)
-        band_bits = a_bits if band_bits is None else band_bits
-        n_bands = a_bands if n_bands is None else n_bands
-        import logging
+        # hold any caller-fixed band width FIXED while sizing the band
+        # count: sizing the count for the adaptive width and then using
+        # a different caller width silently collapsed recall (a 16-bit
+        # band matched by a count sized for 4-bit bands misses ~96% of
+        # threshold pairs)
+        a_bits, a_bands = lsh_band_params(n_rows, threshold, band_bits=band_bits)
+        band_bits = a_bits
+        if n_bands is None:
+            n_bands = a_bands
+        else:
+            import math
 
+            p = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+            achieved = (1.0 - p**band_bits) ** n_bands
+            if achieved > 1e-4:
+                logging.getLogger(__name__).warning(
+                    "cosine_lsh_pairs: caller-fixed n_bands=%d with "
+                    "band_bits=%d gives per-pair P(miss at threshold) "
+                    "<= %.3g (recall not guaranteed at 1-1e-4)",
+                    n_bands, band_bits, achieved,
+                )
         logging.getLogger(__name__).info(
-            "cosine_lsh_pairs: adaptive LSH params n=%d -> band_bits=%d n_bands=%d",
+            "cosine_lsh_pairs: LSH params n=%d -> band_bits=%d n_bands=%d",
             n_rows, band_bits, n_bands,
         )
     sig = emb.select(
@@ -275,7 +321,6 @@ def cosine_lsh_pairs(
         )
         n_hot = hot.count()  # one tiny agg over the staged frame
         if n_hot:
-            import logging
 
             logging.getLogger(__name__).warning(
                 "cosine_lsh_pairs: dropping %d band-buckets with > %d members "
@@ -296,7 +341,6 @@ def cosine_lsh_pairs(
     # logged count and both vector joins) and surface its size — the
     # no-silent-caps rule applies to candidate floods too.
     cands = cands.localCheckpoint(eager=True)
-    import logging
 
     logging.getLogger(__name__).info(
         "cosine_lsh_pairs: %d candidate pairs from %d rows (band_bits=%d, n_bands=%d)",
@@ -558,12 +602,19 @@ def ann_topk_kmeans(
         assigned = emb.withColumn(
             "cell", _assign_cells_udf(centroids)(quantized_vec_col(F.col(vec_col)))
         )
-    qrow = (
+    qrows = (
         emb.filter(F.col(id_col) == query_vec_id)
         .select(quantized_vec_col(F.col(vec_col)).alias("vq"))
-        .collect()[0]
+        .collect()
     )
-    qvq = [int(v) for v in qrow["vq"]]
+    if not qrows or qrows[0]["vq"] is None:
+        # absent or null-embedding query id: empty result with the same
+        # schema, matching ann_topk_bruteforce/ann_topk_ivf (their
+        # filter+crossJoin shape degrades to empty; this path collected)
+        return emb.select(
+            F.col(id_col).alias("vec_id"), F.lit(0.0).alias("cos")
+        ).limit(0)
+    qvq = [int(v) for v in qrows[0]["vq"]]
     ranked = sorted(
         range(len(centroids)), key=lambda i: (-_int_cosine_py(qvq, centroids[i]), i)
     )

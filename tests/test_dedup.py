@@ -160,3 +160,44 @@ def test_jaccard_hot_shingle_cap_sizes(spark):
     # docs 10/11 share ALL kept shingles -> jac exactly 1.0 over kept sets
     assert set(got) == {(10, 11)}
     assert abs(got[(10, 11)] - 1.0) < 1e-9
+
+
+def test_exact_dedup_verbatim_mode(spark):
+    """canonical=False keys on the byte-level text: reordered docs are
+    NOT duplicates (they are under the default bag-of-words key)."""
+    from cis555_search_engine_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the cat"),
+            (2, "on sat the cat"),
+            (3, "the cat sat on the cat"),
+        ],
+        ["doc_id", "text"],
+    )
+    bow = {(r["rep_id"], r["dup_id"]) for r in exact_dedup(df).collect()}
+    assert bow == {(1, 2), (1, 3)}  # all three share the token set
+    verbatim = {(r["rep_id"], r["dup_id"]) for r in exact_dedup(df, canonical=False).collect()}
+    assert verbatim == {(1, 3)}  # only the byte-identical pair
+
+
+def test_minhash_rejects_degenerate_band_params(spark, tmp_path):
+    import pytest as _pytest
+
+    from cis555_search_engine_spark.operators.dedup import minhash_lsh_pairs
+
+    df = spark.createDataFrame([(1, "a b c d e")], ["doc_id", "text"])
+    with _pytest.raises(ValueError, match="must divide"):
+        minhash_lsh_pairs(df, bands=64)  # r would be 0 -> all-pairs blow-up
+    with _pytest.raises(ValueError, match="must divide"):
+        minhash_lsh_pairs(df, bands=12, num_hashes=32)  # silent tail drop
+
+
+def test_simhash_rejects_radius_beyond_pigeonhole(spark):
+    import pytest as _pytest
+
+    from cis555_search_engine_spark.operators.dedup import simhash_pairs
+
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    with _pytest.raises(ValueError, match="exact radius"):
+        simhash_pairs(df, max_hamming=4)
