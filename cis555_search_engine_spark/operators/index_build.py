@@ -59,6 +59,12 @@ def stem_tokens_udf(tok_arrays: pd.Series) -> pd.Series:
     cache: dict[str, str] = {}
 
     def stem_list(toks):
+        if toks is None:
+            # null text -> null token array (tokenize_col of NULL); the
+            # null must pass through like the stem=False and long-form
+            # paths, not crash the batch (a tool-only turn has text=NULL
+            # under TRANSCRIPT_SCHEMA)
+            return None
         out = []
         for t in toks:
             s = cache.get(t)

