@@ -80,6 +80,11 @@ class SearchEngine:
     ) -> DataFrame:
         if ranker == "bm25":
             return bm25_topk(self.index, query, k=k, conjunctive=(mode == "and"))
+        if mode != "or":
+            # the parity rankers reproduce the reference's OR-only SQL —
+            # returning disjunctive results for an explicit mode="and"
+            # request would be a silent semantics swap
+            raise ValueError(f"mode={mode!r} is only supported by ranker='bm25'")
         if ranker == "tfidf":
             return tfidf_ref_topk(self.index, query, k=k)
         if ranker == "cosine":
@@ -87,9 +92,18 @@ class SearchEngine:
         raise ValueError(f"unknown ranker {ranker!r} (bm25|tfidf|cosine)")
 
     def blocks(self, block_span: int | None = None) -> BlockIndex:
-        if self._blocks is None:
-            kw = {"block_span": block_span} if block_span else {}
-            self._blocks = build_blocks(self.index, **kw).cache()
+        if self._blocks is not None:
+            if block_span is not None and block_span != self._blocks.block_span:
+                # silently returning an index built at a different span
+                # would hand the caller wrong block granularity
+                raise ValueError(
+                    f"block index already built with block_span="
+                    f"{self._blocks.block_span}; open a new engine (or "
+                    f"open_block_store) for span {block_span}"
+                )
+            return self._blocks
+        kw = {"block_span": block_span} if block_span is not None else {}
+        self._blocks = build_blocks(self.index, **kw).cache()
         return self._blocks
 
     def search_blocks(self, query: str, k: int = 80, mode: str = "or", prune: bool = True) -> DataFrame:
@@ -148,6 +162,11 @@ class SearchEngine:
     def append_to_block_store(self, path: str, new_corpus: DataFrame, **kw) -> "SearchEngine":
         """Incrementally append new documents to a persisted block store
         (segment append + stats-level merge; serving stays exact)."""
+        # cache="checkpoint": the one-shot segment frames are consumed by
+        # append_blocks and dereferenced — the default .cache() would pin
+        # three session-lifetime entries per append (the leak class the
+        # streaming sink and pagerank release logic already guard)
+        kw.setdefault("cache", "checkpoint")
         seg = build_index(new_corpus, doc_key=self.index.doc_key, **kw)
         append_blocks(self.spark, path, seg)
         return self.open_block_store(path)

@@ -108,6 +108,32 @@ def checkpointed_postings_build(
     from .. import fsio
 
     spark = corpus.sparkSession
+    # build-parameter guard: the per-group manifests fingerprint only
+    # the INPUT slice, so a resume with different n_groups would leave
+    # stale group dirs that finalize_index unions in (silently
+    # duplicated postings: a group=16 layout resumed with n_groups=8
+    # rebuilds 0-7 over ALL docs and keeps 8-15), and a resume with a
+    # different stem/positions setting would SKIP groups whose data was
+    # built under the old setting. Record the parameters once; any
+    # mismatch on resume fails fast.
+    build_params = {
+        "n_groups": int(n_groups),
+        "doc_key": list(doc_key),
+        "text_col": text_col,
+        "stem": bool(stem),
+        "with_positions": bool(with_positions),
+    }
+    bmeta_path = f"{out_dir}/_build_params.json"
+    if fsio.exists(spark, bmeta_path):
+        prev = json.loads(fsio.read_text(spark, bmeta_path))
+        if prev != build_params:
+            raise ValueError(
+                f"checkpointed build dir {out_dir} was created with "
+                f"{prev}; resuming with {build_params} would mix layouts "
+                f"— reuse the original parameters or delete the directory"
+            )
+    else:
+        fsio.write_text_atomic(spark, bmeta_path, json.dumps(build_params))
     gcol = _group_col(n_groups)
     results: list[GroupResult] = []
 
@@ -171,12 +197,43 @@ def finalize_index(
     and computes doc/corpus statistics once, globally — the analog of the
     reference's one-time MySQL tf/weight/corpus post-pass (report p.3).
     """
+    from .. import fsio
+
     t0 = time.perf_counter()
     # accepts both the batch checkpoint layout (group=N) and the
     # streaming ingest layout (epoch=N) — drop() ignores absent columns
     postings = spark.read.parquet(f"{out_dir}/postings_long").drop(
         "group", "epoch"
     )
+    if (
+        not write_stats
+        and fsio.exists(spark, f"{out_dir}/doc_stats")
+        and fsio.exists(spark, f"{out_dir}/corpus_stats")
+    ):
+        # READ-ONLY reopen (SearchEngine.load): the build already
+        # persisted the statistics — re-aggregating them from the full
+        # postings scan at every open is exactly the recomputation the
+        # persisted stats exist to avoid, and a read-only open must not
+        # append to the build's lineage log either.
+        stats = spark.read.parquet(f"{out_dir}/doc_stats").cache()
+        cstats = spark.read.parquet(f"{out_dir}/corpus_stats").cache()
+        totals = stats.agg(
+            F.count(F.lit(1)).alias("n_docs"), F.sum("doc_len").alias("total_len")
+        ).collect()[0]
+        n_docs = int(totals["n_docs"] or 0)
+        avg_len = float(totals["total_len"] or 0) / n_docs if n_docs else 0.0
+        n_postings = int(
+            cstats.agg(F.sum("df").alias("s")).collect()[0]["s"] or 0
+        )
+        return InvertedIndex(
+            postings=postings,
+            doc_stats=stats,
+            corpus_stats=cstats,
+            doc_key=tuple(doc_key),
+            n_docs=n_docs,
+            n_postings=n_postings,
+            avg_doc_len=avg_len,
+        )
     stats = doc_stats(postings, doc_key).cache()
     totals = stats.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("doc_len").alias("total_len")

@@ -11,10 +11,11 @@ pipeline applies before tokenization:
         AND doc is its dedup-group representative (min id per
             canonical token-set key)
 
-Everything is native column expressions + two hash aggs (the dedup
-group-min and nothing else); the quality/lang features are narrow maps,
-so Catalyst fuses the whole predicate into the scan-side filter.
-Returns (id, pred_lang, score) for kept docs — deterministic.
+Everything is native column expressions over ONE corpus scan plus ONE
+shuffle (the window-min dedup representative); the quality/lang/key
+formulas are imported from the standalone operators so the composition
+cannot drift from them. Returns (id, pred_lang, score) for kept docs —
+deterministic.
 """
 
 from __future__ import annotations
@@ -22,8 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import tokens_col
-from .text_analysis import lang_id, quality_score
+from .dedup import canonical_key_col, tokens_col
 
 
 def sample_filter(
@@ -105,27 +105,66 @@ def curate(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    q = quality_score(docs, id_col, text_col).select("id", "score")
-    lang = lang_id(docs, id_col, text_col).select("id", "pred_lang")
-    # dedup-group key = double xxhash64 of the canonical token-set string
-    # (128 bits, computed map-side): the shuffle key is 16 bytes/row, not
-    # the full canonical string — same rationale as dedup.exact_dedup.
-    ckey = F.array_join(
-        F.array_sort(F.array_distinct(tokens_col(F.col(text_col)))), " "
+    """ONE corpus scan + ONE shuffle: every per-row feature (quality
+    parts, per-language stopword hits, the 128-bit canonical dedup key)
+    is computed in a chain of narrow projections over staged token
+    arrays — the formulas are IMPORTED from the standalone operators
+    (text_analysis.quality_*/lang_*, dedup.canonical_key_col), so the
+    composed pipeline cannot drift from them. The dedup representative
+    is a window min over the key (exact_dedup's shape), and the
+    quality/lang predicates filter the same frame — no per-feature
+    self-joins (the previous shape scanned the corpus three times and
+    joined the features back on id)."""
+    from pyspark.sql import Window
+
+    from .text_analysis import (
+        LANG_ORDER,
+        lang_hit_cols,
+        lang_pred_expr,
+        quality_part_cols,
+        quality_score_expr,
     )
-    keyed = docs.select(
+
+    # p1: stage the two token arrays ONCE as column attributes (lambda
+    # bodies are not CSE'd — inline splits would re-tokenize per access)
+    toked = docs.select(
         F.col(id_col).alias("id"),
-        F.xxhash64(ckey).alias("k1"),
-        F.xxhash64(ckey, F.lit(1)).alias("k2"),
+        F.split(F.lower(F.col(text_col)), r"\s+").alias("tl"),  # analysis tokens
+        canonical_key_col(F.col(text_col)).alias("ckey"),
     )
-    reps = keyed.groupBy("k1", "k2").agg(F.min("id").alias("rep_id"))
-    kept_ids = (
-        keyed.join(reps, ["k1", "k2"]).filter(F.col("id") == F.col("rep_id")).select("id")
+    # p2: every raw feature computed exactly once
+    hits = lang_hit_cols(F.col("tl"))
+    parts = quality_part_cols(F.col("tl"))
+    feat = toked.select(
+        "id",
+        *[hits[lang].alias(f"h_{lang}") for lang in LANG_ORDER],
+        parts["n_tok"].alias("n_tok"),
+        parts["n_stop"].alias("n_stop"),
+        parts["n_distinct"].alias("n_distinct"),
+        F.xxhash64("ckey").alias("k1"),
+        F.xxhash64("ckey", F.lit(1)).alias("k2"),
     )
+    # p3: blended score + language argmax from the staged features
+    pred, _best = lang_pred_expr()
+    scored = feat.select(
+        "id",
+        "k1",
+        "k2",
+        F.round(
+            quality_score_expr(F.col("n_tok"), F.col("n_stop"), F.col("n_distinct")), 6
+        ).alias("score"),
+        pred.alias("pred_lang"),
+    )
+    # p4: dedup representative = window min per canonical key (ONE
+    # shuffle), then the keep predicates on the same frame
+    w = Window.partitionBy("k1", "k2")
     return (
-        q.join(lang, "id")
-        .join(kept_ids, "id", "left_semi")
-        .filter((F.col("score") >= min_score) & F.col("pred_lang").isin(list(langs)))
+        scored.withColumn("rep_id", F.min("id").over(w))
+        .filter(
+            (F.col("id") == F.col("rep_id"))
+            & (F.col("score") >= min_score)
+            & F.col("pred_lang").isin(list(langs))
+        )
         .select("id", "pred_lang", "score")
     )
 
@@ -161,7 +200,13 @@ def pack_sequences(
 
     toked = docs.select(
         F.col(id_col).alias("id"),
-        F.size(F.filter(tokens_col(F.col(text_col)), lambda t: t != "")).alias("n_tokens"),
+        # coalesce: a null-text turn (valid under the transcript schema)
+        # must pack as zero tokens, not poison the running-sum offsets
+        # with a NULL n_tokens
+        F.coalesce(
+            F.size(F.filter(tokens_col(F.col(text_col)), lambda t: t != "")),
+            F.lit(0),
+        ).alias("n_tokens"),
     )
 
     def finalize(df: DataFrame) -> DataFrame:

@@ -125,6 +125,15 @@ def with_shingle_hashes(
 
 # ------------------------------------------------------------------ exact
 
+def canonical_key_col(text):
+    """The bag-of-words canonical content key (sorted distinct token
+    set, space-joined) — ONE definition shared by `exact_dedup` and
+    `curation.curate` (which keys its keep/drop dedup on the identical
+    canonicalization; a silent divergence between the two would make the
+    composed pipeline's dedup disagree with the standalone operator)."""
+    return F.array_join(F.array_sort(F.array_distinct(tokens_col(text))), " ")
+
+
 def exact_dedup(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     canonical: bool = True,
@@ -154,10 +163,7 @@ def exact_dedup(
     """
     from pyspark.sql import Window
 
-    if canonical:
-        key = F.array_join(F.array_sort(F.array_distinct(tokens_col(F.col(text_col)))), " ")
-    else:
-        key = F.col(text_col)
+    key = canonical_key_col(F.col(text_col)) if canonical else F.col(text_col)
     keyed = docs.select(
         F.col(id_col).alias("id"),
         F.xxhash64(key).alias("k1"),

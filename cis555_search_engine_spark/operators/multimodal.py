@@ -415,10 +415,15 @@ def with_media_payload(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     def _payload(ids: pd.Series) -> pd.Series:
         return ids.map(lambda i: _synth_media(int(i))[0])
 
+    # pmod, NOT %: Spark's % is sign-preserving while _synth_media uses
+    # Python's non-negative % — a negative doc id would otherwise get a
+    # payload whose container contradicts its declared media_type (and
+    # the decoder would raise on the mismatch)
+    m4 = F.pmod(F.col(id_col), F.lit(4))
     mt = (
-        F.when(F.col(id_col) % 4 == 0, F.lit("image/png"))
-        .when(F.col(id_col) % 4 == 1, F.lit("image/jpeg"))
-        .when(F.col(id_col) % 4 == 2, F.lit("audio/wav"))
+        F.when(m4 == 0, F.lit("image/png"))
+        .when(m4 == 1, F.lit("image/jpeg"))
+        .when(m4 == 2, F.lit("audio/wav"))
         .otherwise(F.lit("video/mp4"))
     )
     return docs.select(

@@ -95,7 +95,7 @@ def pagerank(
     pinned: list[DataFrame] = []
     is_ckpt = False
 
-    def finish(result: DataFrame, already_ckpt: bool) -> DataFrame:
+    def finish(result: DataFrame) -> DataFrame:
         # restore the full node set: nodes that never received an
         # in-link are absent from the loop's partial rank frames and
         # hold rank = BASE by definition
@@ -174,4 +174,4 @@ def pagerank(
         ranks = new_ranks
         if converged:
             break
-    return finish(ranks, is_ckpt)
+    return finish(ranks)

@@ -39,21 +39,58 @@ def _toks(text_col):
     return F.split(F.lower(text_col), r"\s+")
 
 
-def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(id, pred_lang, hits) — argmax stopword hits; ties -> LANG_ORDER,
-    zero hits -> 'und' (undetermined)."""
-    toks = _toks(F.col(text_col))
-    # stopword OCCURRENCE counts (not distinct hits)
-    occ_cols = {
+def lang_hit_cols(toks) -> dict[str, "F.Column"]:
+    """Per-language stopword OCCURRENCE counts (not distinct hits) from
+    a staged lowercase token-array attribute. Shared by `lang_id` and
+    the single-scan `curation.curate` — one formula, two consumers."""
+    return {
         lang: F.size(F.filter(toks, lambda t: t.isin(words)))
         for lang, words in LANG_STOPWORDS.items()
     }
-    out = docs.select(F.col(id_col).alias("id"), *[occ_cols[lang].alias(f"h_{lang}") for lang in LANG_ORDER])
+
+
+def lang_pred_expr():
+    """(pred_lang, best_hits) exprs over ALREADY-STAGED h_<lang> columns
+    (staging matters: each count is evaluated once, and pred references
+    the column attributes, not re-inlined size(filter(...)) trees)."""
     best_hits = F.greatest(*[F.col(f"h_{lang}") for lang in LANG_ORDER])
     pred = F.lit("und")
     for lang in reversed(LANG_ORDER):  # earlier langs win ties
         pred = F.when((F.col(f"h_{lang}") == best_hits) & (best_hits > 0), F.lit(lang)).otherwise(pred)
+    return pred, best_hits
+
+
+def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, pred_lang, hits) — argmax stopword hits; ties -> LANG_ORDER,
+    zero hits -> 'und' (undetermined)."""
+    occ_cols = lang_hit_cols(_toks(F.col(text_col)))
+    out = docs.select(F.col(id_col).alias("id"), *[occ_cols[lang].alias(f"h_{lang}") for lang in LANG_ORDER])
+    pred, best_hits = lang_pred_expr()
     return out.select("id", pred.alias("pred_lang"), best_hits.cast("long").alias("hits"))
+
+
+def quality_part_cols(toks) -> dict[str, "F.Column"]:
+    """Raw quality features (n_tok, n_stop, n_distinct) from a staged
+    lowercase token-array attribute — shared by `quality_score` and the
+    single-scan `curation.curate`."""
+    all_stop = sorted({w for ws in LANG_STOPWORDS.values() for w in ws})
+    return {
+        "n_tok": F.size(toks),
+        "n_stop": F.size(F.filter(toks, lambda t: t.isin(all_stop))),
+        "n_distinct": F.size(F.array_distinct(toks)),
+    }
+
+
+def quality_score_expr(n_tok, n_stop, n_distinct):
+    """The blended score (UNrounded) from staged feature attributes:
+    0.4*min(n_tok/50, 1) + 0.3*min(stop_ratio*5, 1) + 0.3*ttr."""
+    stop_ratio = n_stop / n_tok
+    ttr = n_distinct / n_tok
+    return (
+        0.4 * F.least(n_tok / F.lit(50.0), F.lit(1.0))
+        + 0.3 * F.least(stop_ratio * 5.0, F.lit(1.0))
+        + 0.3 * ttr
+    )
 
 
 def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -64,22 +101,15 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
     tokens. Deterministic and SQL-twinnable.
     """
     toks = _toks(F.col(text_col))
-    all_stop = sorted({w for ws in LANG_STOPWORDS.values() for w in ws})
-    n_tok = F.size(toks)
-    n_stop = F.size(F.filter(toks, lambda t: t.isin(all_stop)))
-    ttr = F.size(F.array_distinct(toks)) / n_tok
-    stop_ratio = n_stop / n_tok
-    score = (
-        0.4 * F.least(n_tok / F.lit(50.0), F.lit(1.0))
-        + 0.3 * F.least(stop_ratio * 5.0, F.lit(1.0))
-        + 0.3 * ttr
-    )
+    parts = quality_part_cols(toks)
+    n_tok, n_stop, n_distinct = parts["n_tok"], parts["n_stop"], parts["n_distinct"]
+    score = quality_score_expr(n_tok, n_stop, n_distinct)
     return docs.select(
         F.col(id_col).alias("id"),
         F.length(text_col).cast("long").alias("n_chars"),
         n_tok.cast("long").alias("n_tokens"),
-        F.round(stop_ratio, 6).alias("stop_ratio"),
-        F.round(ttr, 6).alias("ttr"),
+        F.round(n_stop / n_tok, 6).alias("stop_ratio"),
+        F.round(n_distinct / n_tok, 6).alias("ttr"),
         F.round(score, 6).alias("score"),
     )
 

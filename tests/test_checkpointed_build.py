@@ -90,3 +90,44 @@ def test_finalized_index_answers_queries(spark, corpus_sdf, spark_index, out_dir
     got = [(r["conv_id"], r["turn_idx"]) for r in bm25_topk(idx, "rice noodle", k=10).collect()]
     want = [(r["conv_id"], r["turn_idx"]) for r in bm25_topk(spark_index, "rice noodle", k=10).collect()]
     assert got == want
+
+
+def test_resume_with_different_params_fails_fast(spark, corpus_sdf, tmp_path):
+    """Per-group manifests fingerprint the input, not the build params —
+    resuming a group=16 layout with n_groups=8 (or a different stem
+    setting) would silently mix layouts, so it must refuse instead."""
+    import pytest as _pytest
+
+    from cis555_search_engine_spark.operators.checkpointed_build import (
+        checkpointed_postings_build,
+    )
+
+    out = str(tmp_path / "ckpt")
+    checkpointed_postings_build(corpus_sdf, out, n_groups=4)
+    with _pytest.raises(ValueError, match="mix layouts"):
+        checkpointed_postings_build(corpus_sdf, out, n_groups=2)
+    with _pytest.raises(ValueError, match="mix layouts"):
+        checkpointed_postings_build(corpus_sdf, out, n_groups=4, stem=False)
+    # same params: clean resume (all groups skipped)
+    res = checkpointed_postings_build(corpus_sdf, out, n_groups=4)
+    assert all(r.status == "skipped" for r in res)
+
+
+def test_readonly_load_uses_persisted_stats_and_keeps_lineage(spark, corpus_sdf, tmp_path):
+    """SearchEngine.load must read the persisted stats (not re-aggregate
+    the postings) and must NOT grow the build's lineage log."""
+    from cis555_search_engine_spark.engine import SearchEngine
+    from cis555_search_engine_spark.operators.checkpointed_build import read_lineage
+
+    out = str(tmp_path / "idx")
+    eng = SearchEngine.build_checkpointed(spark, corpus_sdf, out, n_groups=2)
+    n_before = len(read_lineage(out, spark))
+    re1 = SearchEngine.load(spark, out)
+    re2 = SearchEngine.load(spark, out)
+    assert len(read_lineage(out, spark)) == n_before  # read-only opens
+    assert re1.index.n_docs == eng.index.n_docs
+    assert re1.index.n_postings == eng.index.n_postings
+    assert abs(re1.index.avg_doc_len - eng.index.avg_doc_len) < 1e-9
+    a = {tuple(r) for r in re1.search("rice noodle", k=5).collect()}
+    b = {tuple(r) for r in re2.search("rice noodle", k=5).collect()}
+    assert a == b
