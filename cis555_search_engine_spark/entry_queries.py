@@ -1469,7 +1469,9 @@ def _sql_lang_id() -> str:
         case += f"WHEN h_{lang} = {best} AND {best} > 0 THEN '{lang}' "
     case += "ELSE 'und' END"
     return f"""
-WITH wt AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+WITH wt AS (SELECT doc_id,
+                   list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+            FROM documents),
 h AS (
   SELECT doc_id AS id,
          {hits}
@@ -1493,16 +1495,24 @@ def _sql_quality() -> str:
 
     all_stop = sorted({w for ws in LANG_STOPWORDS.values() for w in ws})
     return f"""
-WITH wt AS (SELECT doc_id, text, string_split(lower(text), ' ') AS toks FROM documents),
+WITH wt AS (SELECT doc_id, text,
+                   list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+            FROM documents),
 f AS (
   SELECT doc_id AS id, length(text) AS n_chars, len(toks) AS n_tokens,
-         len(list_filter(toks, t -> list_contains({_sql_stoplist(all_stop)}, t)))::DOUBLE / len(toks) AS stop_ratio,
-         len(list_distinct(toks))::DOUBLE / len(toks) AS ttr
+         CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+           len(list_filter(toks, t -> list_contains({_sql_stoplist(all_stop)}, t)))::DOUBLE / len(toks)
+         END AS stop_ratio,
+         CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+           len(list_distinct(toks))::DOUBLE / len(toks)
+         END AS ttr
   FROM wt
 )
 SELECT id, n_chars::BIGINT AS n_chars, n_tokens::BIGINT AS n_tokens,
        round(stop_ratio, 6) AS stop_ratio, round(ttr, 6) AS ttr,
-       round(0.4 * least(n_tokens / 50.0, 1.0) + 0.3 * least(stop_ratio * 5.0, 1.0) + 0.3 * ttr, 6) AS score
+       round(CASE WHEN n_tokens = 0 THEN 0.0 ELSE
+               0.4 * least(n_tokens / 50.0, 1.0) + 0.3 * least(stop_ratio * 5.0, 1.0) + 0.3 * ttr
+             END, 6) AS score
 FROM f
 """
 
@@ -1518,7 +1528,7 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_TOKEN_COUNTS = r"""
 SELECT doc_id AS id,
-       len(string_split(trim(text), ' '))::BIGINT AS ws_tokens,
+       len(list_filter(string_split(trim(text), ' '), t -> t <> ''))::BIGINT AS ws_tokens,
        len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))::BIGINT AS subword_tokens
 FROM documents
 """
@@ -1556,7 +1566,9 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_FINGERPRINT = """
-WITH wt AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)
+WITH wt AS (SELECT doc_id,
+                   list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+            FROM documents)
 SELECT doc_id AS id,
        list_aggr([(7 * ascii(toks[i]) + 13 * length(toks[i]) + 3 * ascii(reverse(toks[i])))::BIGINT
                   * (1 + ((i - 1) % 97)) for i in range(1, len(toks) + 1)],
@@ -1621,7 +1633,7 @@ WITH m AS (
   FROM documents
 ),
 c AS (SELECT id, trim(regexp_replace({decode}, '\\s+', ' ', 'g')) AS clean FROM m)
-SELECT id, clean, len(string_split(clean, ' '))::BIGINT AS n_tokens FROM c
+SELECT id, clean, len(list_filter(string_split(clean, ' '), t -> t <> ''))::BIGINT AS n_tokens FROM c
 """
 
 
@@ -2127,7 +2139,9 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_REPETITION_STATS = """
-WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+WITH t AS (SELECT doc_id,
+                  list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+           FROM documents),
 base AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens,
                 len(list_distinct(toks))::BIGINT AS n_distinct FROM t),
 bg AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS g
@@ -2139,7 +2153,8 @@ tg AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g
 tgc AS (SELECT doc_id, g, count(*)::BIGINT AS c FROM tg GROUP BY doc_id, g),
 tga AS (SELECT doc_id, count(*)::BIGINT AS dis, sum(c) AS tot FROM tgc GROUP BY doc_id)
 SELECT b.doc_id AS id, b.n_tokens,
-       round(1 - b.n_distinct / b.n_tokens::DOUBLE, 6) AS dup_token_frac,
+       round(CASE WHEN b.n_tokens = 0 THEN 0.0
+                  ELSE 1 - b.n_distinct / b.n_tokens::DOUBLE END, 6) AS dup_token_frac,
        round(coalesce(bga.mx / bga.tot::DOUBLE, 0), 6) AS top_bigram_frac,
        round(coalesce(1 - tga.dis / tga.tot::DOUBLE, 0), 6) AS dup_trigram_frac
 FROM base b

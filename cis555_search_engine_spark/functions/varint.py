@@ -62,6 +62,14 @@ def decode_all_varints(buf: bytes, offset: int = 0) -> "np.ndarray":
     arr = np.frombuffer(buf, dtype=np.uint8, offset=offset)
     if arr.size == 0:
         return np.empty(0, dtype=np.int64)
+    if arr[-1] & 0x80:
+        # a stream cut mid-varint (trailing continuation bit) would
+        # otherwise surface as an undiagnosable numpy shape/index error
+        # deep in the vectorized path — name the corruption instead
+        raise ValueError(
+            f"truncated varint stream: last byte at offset {offset + arr.size - 1} "
+            f"has its continuation bit set"
+        )
     is_last = (arr & 0x80) == 0
     ends = np.flatnonzero(is_last)
     starts = np.empty_like(ends)
@@ -140,7 +148,11 @@ def decode_block(blob: bytes, block_base: int, with_positions: bool = True):
     """Inverse of encode_block -> (docids, tfs, doc_lens, positions).
     ``with_positions=False`` skips materializing the per-posting position
     lists (scoring doesn't need them)."""
-    (n_arr, off) = decode_varints(blob, 0, 1)
+    # header = ONE varint (<= 10 bytes): slice before decoding, or the
+    # boundary scan walks (and allocates over) the ENTIRE blob just to
+    # find the first varint's end — and the body decode then repeats the
+    # identical full pass (2x scan+allocation on the query-path hotspot)
+    (n_arr, off) = decode_varints(blob[:10], 0, 1)
     n = int(n_arr[0])
     if n == 0:
         empty = np.empty(0, dtype=np.int64)

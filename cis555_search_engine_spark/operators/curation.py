@@ -127,9 +127,11 @@ def curate(
 
     # p1: stage the two token arrays ONCE as column attributes (lambda
     # bodies are not CSE'd — inline splits would re-tokenize per access)
+    from .text_analysis import _toks
+
     toked = docs.select(
         F.col(id_col).alias("id"),
-        F.split(F.lower(F.col(text_col)), r"\s+").alias("tl"),  # analysis tokens
+        _toks(F.col(text_col)).alias("tl"),  # the analysis tokenizer, shared
         canonical_key_col(F.col(text_col)).alias("ckey"),
     )
     # p2: every raw feature computed exactly once

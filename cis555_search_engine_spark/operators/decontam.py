@@ -91,6 +91,12 @@ def decontaminate_against(
     """:func:`decontaminate` against a precomputed (h: long) eval-hash
     frame — the incremental shape (persisted dictionary, arriving
     training batches)."""
+    # defensive distinct: a duplicated hash (e.g. the union of two
+    # benchmark releases' dictionaries) would join twice per doc shingle
+    # — n_hits double-counts and overlap_frac exceeds 1.0, breaking
+    # fraction-based removal thresholds. The eval side is the small side;
+    # one distinct is cheap relative to the training-side join.
+    eval_hashes = eval_hashes.distinct()
     ev = F.broadcast(eval_hashes) if broadcast_eval else eval_hashes
     sh = with_shingle_hashes(docs, n=n, id_col=id_col, text_col=text_col)
     exploded = sh.select(

@@ -29,7 +29,11 @@ def export_csv(
 
 
 def paginate(rows: list, page: int, per_page: int = 10) -> list:
-    """Driver-side page slice of a collected top-k (1-based pages)."""
+    """Driver-side page slice of a collected top-k (1-based pages;
+    page < 1 is a caller error — Python's negative-slice arithmetic
+    would otherwise serve rows from the END of the list as a 'page')."""
+    if page < 1:
+        raise ValueError(f"page is 1-based, got {page}")
     start = (page - 1) * per_page
     return rows[start : start + per_page]
 
@@ -37,7 +41,15 @@ def paginate(rows: list, page: int, per_page: int = 10) -> list:
 def paginate_df(df: DataFrame, order_cols: list[str], page: int, per_page: int = 10) -> DataFrame:
     """Distributed offset paging via row_number (for large result sets;
     note: a global window — only for results already reduced to one
-    partitionable ordering, not for raw 100 TB scans)."""
+    partitionable ordering, not for raw 100 TB scans).
+
+    ``order_cols`` must be a TOTAL order (include a unique key as the
+    last column): row_number breaks ties by partition read order, which
+    is not stable across jobs — with a non-total order, two pages
+    fetched as two jobs can overlap or skip the tied rows.
+    """
+    if page < 1:
+        raise ValueError(f"page is 1-based, got {page}")
     w = Window.orderBy(*[F.col(c) for c in order_cols])
     start = (page - 1) * per_page
     return (

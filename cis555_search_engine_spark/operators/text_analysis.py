@@ -36,7 +36,16 @@ LANG_ORDER = ["en", "de", "es", "fr"]  # deterministic tie order
 
 
 def _toks(text_col):
-    return F.split(F.lower(text_col), r"\s+")
+    """Lowercased whitespace tokens with EMPTY TOKENS REMOVED: a bare
+    split keeps '' for leading/trailing whitespace (and for empty text),
+    which silently corrupts every count built on it (n_tokens off by
+    one, shifted fingerprint positions, a nonzero quality score for
+    empty text). The DuckDB twins apply the same filter
+    (list_filter(string_split(...), x -> x <> '')) — which also makes
+    single-space SQL splitting agree with \\s+ on interior runs; tabs/
+    newlines inside text remain the one disclosed divergence (absent
+    from the gate corpus)."""
+    return F.filter(F.split(F.lower(text_col), r"\s+"), lambda t: t != "")
 
 
 def lang_hit_cols(toks) -> dict[str, "F.Column"]:
@@ -83,14 +92,21 @@ def quality_part_cols(toks) -> dict[str, "F.Column"]:
 
 def quality_score_expr(n_tok, n_stop, n_distinct):
     """The blended score (UNrounded) from staged feature attributes:
-    0.4*min(n_tok/50, 1) + 0.3*min(stop_ratio*5, 1) + 0.3*ttr."""
-    stop_ratio = n_stop / n_tok
-    ttr = n_distinct / n_tok
-    return (
+    0.4*min(n_tok/50, 1) + 0.3*min(stop_ratio*5, 1) + 0.3*ttr.
+    A token-less doc (empty/whitespace text) scores 0.0 — and must not
+    divide by zero under ANSI mode."""
+    stop_ratio = _zero_safe_ratio(n_stop, n_tok)
+    ttr = _zero_safe_ratio(n_distinct, n_tok)
+    return F.when(n_tok == 0, F.lit(0.0)).otherwise(
         0.4 * F.least(n_tok / F.lit(50.0), F.lit(1.0))
         + 0.3 * F.least(stop_ratio * 5.0, F.lit(1.0))
         + 0.3 * ttr
     )
+
+
+def _zero_safe_ratio(num, denom):
+    """num/denom with 0.0 for an empty doc (ANSI division would raise)."""
+    return F.when(denom == 0, F.lit(0.0)).otherwise(num / denom)
 
 
 def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -108,8 +124,8 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
         F.col(id_col).alias("id"),
         F.length(text_col).cast("long").alias("n_chars"),
         n_tok.cast("long").alias("n_tokens"),
-        F.round(n_stop / n_tok, 6).alias("stop_ratio"),
-        F.round(n_distinct / n_tok, 6).alias("ttr"),
+        F.round(_zero_safe_ratio(n_stop, n_tok), 6).alias("stop_ratio"),
+        F.round(_zero_safe_ratio(n_distinct, n_tok), 6).alias("ttr"),
         F.round(score, 6).alias("score"),
     )
 
@@ -118,7 +134,9 @@ def token_counts(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     """(id, ws_tokens, subword_tokens) — whitespace count and a BPE-ish
     pre-tokenizer proxy: runs of letters, runs of digits, or a single
     non-space punctuation each count as one subword."""
-    ws = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    # split('') returns [''] (size 1) — empty / whitespace-only text
+    # must count 0, matching len(text.strip().split())
+    ws = F.size(F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""))
     sub = F.size(F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0))
     return docs.select(
         F.col(id_col).alias("id"),
@@ -167,6 +185,14 @@ def strip_markup_col(html):
     comments, replace every remaining tag with a space (tag boundaries
     become word boundaries, matching the reference's per-element
     concatenation), decode the common entities, collapse whitespace.
+
+    Disclosed limitation vs a real HTML5 parser: the generic tag regex
+    ``<[^>]*>`` treats ANY '<...>' span as a tag, so an unescaped
+    comparison in body text ('price < 100 and > 50') loses the span
+    between the bare brackets — Jsoup's HTML5 tokenizer would keep it
+    ('<' followed by a non-letter is text). Correct handling needs a
+    stateful tokenizer, out of scope for a native regexp chain; corpora
+    with significant unescaped '<' in prose need a UDF-based parser.
     Every pattern is shared Java-regex/RE2 syntax ((?is) inline flags,
     lazy quantifiers — no backreferences), so the DuckDB twin runs the
     IDENTICAL patterns and the output is hash-checkable cross-engine.
@@ -187,7 +213,9 @@ def html_clean(docs: DataFrame, id_col: str = "doc_id", html_col: str = "html") 
     return docs.select(
         F.col(id_col).alias("id"),
         clean.alias("clean"),
-        F.size(F.split(clean, " ")).cast("long").alias("n_tokens"),
+        # markup with no visible text must report 0 tokens, not the
+        # phantom 1 that split('') -> [''] produces
+        F.size(F.filter(F.split(clean, " "), lambda t: t != "")).cast("long").alias("n_tokens"),
     )
 
 
@@ -237,7 +265,12 @@ def repetition_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
         .select(
             "id",
             "n_tokens",
-            F.round(1 - F.col("n_distinct") / F.col("n_tokens"), 6).alias("dup_token_frac"),
+            F.round(
+                F.when(F.col("n_tokens") == 0, F.lit(0.0)).otherwise(
+                    1 - F.col("n_distinct") / F.col("n_tokens")
+                ),
+                6,
+            ).alias("dup_token_frac"),
             F.round(
                 F.coalesce(F.col("bg_max") / F.col("bg_tot"), F.lit(0.0)), 6
             ).alias("top_bigram_frac"),
@@ -276,7 +309,13 @@ def hashed_tfidf_features(
         F.col(id_col).alias("id"), F.explode(_toks(F.col(text_col))).alias("tok")
     ).filter(F.col("tok") != "")
     tf = toks.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("tf"))
-    n_docs = docs.select(id_col).distinct().count()
+    # the corpus size joins in as a LAZY one-row broadcast frame: an
+    # eager .count() here forced a full scan of the upstream lineage at
+    # call time (and a second complete pass when docs is an expensive
+    # pipeline) — this way the whole featurization stays one deferred plan
+    n_docs = docs.agg(
+        F.count_distinct(F.col(id_col)).cast("double").alias("_n_docs")
+    )
     df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     bucket = F.pmod(
         F.conv(F.substring(F.md5(F.col("tok").cast("binary")), 1, 8), 16, 10).cast("long"),
@@ -284,7 +323,8 @@ def hashed_tfidf_features(
     )
     return (
         tf.join(df, "tok")
-        .withColumn("idf", F.log(F.lit(float(n_docs)) / F.col("df")))
+        .join(F.broadcast(n_docs))
+        .withColumn("idf", F.log(F.col("_n_docs") / F.col("df")))
         .select("id", bucket.alias("bucket"), (F.col("tf") * F.col("idf")).alias("w"))
         .groupBy("id", "bucket")
         .agg(F.round(F.sum("w"), 6).alias("w"))

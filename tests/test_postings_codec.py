@@ -1013,3 +1013,16 @@ def test_phrase_match_blocks_empty_phrase_schema(spark, spark_index):
     out = phrase_match_blocks(bidx, "1234!@#")
     assert out.columns == ["conv_id", "turn_idx", "n_occurrences"]
     assert out.count() == 0
+
+
+def test_varint_truncated_stream_raises_named_error():
+    """A blob cut mid-varint must fail with a diagnosable ValueError,
+    not a numpy shape/index error from deep in the vectorized path."""
+    import pytest as _pytest
+
+    from cis555_search_engine_spark.functions.varint import decode_all_varints
+
+    with _pytest.raises(ValueError, match="truncated varint stream"):
+        decode_all_varints(b"\x05\x83")
+    with _pytest.raises(ValueError, match="truncated varint stream"):
+        decode_all_varints(b"\xff\xff\xff")

@@ -370,4 +370,28 @@ def test_strip_markup_semantics(spark):
     got = {r["id"]: (r["clean"], r["n_tokens"]) for r in html_clean(df).collect()}
     assert got[1] == ("A&B one two tail&lt;raw&gt;", 4)
     assert got[2] == ("no markup at all", 4)
-    assert got[3] == ("", 1)  # split('') -> [''] in both engines
+    assert got[3] == ("", 0)  # no visible text -> zero tokens
+
+
+def test_edge_whitespace_and_empty_text(spark):
+    """Leading/trailing whitespace and empty text must not fabricate
+    phantom '' tokens: token counts are len(text.split()), empty text
+    scores 0 quality terms, and fingerprint is position-stable under
+    leading spaces."""
+    from cis555_search_engine_spark.operators.text_analysis import (
+        fingerprint,
+        quality_score,
+        token_counts,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "the cat "), (2, " the cat"), (3, "the cat"), (4, ""), (5, "   ")],
+        ["doc_id", "text"],
+    )
+    tc = {r["id"]: r["ws_tokens"] for r in token_counts(df).collect()}
+    assert tc == {1: 2, 2: 2, 3: 2, 4: 0, 5: 0}
+    q = {r["id"]: r for r in quality_score(df).collect()}
+    assert q[1]["n_tokens"] == 2 and q[2]["n_tokens"] == 2 == q[3]["n_tokens"]
+    assert q[1]["stop_ratio"] == q[3]["stop_ratio"] == 0.5
+    fp = {r["id"]: r["fp"] for r in fingerprint(df).collect()}
+    assert fp[1] == fp[2] == fp[3]  # boundary whitespace never shifts positions
