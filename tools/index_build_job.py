@@ -86,8 +86,7 @@ def main() -> None:
     stats = doc_stats(postings)
     stats.write.mode("overwrite").parquet(f"{args.out}/doc_stats")
     t0 = mark("doc_stats_write", t0)
-    totals = stats.agg({"doc_len": "sum", "*": "count"}).collect()[0]
-    n_docs = int(totals["count(1)"])
+    n_docs = stats.count()
     n_postings = postings.count()
     t0 = mark("totals", t0)
     cstats = corpus_stats(postings, n_docs, n_postings)

@@ -84,11 +84,17 @@ def main() -> None:
         corpus = spark.read.parquet(args.bootstrap)
         bidx = build_blocks(build_index(corpus, cache="checkpoint"), block_span=args.block_span)
         write_blocks(bidx, args.index, n_buckets=args.n_buckets)
-    n_before = _read_meta(spark, args.index)["n_docs"]
+    meta0 = _read_meta(spark, args.index)
+    n_before = meta0["n_docs"]
+    epochs_before = set(meta0.get("applied_epochs", []))
 
     stream = read_transcript_stream(spark, args.arrivals, args.max_files_per_trigger)
     q = streaming_index_maintenance(
-        stream, args.index, args.checkpoint, available_now=not args.continuous
+        stream, args.index, args.checkpoint, available_now=not args.continuous,
+        # --no-vacuum means NO vacuum, including the sink's periodic one:
+        # the flag exists for the in-flight-old-manifest-reader grace
+        # window, which the internal 16-epoch sweep would violate
+        vacuum_every=None if args.no_vacuum else 16,
     )
     if args.continuous:
         q.awaitTermination()
@@ -113,7 +119,9 @@ def main() -> None:
     print(json.dumps({
         "n_docs_before": n_before,
         "n_docs_after": meta["n_docs"],
-        "epochs_applied": len(meta.get("applied_epochs", [])),
+        # epochs applied by THIS tick (the raw marker list is cumulative
+        # and capped, so its length is not a per-tick metric)
+        "epochs_applied": len(set(meta.get("applied_epochs", [])) - epochs_before),
         "stale_bounds": bidx.stale_bounds,
         "wall_s": round(time.perf_counter() - t0, 3),
     }))

@@ -18,11 +18,16 @@ package, with per-stage wall-time and row counts logged as ONE JSON line
                     (skipped unless --rates given)
   4. pack           sequence packing into fixed token-budget chunks
 
-Output layout under --out:
-  kept/        (doc_id, lang, text) surviving docs
-  flagged/     decontamination hits (id, n_hits, n_shingles, overlap_frac)
-  packed/      (id, n_tokens, start_offset, chunk_id)
-  metrics.json the same JSON line, persisted
+Output layout under --out (each stage writes its own directory; the
+LAST one in the funnel holds the surviving docs):
+  kept/                 docs surviving stage 1 (curate) ONLY
+  flagged/              decontamination hits (id, n_hits, n_shingles, overlap_frac)
+  kept_decontaminated/  kept/ minus flagged ids (when an eval set was given)
+  sampled/              the stratified sample (when --rates was given)
+  packed/               (id, n_tokens, start_offset, chunk_id) over the survivors
+  metrics.json          the same JSON line, persisted
+Consumers wanting "the training set" read the LAST materialized stage
+(sampled/, else kept_decontaminated/, else kept/) or just packed/.
 
 Each stage writes parquet with mode=overwrite, so re-running the job is
 idempotent. Stage inputs re-read the previous stage's parquet rather
@@ -62,6 +67,10 @@ def main() -> None:
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
+    # only stop the session on exit if WE created it — when main() runs
+    # in-process (tests, a bench harness) getOrCreate() returns the
+    # caller's session and stopping it would kill the caller
+    owns_session = SparkSession.getActiveSession() is None
     builder = (
         SparkSession.builder.appName("pipeline_job")
         .config("spark.sql.adaptive.enabled", "true")
@@ -96,7 +105,8 @@ def main() -> None:
     # 1. curate -> keep-set ids, then materialize the surviving docs
     t0 = time.perf_counter()
     kept_ids = curate(
-        docs, min_score=args.min_score, langs=tuple(args.langs.split(","))
+        docs, min_score=args.min_score,
+        langs=tuple(x.strip() for x in args.langs.split(","))
     ).select("id")
     kept = docs.join(kept_ids.withColumnRenamed("id", "doc_id"), "doc_id", "left_semi")
     kept_path = os.path.join(args.out, "kept")
@@ -132,7 +142,8 @@ def main() -> None:
     # 3. stratified sample
     if args.rates:
         rates = {
-            k: float(v) for k, v in (kv.split("=") for kv in args.rates.split(","))
+            k.strip(): float(v)
+            for k, v in (kv.split("=") for kv in args.rates.split(","))
         }
         t0 = time.perf_counter()
         kept = sample_stratified(kept, rates, stratum_col="lang")
@@ -164,6 +175,8 @@ def main() -> None:
         json.dump(line, f)
     print(json.dumps(line))
     sys.stdout.flush()
+    if owns_session:
+        spark.stop()
 
 
 if __name__ == "__main__":

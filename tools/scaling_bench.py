@@ -3,7 +3,7 @@
 spark-submit --py-files at local[N] and local[4N] on the same corpus.
 
     python tools/scaling_bench.py [--small-cores 4] [--big-cores 16]
-                                  [--n-convs 12000] [--runs 2]
+                                  [--n-convs 12000] [--runs 3]
 
 Stages a deterministic synthetic transcript corpus once, zips the
 package, launches `tools/index_build_job.py` under spark-submit at both
@@ -168,8 +168,8 @@ executors. Template: the reference's own 4-vs-6-core pagerank experiment
 
 | master | shuffle partitions | build s | turns/sec | total wall s (incl. JVM) |
 |---|---|---|---|---|
-| local[{args.small_cores}] | {args.small_cores*8} | {small['build_s']} | {small['docs_per_sec']} | {small['total_wall_s']} |
-| local[{args.big_cores}] | {args.big_cores*8} | {big['build_s']} | {big['docs_per_sec']} | {big['total_wall_s']} |
+| local[{args.small_cores}] | {max(args.small_cores*8, 64)} | {small['build_s']} | {small['docs_per_sec']} | {small['total_wall_s']} |
+| local[{args.big_cores}] | {max(args.big_cores*8, 64)} | {big['build_s']} | {big['docs_per_sec']} | {big['total_wall_s']} |
 
 - speedup {args.small_cores}→{args.big_cores} cores: **{speedup:.3f}×** on {ratio:.0f}× cores
 - **scaling efficiency η = {eta:.3f}** (target ≥ 0.8)

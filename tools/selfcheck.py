@@ -73,6 +73,11 @@ def main() -> int:
     qs = entry.queries()
     oracles = entry.oracle_sql()
     names = args.queries or list(qs)
+    unknown = [n for n in names if n not in qs]
+    if unknown:
+        raise SystemExit(
+            f"unknown queries {unknown}; available: {', '.join(sorted(qs))}"
+        )
     failures = 0
     for name in names:
         t0 = time.time()
