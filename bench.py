@@ -120,7 +120,24 @@ def _prev_round_queries() -> dict[str, float]:
     try:
         with open(best[1]) as f:
             doc = json.load(f)
-        return dict(doc.get("parsed", doc).get("queries", {}))
+        parsed = doc.get("parsed", doc)
+        if parsed:
+            return dict(parsed.get("queries", {}))
+        # round-4 defect: the printed line outgrew the driver's stdout
+        # tail window, so `parsed` is null and only a truncated "tail"
+        # fragment survives. Recover what we can: the fragment carries
+        # `"name": [r1, r2, r3]` per-run arrays — median them.
+        medians: dict[str, float] = {}
+        for m in re.finditer(
+            r'"([a-z0-9_]+)":\s*\[([0-9.eE+, -]+)\]', doc.get("tail", "") or ""
+        ):
+            try:
+                runs = sorted(float(x) for x in m.group(2).split(","))
+            except ValueError:
+                continue
+            if runs:
+                medians[m.group(1)] = runs[len(runs) // 2]
+        return medians
     except Exception:
         return {}
 
@@ -396,7 +413,22 @@ def main() -> None:
         "docs_per_sec": round(idx.n_docs / build_s, 1) if build_s else None,
         "bm25_match_rate": match_rate,
     }
-    print(json.dumps(out))
+    # FULL result (per-run arrays, prev-round carry, regressions) goes to
+    # a file; the PRINTED line stays compact — round 4's full line outgrew
+    # the driver's stdout tail window and the official BENCH_r4 artifact
+    # recorded `"parsed": null` (round-4 verdict item 2).
+    full_path = os.path.join(REPO, "BENCH.json")
+    with open(full_path, "w") as f:
+        json.dump(out, f, indent=1)
+    compact = {
+        k: v for k, v in out.items()
+        if k not in ("queries_prev", "queries_runs", "regressions")
+    }
+    compact["wand_pruning"] = wand.get("skip_ratio")
+    compact["drain"] = drain_info.get("docs_per_sec_2ep")
+    compact["regressions"] = len(regressions)
+    compact["full"] = "BENCH.json"
+    print(json.dumps(compact, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -185,6 +185,19 @@ def checkpointed_postings_build(
     return results
 
 
+def _postings_coverage(spark: SparkSession, out_dir: str) -> list[str]:
+    """Sorted partition-directory names under postings_long (group=N /
+    epoch=N), ignoring markers — a cheap listing-level fingerprint of
+    what the persisted statistics were computed OVER."""
+    from .. import fsio
+
+    return sorted(
+        name
+        for name in fsio.list_children(spark, f"{out_dir}/postings_long")
+        if not name.startswith(("_", "."))
+    )
+
+
 def finalize_index(
     spark: SparkSession,
     out_dir: str,
@@ -200,13 +213,36 @@ def finalize_index(
     from .. import fsio
 
     t0 = time.perf_counter()
+    # drop the session's cached file listing for this path: Spark's
+    # shared FileStatusCache remembers the partition-dir listing from a
+    # previous read, so a reopen AFTER new epoch dirs landed would
+    # silently scan only the old partitions (stale read, same session)
+    spark.catalog.refreshByPath(f"{out_dir}/postings_long")
     # accepts both the batch checkpoint layout (group=N) and the
     # streaming ingest layout (epoch=N) — drop() ignores absent columns
     postings = spark.read.parquet(f"{out_dir}/postings_long").drop(
         "group", "epoch"
     )
+    # Persisted stats are only valid for the postings layout they were
+    # computed over: a dir finalized once and then EXTENDED (incremental
+    # epochs appended) must not serve the old n_docs/df/avg_doc_len —
+    # wrong BM25 idf for every doc and no stats for the appended ones
+    # (ADVICE r4, medium). The coverage manifest written next to the
+    # stats records the partition-dir listing at stats time; any
+    # mismatch (or a legacy dir without the manifest) falls back to
+    # recomputation, the pre-persistence behavior.
+    stats_fresh = False
+    if not write_stats and fsio.exists(spark, f"{out_dir}/_stats_coverage.json"):
+        try:
+            covered = json.loads(
+                fsio.read_text(spark, f"{out_dir}/_stats_coverage.json")
+            ).get("partitions")
+        except ValueError:
+            covered = None
+        stats_fresh = covered == _postings_coverage(spark, out_dir)
     if (
         not write_stats
+        and stats_fresh
         and fsio.exists(spark, f"{out_dir}/doc_stats")
         and fsio.exists(spark, f"{out_dir}/corpus_stats")
     ):
@@ -245,6 +281,10 @@ def finalize_index(
     if write_stats:
         stats.write.mode("overwrite").parquet(f"{out_dir}/doc_stats")
         cstats.write.mode("overwrite").parquet(f"{out_dir}/corpus_stats")
+        fsio.write_text_atomic(
+            spark, f"{out_dir}/_stats_coverage.json",
+            json.dumps({"partitions": _postings_coverage(spark, out_dir)}),
+        )
     _lineage_append(
         spark, out_dir,
         {"stage": "finalize", "group": None, "status": "built",

@@ -122,7 +122,10 @@ def build_postings_long(
     if stem:
         dic = stem_dictionary(toks)
         toks = (
-            toks.join(F.broadcast(dic), toks.raw_term == dic.raw, "left")
+            # dictionary is vocab-sized (reference: 2.2M rows; ~10^8 at
+            # 100 TB by Heaps' law) — no forced broadcast: AQE broadcasts
+            # a small dictionary at test scale and shuffles a huge one
+            toks.join(dic, toks.raw_term == dic.raw, "left")
             .select(*doc_key, "pos", F.coalesce("target", "raw_term").alias("term"))
         )
     else:

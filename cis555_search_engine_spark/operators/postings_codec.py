@@ -342,7 +342,15 @@ def build_blocks(
         .join(
             index.doc_stats.select(*doc_key, "doc_len"), doc_key
         )
-        .join(F.broadcast(index.corpus_stats.select("term", "idf_bm25")), "term")
+        # NO forced broadcast: corpus_stats is vocab-sized (Heaps' law at
+        # 100 TB with a permissive tokenizer -> ~10^8 terms, multi-GB) —
+        # an unconditional hint would ship it to every task of the
+        # biggest build job. Plain equi-join on term: AQE broadcasts it
+        # when genuinely small, shuffles otherwise (same discipline as
+        # query_ops.py "10^8-term vocabulary" note; serving-path idf
+        # broadcasts stay hinted because they are filtered to the
+        # handful of query terms first).
+        .join(index.corpus_stats.select("term", "idf_bm25"), "term")
         .select(
             "term",
             F.floor(F.col("docid") / block_span).alias("block_id"),
@@ -1032,6 +1040,7 @@ def write_blocks(
     _write_stats(bidx.corpus_stats, f"{path}/{stats_dir}")
 
     tombstone_dirs: list[str] = []
+    n_deleted = 0
     if bidx.tombstones is not None:
         # re-persisting a LOADED index with pending deletes: the
         # tombstones must travel or every delete-marked doc would
@@ -1043,6 +1052,10 @@ def write_blocks(
             f"{path}/{tomb_dir}"
         )
         tombstone_dirs = [tomb_dir]
+        # keep the manifest's delete counter consistent with its own
+        # tombstone payload (ADVICE r4: n_deleted=0 beside a non-empty
+        # tombstone_dirs would mislead e.g. a compaction trigger)
+        n_deleted = int(bidx.tombstones.select("docid").distinct().count())
 
     meta = {
         "layout": 2,
@@ -1069,6 +1082,7 @@ def write_blocks(
         # lifecycle (new checkpoint); pointing an OLD checkpoint at the
         # new store is unsupported either way.
         "tombstone_dirs": tombstone_dirs,
+        "n_deleted": n_deleted,
     }
     meta.update(extra_meta or {})
     _commit_meta(spark, path, meta)
@@ -1149,7 +1163,10 @@ def append_blocks(
             live = live.join(dead.select("docid"), "docid", "left_anti")
         collisions = (
             live.join(
-                F.broadcast(new_index.doc_stats.select(*key).distinct()), key, "left_semi"
+                # incoming key set is unbounded (a bulk append can be
+                # store-sized) — no forced broadcast; AQE picks one when
+                # the segment is genuinely small (ADVICE r4)
+                new_index.doc_stats.select(*key).distinct(), key, "left_semi"
             )
             .limit(1)
             .collect()
@@ -1417,7 +1434,8 @@ def compact_blocks(spark, path: str, vacuum: bool = True) -> None:
     stats = stats_from_df(dff, n_docs, n_postings)
 
     enriched = (
-        remapped.join(F.broadcast(stats.select("term", "idf_bm25")), "term")
+        # vocab-sized frame: no forced broadcast (see build_blocks note)
+        remapped.join(stats.select("term", "idf_bm25"), "term")
         .select(
             "term",
             F.floor(F.col("docid") / span).alias("block_id"),

@@ -176,6 +176,7 @@ def streaming_index_maintenance(
     stem: bool = True,
     available_now: bool = True,
     vacuum_every: int | None = 16,
+    counters: dict | None = None,
 ):
     """Continuously maintain a PERSISTED block index from a transcript
     stream: each micro-batch is indexed with the batch operators and
@@ -245,6 +246,12 @@ def streaming_index_maintenance(
         # key-disjoint arrivals can call append_blocks directly with
         # check_new_keys=False.
         append_blocks(spark, index_path, idx, applied_marker=marker)
+        if counters is not None:
+            # per-tick applied-epoch count from the sink itself (ADVICE
+            # r4: diffing the manifest's applied_epochs marker list
+            # under-reports once the list hits its retention cap);
+            # foreachBatch sinks run ON the driver, so a plain dict works
+            counters["epochs_applied"] = counters.get("epochs_applied", 0) + 1
         if vacuum_every and int(epoch_id) % vacuum_every == vacuum_every - 1:
             vacuum_blocks(spark, index_path)
 

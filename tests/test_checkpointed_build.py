@@ -113,6 +113,36 @@ def test_resume_with_different_params_fails_fast(spark, corpus_sdf, tmp_path):
     assert all(r.status == "skipped" for r in res)
 
 
+def test_readonly_load_recomputes_when_postings_extended(spark, corpus_sdf, tmp_path):
+    """A dir finalized once (stats persisted) and then EXTENDED by
+    incremental epochs must not serve the stale persisted statistics on
+    a read-only reopen: n_docs/df/avg_doc_len must cover the appended
+    postings too (ADVICE r4, medium — stats coverage manifest)."""
+    from pyspark.sql import functions as F
+
+    from cis555_search_engine_spark.engine import SearchEngine
+    from cis555_search_engine_spark.operators.checkpointed_build import finalize_index
+    from cis555_search_engine_spark.operators.index_build import build_postings_long
+
+    out = str(tmp_path / "idx")
+    half = corpus_sdf.filter(F.xxhash64("conv_id") % 2 == 0)
+    rest = corpus_sdf.join(half.select("conv_id").distinct(), "conv_id", "left_anti")
+    # streaming-ingest layout: epoch=N partition dirs
+    build_postings_long(half).write.mode("overwrite").parquet(
+        f"{out}/postings_long/epoch=0"
+    )
+    n_half = finalize_index(spark, out, write_stats=True).n_docs  # persists stats
+    # an incremental epoch lands AFTER the finalize persisted the stats
+    build_postings_long(rest).write.mode("overwrite").parquet(
+        f"{out}/postings_long/epoch=1"
+    )
+    re1 = SearchEngine.load(spark, out)  # write_stats=False reopen
+    full = finalize_index(spark, out, write_stats=False)
+    assert re1.index.n_docs == full.n_docs > n_half
+    assert re1.index.n_postings == full.n_postings
+    assert abs(re1.index.avg_doc_len - full.avg_doc_len) < 1e-9
+
+
 def test_readonly_load_uses_persisted_stats_and_keeps_lineage(spark, corpus_sdf, tmp_path):
     """SearchEngine.load must read the persisted stats (not re-aggregate
     the postings) and must NOT grow the build's lineage log."""

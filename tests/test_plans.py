@@ -96,6 +96,30 @@ def test_block_query_broadcasts_survivor_filter(spark_index):
     assert "BatchEvalPython" not in plan
 
 
+def test_block_build_no_forced_vocab_broadcast(spark, corpus_sdf):
+    """The block-store BUILD path must not force-broadcast vocab-sized
+    frames (corpus_stats idf join, stem dictionary): with auto-broadcast
+    disabled, the build plan contains no BroadcastExchange at all — so
+    every broadcast that does appear at runtime is AQE's size-based
+    choice, never a hint on an unbounded frame (round-4 verdict item 1;
+    the serving-path idf broadcasts stay hinted because they are
+    filtered to query terms first)."""
+    from cis555_search_engine_spark.operators.index_build import build_index
+    from cis555_search_engine_spark.operators.postings_codec import build_blocks
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # fresh (uncached) index so the stem-dictionary join is IN the
+        # plan lineage, not hidden behind an InMemoryTableScan
+        idx = build_index(corpus_sdf, cache=False)
+        bidx = build_blocks(idx, block_span=64)
+        plan = explain_str(bidx.blocks)
+        assert "BroadcastExchange" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_tpch_q3_builds_broadcast_join(spark):
     import cis555_search_engine_spark.entry_queries as EQ
 

@@ -86,7 +86,7 @@ def main() -> None:
         write_blocks(bidx, args.index, n_buckets=args.n_buckets)
     meta0 = _read_meta(spark, args.index)
     n_before = meta0["n_docs"]
-    epochs_before = set(meta0.get("applied_epochs", []))
+    tick_counters: dict = {}
 
     stream = read_transcript_stream(spark, args.arrivals, args.max_files_per_trigger)
     q = streaming_index_maintenance(
@@ -95,6 +95,7 @@ def main() -> None:
         # the flag exists for the in-flight-old-manifest-reader grace
         # window, which the internal 16-epoch sweep would violate
         vacuum_every=None if args.no_vacuum else 16,
+        counters=tick_counters,
     )
     if args.continuous:
         q.awaitTermination()
@@ -119,9 +120,11 @@ def main() -> None:
     print(json.dumps({
         "n_docs_before": n_before,
         "n_docs_after": meta["n_docs"],
-        # epochs applied by THIS tick (the raw marker list is cumulative
-        # and capped, so its length is not a per-tick metric)
-        "epochs_applied": len(set(meta.get("applied_epochs", [])) - epochs_before),
+        # epochs applied by THIS tick, counted by the sink itself — a
+        # before/after diff of the manifest's applied_epochs list
+        # under-reports when a tick drains more than the marker
+        # retention cap (ADVICE r4)
+        "epochs_applied": int(tick_counters.get("epochs_applied", 0)),
         "stale_bounds": bidx.stale_bounds,
         "wall_s": round(time.perf_counter() - t0, 3),
     }))

@@ -171,8 +171,12 @@ def main() -> None:
         "counts": counts,
         "total_s": total,
     }
-    with open(os.path.join(args.out, "metrics.json"), "w") as f:
-        json.dump(line, f)
+    # filesystem-agnostic persist: every data stage writes --out through
+    # Spark writers, so a local open() here would crash (or mis-place
+    # the file) for s3a://... / hdfs://... outputs (ADVICE r4)
+    from cis555_search_engine_spark import fsio
+
+    fsio.write_text_atomic(spark, f"{args.out}/metrics.json", json.dumps(line))
     print(json.dumps(line))
     sys.stdout.flush()
     if owns_session:
