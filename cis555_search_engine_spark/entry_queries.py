@@ -2225,6 +2225,53 @@ FROM s GROUP BY doc_id, span
 SQL_DUP_PASSAGES = _sql_repeated_passages(5)
 
 
+def q_dedup_passage_removed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-dedup REMOVAL (Lee et al. 2022 completion of
+    dup_passages): cut every repeated-passage span from the text and
+    report the rewritten doc with before/after token accounting."""
+    from .operators.dedup import remove_spans, repeated_passages
+
+    docs = load(spark, sf_dir, "documents")
+    return remove_spans(docs, repeated_passages(docs, w=5), "doc_id", "text")
+
+
+def _sql_remove_spans(w: int) -> str:
+    gram = " || ' ' || ".join(f"toks[i+{k}]" for k in range(w))
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+sh AS (SELECT doc_id, i - 1 AS pos, {gram} AS g
+       FROM t, unnest(generate_series(1, len(toks) - {w - 1})) s(i)),
+dup AS (SELECT g FROM sh GROUP BY g HAVING count(*) >= 2),
+hits AS (SELECT doc_id, pos FROM sh JOIN dup USING (g)),
+m AS (SELECT doc_id, pos,
+             CASE WHEN pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + {w}
+                  THEN 1 ELSE 0 END AS brk
+      FROM hits),
+s AS (SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS span
+      FROM m),
+spans AS (SELECT doc_id, min(pos) AS span_start, max(pos) + {w} AS span_end
+          FROM s GROUP BY doc_id, span),
+tok AS (SELECT doc_id, u.i - 1 AS pos, toks[u.i] AS tok
+        FROM t, unnest(generate_series(1, len(toks))) u(i)),
+kept AS (SELECT tok.doc_id, tok.pos, tok.tok
+         FROM tok LEFT JOIN spans sp
+           ON tok.doc_id = sp.doc_id
+          AND tok.pos >= sp.span_start AND tok.pos < sp.span_end
+         WHERE sp.doc_id IS NULL),
+agg AS (SELECT doc_id, count(*) AS n_kept,
+               string_agg(tok, ' ' ORDER BY pos) AS text
+        FROM kept GROUP BY doc_id)
+SELECT t.doc_id AS id, len(t.toks)::BIGINT AS n_tokens,
+       (len(t.toks) - coalesce(a.n_kept, 0))::BIGINT AS n_removed,
+       coalesce(a.text, '') AS text
+FROM t LEFT JOIN agg a ON t.doc_id = a.doc_id
+"""
+
+
+SQL_DEDUP_PASSAGE_REMOVED = _sql_remove_spans(5)
+
+
 def q_facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Search-result facetting: per-source n_docs + max/min BM25 score
     over the FULL match set of the standard query (no top-k cut)."""
@@ -2259,51 +2306,43 @@ GROUP BY d.source
 # ---------------------------------------------------------- registry
 
 # Registry ORDER is a driver contract (round-3 verdict item 1): the
-# correctness driver gates the FIRST 50 entries, so positions 1-50 hold
-# exactly one representative per operator FAMILY; near-twin variants
-# (a second serving path or a disclosed baseline whose family is already
-# represented) sit after position 50 and stay covered by
-# tools/selfcheck.py + pytest. Twin -> early representative:
-#   phrase_match/proximity_topk/term_completion -> *_blocks variants
-#   bm25_and_topk/bm25_and_blocks -> bool_blocks (AND semantics + block
-#   serving);  bm25_batch_blocks -> bm25_batch;  bm25_compacted/
-#   bm25_not_blocks -> bm25_compact_deleted / bool_blocks;
-#   ann_ivf/ann_kmeans -> ann_ivf_served (same centroids+oracle);
-#   cosine_pairs -> cosine_lsh_pairs;  window_rank/events_window ->
-#   sessionize;  tpch_q3/tpch_rollup -> tpch_q1 (+ the engine's own
-#   join/topk families J1-J8);  wordcount -> corpus_stats (same
-#   term-keyed partial+final hash-agg shape, A3 vs A4).
+# correctness driver gates the FIRST 50 entries. Round-5 ROTATION
+# (round-4 verdict item 5): the 16 near-twin variants parked past
+# position 50 in round 4 (green there via tools/selfcheck.py + pytest)
+# now occupy driver slots, together with the round-5 additions; 17
+# round-4 driver-green representatives rotate past position 50 in
+# exchange (each keeps its green CORRECTNESS_r04 row, its selfcheck
+# coverage, and its pytest oracles) — the union of CORRECTNESS_r04 +
+# CORRECTNESS_r05 covers every registered query.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- core index + ranking (families: postings, stats, rankers) ---
     "postings": q_postings,
     "doc_stats": q_doc_stats,
     "corpus_stats": q_corpus_stats,
+    "wordcount": q_wordcount,
     "bm25_topk": q_bm25_topk,
+    "bm25_and_topk": q_bm25_and_topk,
     "bm25_blocks": q_bm25_blocks,
-    "bm25_batch": q_bm25_batch,
-    "phrase_blocks": q_phrase_blocks,
-    "bm25_append_blocks": q_bm25_append_blocks,
-    "bool_blocks": q_bool_blocks,
-    "bm25_deleted_blocks": q_bm25_deleted_blocks,
+    "bm25_and_blocks": q_bm25_and_blocks,
+    "bm25_batch_blocks": q_bm25_batch_blocks,
+    "bm25_not_blocks": q_bm25_not_blocks,
+    "bm25_compacted": q_bm25_compacted,
     "bm25_compact_deleted": q_bm25_compact_deleted,
-    "merge_stats": q_merge_stats,
     "tfidf_topk": q_tfidf_topk,
     "cosine_topk": q_cosine_topk,
     "term_semi_join": q_term_semi_join,
     "topk_join_meta": q_topk_join_meta,
-    "topk_snippets": q_topk_snippets,
     "prior_blend": q_prior_blend,
-    # --- serving operators (round-3's ten driver-uncovered families) ---
-    "proximity_blocks": q_proximity_blocks,
-    "term_completion_blocks": q_term_completion_blocks,
-    "spell_suggest": q_spell_suggest,
-    "expand_query": q_expand_query,
-    "more_like_this": q_more_like_this,
+    # --- serving operators ---
+    "phrase_match": q_phrase_match,
+    "proximity_topk": q_proximity_topk,
+    "term_completion": q_term_completion,
     "group_topk": q_group_topk,
-    "facet_counts": q_facet_counts,
     # --- relational / window ---
-    "tpch_q1": q_tpch_q1,
-    "sessionize": q_sessionize,
+    "tpch_q3": q_tpch_q3,
+    "tpch_rollup": q_tpch_rollup,
+    "events_window": q_events_window,
+    "window_rank": q_window_rank,
     # --- dedup ---
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -2312,10 +2351,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_components": q_dedup_components,
     "decontaminate": q_decontaminate,
     "dup_passages": q_dup_passages,
+    "dedup_passage_removed": q_dedup_passage_removed,
     # --- similarity / ANN ---
     "ann_topk": q_ann_topk,
-    "ann_ivf_served": q_ann_ivf_served,
-    "cosine_lsh_pairs": q_cosine_lsh_pairs,
+    "ann_ivf": q_ann_ivf,
+    "ann_kmeans": q_ann_kmeans,
+    "cosine_pairs": q_cosine_pairs,
     # --- text analysis / curation / multimodal / graph ---
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
@@ -2330,23 +2371,25 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curate": q_curate,
     "pack_sequences": q_pack_sequences,
     "pagerank": q_pagerank,
-    # ---------------- position 51+: near-twin variants ----------------
-    "wordcount": q_wordcount,
-    "bm25_and_topk": q_bm25_and_topk,
-    "tpch_q3": q_tpch_q3,
-    "events_window": q_events_window,
-    "ann_ivf": q_ann_ivf,
-    "phrase_match": q_phrase_match,
-    "proximity_topk": q_proximity_topk,
-    "term_completion": q_term_completion,
-    "window_rank": q_window_rank,
-    "tpch_rollup": q_tpch_rollup,
-    "cosine_pairs": q_cosine_pairs,
-    "ann_kmeans": q_ann_kmeans,
-    "bm25_and_blocks": q_bm25_and_blocks,
-    "bm25_batch_blocks": q_bm25_batch_blocks,
-    "bm25_compacted": q_bm25_compacted,
-    "bm25_not_blocks": q_bm25_not_blocks,
+    # -------- position 51+: round-4 driver-green representatives -------
+    # (rotated out this round; green rows in CORRECTNESS_r04 + selfcheck)
+    "bm25_batch": q_bm25_batch,
+    "phrase_blocks": q_phrase_blocks,
+    "bm25_append_blocks": q_bm25_append_blocks,
+    "bool_blocks": q_bool_blocks,
+    "bm25_deleted_blocks": q_bm25_deleted_blocks,
+    "merge_stats": q_merge_stats,
+    "topk_snippets": q_topk_snippets,
+    "proximity_blocks": q_proximity_blocks,
+    "term_completion_blocks": q_term_completion_blocks,
+    "spell_suggest": q_spell_suggest,
+    "expand_query": q_expand_query,
+    "more_like_this": q_more_like_this,
+    "facet_counts": q_facet_counts,
+    "tpch_q1": q_tpch_q1,
+    "sessionize": q_sessionize,
+    "cosine_lsh_pairs": q_cosine_lsh_pairs,
+    "ann_ivf_served": q_ann_ivf_served,
 }
 
 ORACLES: dict[str, str] = {
@@ -2417,6 +2460,7 @@ ORACLES: dict[str, str] = {
     "dedup_components": SQL_DEDUP_COMPONENTS,
     "decontaminate": SQL_DECONTAMINATE,
     "dup_passages": SQL_DUP_PASSAGES,
+    "dedup_passage_removed": SQL_DEDUP_PASSAGE_REMOVED,
     "repetition_stats": SQL_REPETITION_STATS,
     "sample_stratified": SQL_SAMPLE_STRATIFIED,
     "facet_counts": SQL_FACET_COUNTS,

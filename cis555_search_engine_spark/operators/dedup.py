@@ -682,3 +682,55 @@ def repeated_passages(
         "span_end",
         (F.col("span_end") - F.col("span_start")).alias("span_tokens"),
     )
+
+
+def remove_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cut the duplicated token spans reported by :func:`repeated_passages`
+    out of the text — the REMOVAL step of Lee et al. 2022 substring dedup
+    (public; their ExactSubstr deletes every copy of a duplicated
+    substring, and so does this). Returns
+    ``(id, n_tokens, n_removed, text)``: original token count, tokens
+    cut, and the text rebuilt from the surviving tokens (single-space
+    joined — the whitespace-token convention used across the dedup tier).
+
+    Span semantics match the producer exactly: a span covers token
+    positions ``[span_start, span_end)`` under the same whitespace
+    tokenization; spans from repeated_passages are per-doc disjoint
+    (merged maximal), but overlapping spans from other producers are
+    handled too (the cut is membership in ANY span).
+
+    Scale shape: spans collapse to one array per doc (hash agg keyed by
+    doc id — bounded by doc length, no skew: the doc id is in the key),
+    then ONE left equi-join onto the corpus (duplicate-evidence frames
+    are small next to the corpus; AQE broadcasts when they are), and the
+    cut itself is a native filter-by-position over the token array — no
+    UDF, no explode of the corpus text, no second shuffle. Docs with no
+    spans pass through verbatim with n_removed = 0. Reference analog:
+    none (pipeline tier; the reference never rewrites its corpus).
+    """
+    sp = spans.groupBy(F.col("id")).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+    )
+    base = docs.select(
+        F.col(id_col).alias("id"), tokens_col(F.col(text_col)).alias("_toks")
+    )
+    joined = base.join(sp, "id", "left")
+    cut = F.filter(
+        "_toks",
+        lambda t, i: ~F.exists(
+            "_spans",
+            lambda s: (i >= s["span_start"]) & (i < s["span_end"]),
+        ),
+    )
+    kept = F.when(F.col("_spans").isNull(), F.col("_toks")).otherwise(cut)
+    return joined.select(
+        "id",
+        F.size("_toks").cast("long").alias("n_tokens"),
+        (F.size("_toks") - F.size(kept)).cast("long").alias("n_removed"),
+        F.array_join(kept, " ").alias(text_col),
+    )

@@ -312,7 +312,10 @@ def test_pipeline_job_end_to_end(spark, tmp_path, monkeypatch):
     assert c["input"] >= c["curated"] >= c["decontaminated"] >= c["sampled"]
     assert c["sampled"] == c["packed_docs"] > 0
     assert c["chunks"] >= 1
-    assert set(m1["phases"]) == {"curate", "decontaminate", "sample", "pack"}
+    assert set(m1["phases"]) == {
+        "curate", "passage_dedup", "decontaminate", "sample", "pack"
+    }
+    assert m1["counts"]["passage_tokens_removed"] >= 0
     m2 = run()  # idempotent re-run: every stage overwrites its own dir
     assert m2["counts"] == m1["counts"]
 
@@ -384,3 +387,60 @@ def test_repeated_passages_span_semantics(spark):
     # "echo alpha beta gamma" repeated at 0 and 4: windows 0,1,4,5 merge
     # into one span [0, 8) (the repeat is contiguous with itself)
     assert got[4] == [(0, 8, 8)]
+
+
+def test_remove_spans_cuts_flagged_passages(spark):
+    """remove_spans completes the Lee-et-al. substring dedup: every
+    token inside a reported span is cut from the rebuilt text, docs
+    without spans pass through byte-identical, and the accounting
+    columns reconcile (n_tokens - n_removed == tokens in output)."""
+    from cis555_search_engine_spark.operators.dedup import (
+        remove_spans,
+        repeated_passages,
+    )
+
+    block = "terms of service apply to all users"  # 7 tokens
+    df = spark.createDataFrame(
+        [
+            (1, f"intro text here {block} closing words"),
+            (2, f"{block} and some unique trailing content"),
+            (3, "entirely unique document with no repeats at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["id"]: r
+        for r in remove_spans(df, repeated_passages(df, w=3)).collect()
+    }
+    assert out[1]["text"] == "intro text here closing words"
+    assert out[1]["n_removed"] == 7 and out[1]["n_tokens"] == 12
+    assert out[2]["text"] == "and some unique trailing content"
+    assert out[3]["text"] == "entirely unique document with no repeats at all"
+    assert out[3]["n_removed"] == 0
+    for r in out.values():
+        kept = len(r["text"].split()) if r["text"] else 0
+        assert r["n_tokens"] - r["n_removed"] == kept
+
+
+def test_remove_spans_python_oracle(spark, docs_rows, docs_sdf):
+    """Full-corpus cross-check against an independent Python rewrite
+    using the _passage_oracle spans."""
+    from cis555_search_engine_spark.operators.dedup import (
+        remove_spans,
+        repeated_passages,
+    )
+
+    spans = _passage_oracle(docs_rows, w=3)
+    want = {}
+    for i, t in docs_rows:
+        toks = t.split()
+        cut = set()
+        for s, e, _ in spans.get(i, ()):
+            cut.update(range(s, e))
+        kept = [t_ for p, t_ in enumerate(toks) if p not in cut]
+        want[i] = (len(toks), len(toks) - len(kept), " ".join(kept))
+    got = {
+        r["id"]: (r["n_tokens"], r["n_removed"], r["text"])
+        for r in remove_spans(docs_sdf, repeated_passages(docs_sdf, w=3)).collect()
+    }
+    assert got == want

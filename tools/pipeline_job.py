@@ -12,22 +12,26 @@ package, with per-stage wall-time and row counts logged as ONE JSON line
 (the metrics/lineage contract of the other job entries):
 
   1. curate         quality x language x exact-dedup keep-set
-  2. decontaminate  drop docs overlapping the eval set by trigram
+  2. passage-dedup  cut repeated passages (Lee et al. 2022 substring
+                    dedup: spans flagged by repeated_passages, removed
+                    by remove_spans; --passage-w 0 skips)
+  3. decontaminate  drop docs overlapping the eval set by trigram
                     (skipped unless --eval-docs/--eval-dict given)
-  3. sample         deterministic per-language stratified rates
+  4. sample         deterministic per-language stratified rates
                     (skipped unless --rates given)
-  4. pack           sequence packing into fixed token-budget chunks
+  5. pack           sequence packing into fixed token-budget chunks
 
 Output layout under --out (each stage writes its own directory; the
 LAST one in the funnel holds the surviving docs):
   kept/                 docs surviving stage 1 (curate) ONLY
+  passage_deduped/      kept/ with repeated passages cut from the text
   flagged/              decontamination hits (id, n_hits, n_shingles, overlap_frac)
-  kept_decontaminated/  kept/ minus flagged ids (when an eval set was given)
+  kept_decontaminated/  previous stage minus flagged ids (when an eval set was given)
   sampled/              the stratified sample (when --rates was given)
   packed/               (id, n_tokens, start_offset, chunk_id) over the survivors
   metrics.json          the same JSON line, persisted
 Consumers wanting "the training set" read the LAST materialized stage
-(sampled/, else kept_decontaminated/, else kept/) or just packed/.
+(sampled/, else kept_decontaminated/, else passage_deduped/) or just packed/.
 
 Each stage writes parquet with mode=overwrite, so re-running the job is
 idempotent. Stage inputs re-read the previous stage's parquet rather
@@ -59,6 +63,9 @@ def main() -> None:
     ap.add_argument("--langs", default="en,de")
     ap.add_argument("--budget-tokens", type=int, default=512)
     ap.add_argument("--shingle-n", type=int, default=3)
+    ap.add_argument("--passage-w", type=int, default=8,
+                    help="repeated-passage window width in tokens; 0 skips the stage")
+    ap.add_argument("--passage-min-occ", type=int, default=2)
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     args = ap.parse_args()
     if args.eval_docs and args.eval_dict:
@@ -115,7 +122,34 @@ def main() -> None:
     kept = spark.read.parquet(kept_path)
     counts["curated"] = kept.count()
 
-    # 2. decontaminate: drop overlapping docs from the kept set
+    # 2. passage-level dedup: cut repeated spans from the surviving text
+    # (BEFORE decontamination, so eval-overlap is judged on the text
+    # that would actually be trained on)
+    if args.passage_w:
+        from cis555_search_engine_spark.operators.dedup import (
+            remove_spans,
+            repeated_passages,
+        )
+
+        t0 = time.perf_counter()
+        spans = repeated_passages(
+            kept, w=args.passage_w, min_occurrences=args.passage_min_occ
+        )
+        rewritten = remove_spans(kept, spans).select(
+            F.col("id").alias("doc_id"), "n_tokens", "n_removed", "text"
+        )
+        # carry every non-text column through; the rewrite replaces text
+        deduped = kept.drop("text").join(rewritten, "doc_id")
+        pd_path = os.path.join(args.out, "passage_deduped")
+        deduped.write.mode("overwrite").parquet(pd_path)
+        t0 = mark("passage_dedup", t0)
+        kept = spark.read.parquet(pd_path)
+        counts["passage_tokens_removed"] = int(
+            kept.agg(F.sum("n_removed")).collect()[0][0] or 0
+        )
+        kept = kept.drop("n_tokens", "n_removed")
+
+    # 3. decontaminate: drop overlapping docs from the kept set
     ev = None
     if args.eval_dict:
         ev = read_eval_dict(spark, args.eval_dict)
@@ -139,7 +173,7 @@ def main() -> None:
         counts["flagged"] = spark.read.parquet(flagged_path).count()
         counts["decontaminated"] = kept.count()
 
-    # 3. stratified sample
+    # 4. stratified sample
     if args.rates:
         rates = {
             k.strip(): float(v)
@@ -153,7 +187,7 @@ def main() -> None:
         kept = spark.read.parquet(kept_path)
         counts["sampled"] = kept.count()
 
-    # 4. sequence packing over the survivors
+    # 5. sequence packing over the survivors
     t0 = time.perf_counter()
     packed = pack_sequences(kept, budget_tokens=args.budget_tokens)
     packed.write.mode("overwrite").parquet(os.path.join(args.out, "packed"))
