@@ -367,6 +367,40 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    # LIVE pruning signal (round-4 verdict item 4): the sf corpus has
+    # near-uniform doc lengths (5-60 tokens), so per-block score maxima
+    # are flat and block-max CANNOT skip — skip_ratio 0.0 there is a
+    # dead constant that hides pruning regressions. A deterministic
+    # heavy-tail corpus (synth length_skew) run through the SAME
+    # impact-ordered build + _prune_live_blocks gives a ratio that moves
+    # when the pruning logic changes.
+    from cis555_search_engine_spark.operators.index_build import build_index
+    from cis555_search_engine_spark.operators.postings_codec import build_blocks
+    from cis555_search_engine_spark.synth import REFERENCE_QUERIES, transcripts_spark
+
+    skew_corpus = transcripts_spark(spark, n_convs=250, seed=99, length_skew=1.0)
+    bidx_skew = build_blocks(
+        build_index(skew_corpus, cache="checkpoint"),
+        block_span=256, impact_ordered=True,
+    ).cache()
+    bidx_skew.blocks.count()
+    live_tot_sk = [count_live_blocks(bidx_skew, q, k=10) for q in REFERENCE_QUERIES]
+    sk_live = sum(l for l, _ in live_tot_sk)
+    sk_tot = sum(t for _, t in live_tot_sk)
+    wand["skewed"] = {
+        "blocks_live": sk_live,
+        "blocks_total": sk_tot,
+        "queries": len(live_tot_sk),
+        "skip_ratio": round(1.0 - sk_live / sk_tot, 4) if sk_tot else None,
+    }
+    bidx_skew.blocks.unpersist()
+    bidx_skew.docid_map.unpersist()
+    print(
+        f"# wand_pruning_skewed: decoded {sk_live}/{sk_tot} blocks "
+        f"(skip ratio {wand['skewed']['skip_ratio']}) on the heavy-tail corpus",
+        file=sys.stderr,
+    )
+
     # ---- section D: maintenance (append / compact / stream / IVF) -------
     t0 = time.perf_counter()
     EQ._ensure_append_store(spark, sf_dir)
@@ -425,6 +459,7 @@ def main() -> None:
         if k not in ("queries_prev", "queries_runs", "regressions")
     }
     compact["wand_pruning"] = wand.get("skip_ratio")
+    compact["wand_pruning_skewed"] = wand.get("skewed", {}).get("skip_ratio")
     compact["drain"] = drain_info.get("docs_per_sec_2ep")
     compact["regressions"] = len(regressions)
     compact["full"] = "BENCH.json"

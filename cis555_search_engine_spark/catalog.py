@@ -88,9 +88,9 @@ class Catalog:
         read them via JDBC (pagerank/SparkAppMain.java:72-76,
         storage/RDSWrapper.java). A bounded `partitionColumn` split is
         mandatory at scale: without it the whole table arrives through
-        ONE connection on one task. Not exercisable in this sandbox (no
-        database/driver jar) — the method is the honest surface, unit
-        tests stop at reader construction.
+        ONE connection on one task. Exercised end-to-end against an
+        embedded Derby database (on Spark's classpath) in
+        tests/test_fsio.py::test_jdbc_round_trip_embedded_derby.
         """
         reader = self.spark.read.format("jdbc").option("url", url).option("dbtable", table)
         if partition_column is not None:

@@ -337,12 +337,19 @@ def build_index(
     stats = doc_stats(postings, doc_key)
     if cache is True:
         stats = stats.cache()
-    totals = stats.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("doc_len").alias("total_len")
+    # ONE action for all three scalars (n_postings = posting rows;
+    # total_len = Σtf overall ≡ Σ doc_len; n_docs = distinct doc keys):
+    # the previous two-job split (doc_stats agg + postings.count) was a
+    # third of the streaming drain's per-epoch fixed cost — every epoch
+    # pays build_index's scalar jobs (round-4 verdict item 7)
+    totals = postings.agg(
+        F.count(F.lit(1)).alias("n_postings"),
+        F.sum("tf").alias("total_len"),
+        F.count_distinct(*[F.col(c) for c in doc_key]).alias("n_docs"),
     ).collect()[0]
     n_docs = int(totals["n_docs"] or 0)
     avg_len = float(totals["total_len"] or 0) / n_docs if n_docs else 0.0
-    n_postings = postings.count()
+    n_postings = int(totals["n_postings"] or 0)
     cstats = corpus_stats(postings, n_docs, n_postings)
     if cache is True:
         cstats = cstats.cache()

@@ -60,8 +60,21 @@ def _base_vocab(n: int = 5000) -> list[str]:
     return out
 
 
-def generate_transcripts(n_convs: int = 500, seed: int = 42) -> "pd.DataFrame":  # noqa: F821
-    """Return a pandas DataFrame of the transcript corpus."""
+def generate_transcripts(
+    n_convs: int = 500, seed: int = 42, length_skew: float = 0.0
+) -> "pd.DataFrame":  # noqa: F821
+    """Return a pandas DataFrame of the transcript corpus.
+
+    ``length_skew > 0`` switches turn lengths from uniform(5, 60) to a
+    heavy-tailed Pareto mix (shape ``1/length_skew``-ish): most turns
+    stay short but a deterministic minority run to ~100x the median —
+    the adversarial length profile for block-max pruning (uniform
+    lengths give flat per-block score maxima, so WAND cannot skip
+    anything no matter how it is implemented), sequence packing,
+    repetition stats and passage dedup (round-4 verdict items 4+10).
+    The default path draws the SAME rng stream as before, so existing
+    seeds reproduce byte-identical fixtures.
+    """
     import pandas as pd
 
     rng = np.random.default_rng(seed)
@@ -87,6 +100,13 @@ def generate_transcripts(n_convs: int = 500, seed: int = 42) -> "pd.DataFrame": 
         n_turns = int(rng.integers(1, 33))
         for ti in range(n_turns):
             n_tok = int(rng.integers(5, 60))
+            if length_skew > 0:
+                # Pareto heavy tail layered over the uniform draw (the
+                # uniform draw is kept so the default rng stream is
+                # untouched); cap keeps the worst doc bounded
+                n_tok = 5 + min(
+                    int(rng.pareto(max(0.5, 1.0 / length_skew)) * 20), 4000
+                )
             toks = list(rng.choice(vocab, size=n_tok, p=zipf_p))
             # plant 0-4 query terms
             n_plant = int(rng.integers(0, 5))
@@ -111,7 +131,7 @@ def generate_transcripts(n_convs: int = 500, seed: int = 42) -> "pd.DataFrame": 
     return df
 
 
-def transcripts_spark(spark, n_convs: int = 500, seed: int = 42):
+def transcripts_spark(spark, n_convs: int = 500, seed: int = 42, length_skew: float = 0.0):
     """Same corpus as a Spark DataFrame (Arrow createDataFrame path)."""
     from pyspark.sql import types as T
 
@@ -125,4 +145,6 @@ def transcripts_spark(spark, n_convs: int = 500, seed: int = 42):
             T.StructField("ts", T.TimestampType(), False),
         ]
     )
-    return spark.createDataFrame(generate_transcripts(n_convs, seed), schema=schema)
+    return spark.createDataFrame(
+        generate_transcripts(n_convs, seed, length_skew), schema=schema
+    )

