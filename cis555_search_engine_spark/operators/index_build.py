@@ -331,12 +331,24 @@ def build_index(
     build = build_postings_doclocal if doc_local else build_postings_long
     postings = build(corpus, doc_key, text_col, stem, use_pandas_udf)
     if cache == "checkpoint":
-        postings = postings.localCheckpoint(eager=True)
+        # LAZY checkpoint: the totals agg below is the materializing
+        # action, so ONE job tokenizes + persists + aggregates — the
+        # eager form paid a separate materialization pass first, a pure
+        # per-epoch fixed cost on the streaming drain (every epoch runs
+        # build_index; round-4 verdict item 7). Spark materializes the
+        # WHOLE partition into the block store on first compute, so the
+        # staged postings are complete for every later consumer.
+        postings = postings.localCheckpoint(eager=False)
     elif cache:
         postings = postings.cache()
     stats = doc_stats(postings, doc_key)
     if cache is True:
         stats = stats.cache()
+    elif cache == "checkpoint":
+        # lazy-stage the per-doc stats too: an append epoch consumes
+        # them from 3 independent phases (docid mint, block encode,
+        # collision scan) — unstaged, each re-runs the groupBy shuffle
+        stats = stats.localCheckpoint(eager=False)
     # ONE action for all three scalars (n_postings = posting rows;
     # total_len = Σtf overall ≡ Σ doc_len; n_docs = distinct doc keys):
     # the previous two-job split (doc_stats agg + postings.count) was a
@@ -353,6 +365,10 @@ def build_index(
     cstats = corpus_stats(postings, n_docs, n_postings)
     if cache is True:
         cstats = cstats.cache()
+    elif cache == "checkpoint":
+        # same staging argument: block encode and the stats-level merge
+        # both read the term stats in the same append epoch
+        cstats = cstats.localCheckpoint(eager=False)
     return InvertedIndex(
         postings=postings,
         doc_stats=stats,

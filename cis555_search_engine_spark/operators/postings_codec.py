@@ -44,6 +44,7 @@ blocks — no per-row Python (north rule).
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import dataclass
 from typing import Iterator, Sequence
 
@@ -1158,7 +1159,8 @@ def append_blocks(
     # path: checkpointed file consumption + epoch markers) — there the
     # per-epoch map scan is pure overhead on the drain's fixed cost.
     key = list(new_index.doc_key)
-    if check_new_keys:
+
+    def _collision_scan() -> None:
         existing_maps = [f"{path}/{d}/docid_map" for d in _manifest_dirs(meta)]
         live = spark.read.parquet(*existing_maps)
         tomb_dirs = meta.get("tombstone_dirs", [])
@@ -1197,6 +1199,7 @@ def append_blocks(
 
     offset = int(meta["n_docs"])
     key_cols = list(new_index.doc_key)
+    null_probe = None
     if 0 < new_index.n_docs <= 2_000_000:
         # epoch-scale fast path (round-4 verdict item 7): a streaming
         # micro-batch / small bulk append does not need mint_doc_ids'
@@ -1206,21 +1209,30 @@ def append_blocks(
         # ids in ONE job; bounded by the threshold, so the one-task sort
         # is a few MB. Large bulk appends keep the distributed path.
         w = Window.orderBy(*[F.asc(c) for c in key_cols])
+        # LAZY stage: whichever concurrent phase below touches the map
+        # first materializes it (ONE partition by construction; Spark
+        # persists whole partitions on first compute) — no separate
+        # staging job on the drain's per-epoch fixed cost
         new_map = _stage(
             new_index.doc_stats.select(*key_cols).withColumn(
                 "docid", (F.row_number().over(w) - 1).cast("long") + offset
-            )
+            ),
+            eager=False,
         )
         # same null-key contract as mint_doc_ids (a null key has no
-        # place in the total order); the probe scans the staged tiny map
+        # place in the total order); runs as one of the concurrent
+        # phases below — like the collision guard, it fires before the
+        # manifest commit, so a violation leaves only orphan dirs
         null_cond = functools.reduce(
             lambda a, b: a | b, [F.col(c).isNull() for c in key_cols]
         )
-        if new_map.filter(null_cond).limit(1).count():
-            raise ValueError(
-                f"append_blocks: rows have null doc-key components "
-                f"{tuple(key_cols)}; drop or repair them upstream"
-            )
+
+        def null_probe() -> None:
+            if new_map.filter(null_cond).limit(1).count():
+                raise ValueError(
+                    f"append_blocks: rows have null doc-key components "
+                    f"{tuple(key_cols)}; drop or repair them upstream"
+                )
     else:
         new_map = mint_doc_ids(new_index.doc_stats, new_index.doc_key).withColumn(
             "docid", F.col("docid") + offset
@@ -1230,47 +1242,99 @@ def append_blocks(
     bucket = _bucket_col(n_buckets)
     data_dirs = _manifest_dirs(meta)
     seg_dir = fsio.new_segment_name("seg", len(data_dirs))
-    (
+
+    def _write_seg_blocks() -> None:
         # appended segments are SMALL relative to the store (that is why
-        # they are appends): co-locate each bucket into one task so the
+        # they are appends): bound the WRITE tasks by segment size so the
         # layout gets n_buckets files, not shuffle_partitions x n_buckets
         # near-empty ones — per-epoch file-system overhead was a third of
-        # the round-3 drain's 10x per-doc penalty. The full-build path
+        # the round-3 drain's 10x per-doc penalty. An epoch-sized segment
+        # gets ONE write task emitting all bucket dirs (dynamic
+        # partitionBy); encode parallelism is unaffected (mapInPandas
+        # runs upstream of this shuffle). The full-build path
         # (write_blocks) keeps many files per bucket on purpose.
-        seg.blocks.withColumn("bucket", bucket)
-        .repartition(n_buckets, "bucket")
-        .write.mode("overwrite")
-        .partitionBy("bucket")
-        .parquet(f"{path}/{seg_dir}/blocks")
-    )
-    # size the map files to the segment (one file per ~5M docids), not
-    # to shuffle_partitions — an epoch of a few thousand docs otherwise
-    # writes 32 near-empty files per append
-    new_map.coalesce(max(1, new_index.n_docs // 5_000_000 + 1)).write.mode(
-        "overwrite"
-    ).parquet(f"{path}/{seg_dir}/docid_map")
+        n_tasks = max(1, min(n_buckets, new_index.n_docs // 25_000))
+        src = seg.blocks.withColumn("bucket", bucket)
+        if n_tasks == 1:
+            # epoch-sized segment: skip the bucket shuffle altogether —
+            # one task encodes AND writes every bucket dir (narrow
+            # coalesce; ~30k rows of pandas work), where the repartition
+            # paid a full shuffle round-trip plus an AQE stage per epoch
+            src = src.coalesce(1)
+        else:
+            src = src.repartition(n_tasks, "bucket")
+        (
+            src.write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(f"{path}/{seg_dir}/blocks")
+        )
+
+    def _write_seg_map() -> None:
+        # size the map files to the segment (one file per ~5M docids), not
+        # to shuffle_partitions — an epoch of a few thousand docs otherwise
+        # writes 32 near-empty files per append
+        new_map.coalesce(max(1, new_index.n_docs // 5_000_000 + 1)).write.mode(
+            "overwrite"
+        ).parquet(f"{path}/{seg_dir}/docid_map")
 
     # stats-level merge (never re-aggregates posting rows)
     n_docs = offset + new_index.n_docs
     n_postings = n_old_postings + new_index.n_postings
     total_len = float(meta["avg_doc_len"]) * offset + new_index.avg_doc_len * new_index.n_docs
     avg_len = total_len / n_docs if n_docs else 0.0
-    dfa = old_stats.select("term", F.col("df").alias("dfa"))
-    dfb = new_index.corpus_stats.select("term", F.col("df").alias("dfb"))
-    from .index_build import stats_from_df
-
-    merged = stats_from_df(
-        dfa.join(dfb, "term", "full_outer").select(
-            "term",
-            (F.coalesce("dfa", F.lit(0)) + F.coalesce("dfb", F.lit(0))).cast("long").alias("df"),
-        ),
-        n_docs,
-        n_postings,
-    )
-    # merged stats land in a fresh versioned dir; the old version stays
-    # live (and readable by in-flight queries) until the manifest flips
     stats_dir = fsio.new_segment_name("stats", len(data_dirs))
-    _write_stats(merged, f"{path}/{stats_dir}", n_terms_hint=n_postings)
+
+    def _write_seg_stats() -> None:
+        dfa = old_stats.select("term", F.col("df").alias("dfa"))
+        dfb = new_index.corpus_stats.select("term", F.col("df").alias("dfb"))
+        from .index_build import stats_from_df
+
+        merged = stats_from_df(
+            dfa.join(dfb, "term", "full_outer").select(
+                "term",
+                (F.coalesce("dfa", F.lit(0)) + F.coalesce("dfb", F.lit(0))).cast("long").alias("df"),
+            ),
+            n_docs,
+            n_postings,
+        )
+        # merged stats land in a fresh versioned dir; the old version stays
+        # live (and readable by in-flight queries) until the manifest flips
+        _write_stats(merged, f"{path}/{stats_dir}", n_terms_hint=n_postings)
+
+    # The four phases above are INDEPENDENT Spark jobs that all consume
+    # only staged inputs (postings/new_map are materialized; old stats /
+    # old maps are on disk) — run them concurrently so the append's wall
+    # time is the slowest phase, not the sum (the drain's per-epoch fixed
+    # cost was ~10 serial jobs; round-4 verdict item 7). Nothing is live
+    # until the single manifest commit below, so a phase failure — the
+    # collision guard included — leaves only unlisted orphan dirs, which
+    # the next vacuum sweeps: identical crash semantics to serial order.
+    phases = [_write_seg_blocks, _write_seg_map, _write_seg_stats]
+    if null_probe is not None:
+        phases.append(null_probe)
+    if check_new_keys:
+        phases.append(_collision_scan)
+    from concurrent.futures import ThreadPoolExecutor
+
+    if os.environ.get("CIS555_DEBUG_TIMING"):
+        import time as _time
+
+        def _timed(p):
+            def run():
+                t0 = _time.perf_counter()
+                p()
+                print(f"#   phase {p.__name__}: {_time.perf_counter() - t0:.2f}s",
+                      flush=True)
+            run.__name__ = p.__name__
+            return run
+
+        phases = [_timed(p) for p in phases]
+    with ThreadPoolExecutor(max_workers=len(phases)) as pool:
+        futures = [pool.submit(p) for p in phases]
+        errs = [f.exception() for f in futures]
+    for e in errs:
+        if e is not None:
+            raise e
 
     meta.update(
         {
