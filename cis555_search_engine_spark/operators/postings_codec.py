@@ -1256,11 +1256,25 @@ def append_blocks(
         n_tasks = max(1, min(n_buckets, new_index.n_docs // 25_000))
         src = seg.blocks.withColumn("bucket", bucket)
         if n_tasks == 1:
-            # epoch-sized segment: skip the bucket shuffle altogether —
-            # one task encodes AND writes every bucket dir (narrow
-            # coalesce; ~30k rows of pandas work), where the repartition
-            # paid a full shuffle round-trip plus an AQE stage per epoch
-            src = src.coalesce(1)
+            # epoch-sized segment. coalesce(1) is a TRAP here: it is
+            # narrow, so it collapses the whole stage ABOVE it — the
+            # groupBy-agg reduce AND the Python block encode run in one
+            # serial task (~1 s of pandas work measured per drain epoch).
+            # With AQE partition-coalescing on, do nothing: the engine
+            # folds the tiny post-shuffle stage to 1-2 tasks on its own
+            # (same file count, encode stays wide — measured 0.85 s vs
+            # 1.1-2.0 s for coalesce(1) on an epoch-sized segment).
+            # Without AQE, shuffle the ENCODED blobs (a few hundred KB)
+            # to one writer — the round-trip is trivial at this size and
+            # the encode keeps its upstream parallelism.
+            aqe = (
+                spark.conf.get("spark.sql.adaptive.enabled", "false"),
+                spark.conf.get(
+                    "spark.sql.adaptive.coalescePartitions.enabled", "true"
+                ),
+            )
+            if aqe != ("true", "true"):
+                src = src.repartition(1)
         else:
             src = src.repartition(n_tasks, "bucket")
         (
