@@ -218,6 +218,12 @@ def finalize_index(
     # previous read, so a reopen AFTER new epoch dirs landed would
     # silently scan only the old partitions (stale read, same session)
     spark.catalog.refreshByPath(f"{out_dir}/postings_long")
+    # capture the partition listing ONCE, before the postings read: any
+    # coverage manifest written below must describe at most what the
+    # stats were computed over — an epoch landing mid-finalize then
+    # reads as a mismatch next open (recompute, safe), never as
+    # fresh-but-stale
+    coverage_now = _postings_coverage(spark, out_dir)
     # accepts both the batch checkpoint layout (group=N) and the
     # streaming ingest layout (epoch=N) — drop() ignores absent columns
     postings = spark.read.parquet(f"{out_dir}/postings_long").drop(
@@ -239,7 +245,7 @@ def finalize_index(
             ).get("partitions")
         except ValueError:
             covered = None
-        stats_fresh = covered == _postings_coverage(spark, out_dir)
+        stats_fresh = covered == coverage_now
     if (
         not write_stats
         and stats_fresh
@@ -283,14 +289,36 @@ def finalize_index(
         cstats.write.mode("overwrite").parquet(f"{out_dir}/corpus_stats")
         fsio.write_text_atomic(
             spark, f"{out_dir}/_stats_coverage.json",
-            json.dumps({"partitions": _postings_coverage(spark, out_dir)}),
+            json.dumps({"partitions": coverage_now}),
         )
-    _lineage_append(
-        spark, out_dir,
-        {"stage": "finalize", "group": None, "status": "built",
-         "rows": n_postings, "n_docs": n_docs,
-         "wall_s": round(time.perf_counter() - t0, 3)},
-    )
+        _lineage_append(
+            spark, out_dir,
+            {"stage": "finalize", "group": None, "status": "built",
+             "rows": n_postings, "n_docs": n_docs,
+             "wall_s": round(time.perf_counter() - t0, 3)},
+        )
+    else:
+        # SELF-HEAL (review r5): a read-only reopen only reaches here
+        # when the persisted stats are missing, stale, or predate the
+        # coverage manifest (a dir finalized before the manifest
+        # existed would otherwise recompute on EVERY open, forever).
+        # Persist the freshly computed stats + coverage best-effort so
+        # the NEXT open takes the fast path; on read-only storage this
+        # degrades silently to the old recompute-per-open behavior.
+        # The coverage written is the listing captured BEFORE the
+        # postings read, so a concurrently landing epoch can only make
+        # the manifest conservative (mismatch -> recompute), never
+        # fresh-but-stale. No lineage append: read-only opens must not
+        # grow the build log (test_readonly_load_* contract).
+        try:
+            stats.write.mode("overwrite").parquet(f"{out_dir}/doc_stats")
+            cstats.write.mode("overwrite").parquet(f"{out_dir}/corpus_stats")
+            fsio.write_text_atomic(
+                spark, f"{out_dir}/_stats_coverage.json",
+                json.dumps({"partitions": coverage_now}),
+            )
+        except Exception:  # pragma: no cover - read-only storage
+            pass
     return InvertedIndex(
         postings=postings,
         doc_stats=stats,

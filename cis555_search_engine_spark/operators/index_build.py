@@ -353,11 +353,21 @@ def build_index(
     # total_len = Σtf overall ≡ Σ doc_len; n_docs = distinct doc keys):
     # the previous two-job split (doc_stats agg + postings.count) was a
     # third of the streaming drain's per-epoch fixed cost — every epoch
-    # pays build_index's scalar jobs (round-4 verdict item 7)
+    # pays build_index's scalar jobs (round-4 verdict item 7).
+    # count_distinct over a STRUCT, not bare columns: bare-column
+    # count_distinct drops rows where ANY key component is null, while
+    # doc_stats' groupBy keeps null-key groups — a null conv_id doc
+    # would shrink n_docs below the doc_stats row count (skewing
+    # avg_doc_len/idf) and an all-null-key micro-batch would read as
+    # n_docs=0, which the streaming sink treats as an empty epoch. A
+    # struct with null fields is itself non-null, so its distinct count
+    # matches the groupBy's grouping exactly.
     totals = postings.agg(
         F.count(F.lit(1)).alias("n_postings"),
         F.sum("tf").alias("total_len"),
-        F.count_distinct(*[F.col(c) for c in doc_key]).alias("n_docs"),
+        F.count_distinct(
+            F.struct(*[F.col(c) for c in doc_key])
+        ).alias("n_docs"),
     ).collect()[0]
     n_docs = int(totals["n_docs"] or 0)
     avg_len = float(totals["total_len"] or 0) / n_docs if n_docs else 0.0

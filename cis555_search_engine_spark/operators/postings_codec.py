@@ -1283,10 +1283,10 @@ def append_blocks(
             # to one writer — the round-trip is trivial at this size and
             # the encode keeps its upstream parallelism.
             aqe = (
-                spark.conf.get("spark.sql.adaptive.enabled", "false"),
+                spark.conf.get("spark.sql.adaptive.enabled", "false").lower(),
                 spark.conf.get(
                     "spark.sql.adaptive.coalescePartitions.enabled", "true"
-                ),
+                ).lower(),
             )
             if aqe != ("true", "true"):
                 src = src.repartition(1)
@@ -1337,7 +1337,12 @@ def append_blocks(
     # cost was ~10 serial jobs; round-4 verdict item 7). Nothing is live
     # until the single manifest commit below, so a phase failure — the
     # collision guard included — leaves only unlisted orphan dirs, which
-    # the next vacuum sweeps: identical crash semantics to serial order.
+    # the next vacuum sweeps. Disclosed tradeoff vs the old serial order:
+    # the collision guard no longer gates the segment writes, so a
+    # REJECTED append pays the full encode+write before the raise and
+    # strands its seg-*/stats-* dirs until a vacuum (collisions are the
+    # exceptional path; every clean epoch saves the serial guard's
+    # latency). Committed state is untouched either way.
     phases = [_write_seg_blocks, _write_seg_map, _write_seg_stats]
     if null_probe is not None:
         phases.append(null_probe)

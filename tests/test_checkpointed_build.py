@@ -161,3 +161,29 @@ def test_readonly_load_uses_persisted_stats_and_keeps_lineage(spark, corpus_sdf,
     a = {tuple(r) for r in re1.search("rice noodle", k=5).collect()}
     b = {tuple(r) for r in re2.search("rice noodle", k=5).collect()}
     assert a == b
+
+
+def test_readonly_load_self_heals_legacy_stats_coverage(spark, corpus_sdf, tmp_path):
+    """A dir finalized BEFORE the coverage manifest existed (stats
+    persisted, no _stats_coverage.json) must not recompute statistics on
+    every read-only open forever: the first open recomputes (correct)
+    and best-effort persists stats + coverage, so the second open takes
+    the fast path. Lineage must not grow on either open (review r5)."""
+    import os
+
+    from cis555_search_engine_spark.engine import SearchEngine
+    from cis555_search_engine_spark.operators.checkpointed_build import read_lineage
+
+    out = str(tmp_path / "idx")
+    eng = SearchEngine.build_checkpointed(spark, corpus_sdf, out, n_groups=2)
+    # simulate the legacy layout: stats exist, coverage manifest absent
+    os.remove(os.path.join(out, "_stats_coverage.json"))
+    n_before = len(read_lineage(out, spark))
+    re1 = SearchEngine.load(spark, out)  # recomputes AND heals
+    assert os.path.exists(os.path.join(out, "_stats_coverage.json"))
+    re2 = SearchEngine.load(spark, out)  # healed: fast path
+    assert len(read_lineage(out, spark)) == n_before
+    for re_ in (re1, re2):
+        assert re_.index.n_docs == eng.index.n_docs
+        assert re_.index.n_postings == eng.index.n_postings
+        assert abs(re_.index.avg_doc_len - eng.index.avg_doc_len) < 1e-9

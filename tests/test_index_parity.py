@@ -190,3 +190,26 @@ def test_null_text_rows_are_tolerated_in_both_build_paths(spark):
             for r in build_postings_long(df, stem=stem).collect()
         }
         assert a == b and len(a) == 2  # the null-text turn contributes nothing
+
+
+def test_null_key_docs_count_toward_n_docs(spark):
+    """n_docs is the distinct-doc-key count taken in the same agg as the
+    other corpus scalars; a bare-column count_distinct silently drops
+    rows whose key has ANY null component, while doc_stats' groupBy
+    keeps null-key groups — the two must agree or avg_doc_len/idf skew
+    (review r5). Null conv_id is not producible by synth but nothing in
+    the engine forbids it; the struct-based count makes the invariant
+    hold for any input."""
+    from cis555_search_engine_spark.operators.index_build import build_index
+
+    df = spark.createDataFrame(
+        [
+            ("c1", 0, "user", "hello world", None, None),
+            (None, 0, "user", "rice noodle soup", None, None),
+        ],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    idx = build_index(df)
+    assert idx.n_docs == idx.doc_stats.count() == 2
+    total_len = idx.doc_stats.agg({"doc_len": "sum"}).collect()[0][0]
+    assert abs(idx.avg_doc_len - total_len / 2) < 1e-9
