@@ -69,6 +69,43 @@ from .scoring import B, K1  # noqa: E402
 DEFAULT_BLOCK_SPAN = 4096  # docids per block (tune: posting rows per group)
 
 
+def _run_concurrent(phases):
+    """Run independent Spark jobs concurrently from driver threads.
+
+    ONE definition of the concurrent-phase pattern (append_blocks'
+    segment writes, bm25_topk_blocks' dead/include staging — review r5):
+    submits every phase to its own thread, waits for ALL to finish
+    (Spark job submission is thread-safe; phases must not share mutable
+    driver state), re-raises the first failure after every phase has
+    settled, and returns the phase results in call order.
+    ``CIS555_DEBUG_TIMING=1`` prints per-phase wall time.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    if os.environ.get("CIS555_DEBUG_TIMING"):
+        import time as _time
+
+        def _timed(p):
+            def run():
+                t0 = _time.perf_counter()
+                out = p()
+                print(f"#   phase {getattr(p, '__name__', 'phase')}: "
+                      f"{_time.perf_counter() - t0:.2f}s", flush=True)
+                return out
+            run.__name__ = getattr(p, "__name__", "phase")
+            return run
+
+        phases = [_timed(p) for p in phases]
+    with ThreadPoolExecutor(max_workers=len(phases)) as pool:
+        futures = [pool.submit(p) for p in phases]
+        errs = [f.exception() for f in futures]
+    for e in errs:
+        if e is not None:
+            raise e
+    return [f.result() for f in futures]
+
+
+
 # --------------------------------------------------------------- docids
 
 def _range_boundaries(
@@ -721,13 +758,10 @@ def bm25_topk_blocks(
         # `rice "rice noodle" -coronavirus` otherwise pays them serially
         # — measurable at the 1.58M store where each is ~1 s. Same
         # concurrent-phase pattern as append_blocks.
-        from concurrent.futures import ThreadPoolExecutor
-
         inc = include_docs.select("docid").distinct()
-        with ThreadPoolExecutor(max_workers=2) as pool:
-            f_dead = pool.submit(_stage, dead)
-            f_inc = pool.submit(_stage, inc)
-            dead, include_docs = f_dead.result(), f_inc.result()
+        dead, include_docs = _run_concurrent(
+            [functools.partial(_stage, dead), functools.partial(_stage, inc)]
+        )
     elif stage_dead:
         # stage once: the dead frame feeds both the seed-θ scoring and
         # the final scoring — without this each consumer re-decodes the
@@ -1348,27 +1382,7 @@ def append_blocks(
         phases.append(null_probe)
     if check_new_keys:
         phases.append(_collision_scan)
-    from concurrent.futures import ThreadPoolExecutor
-
-    if os.environ.get("CIS555_DEBUG_TIMING"):
-        import time as _time
-
-        def _timed(p):
-            def run():
-                t0 = _time.perf_counter()
-                p()
-                print(f"#   phase {p.__name__}: {_time.perf_counter() - t0:.2f}s",
-                      flush=True)
-            run.__name__ = p.__name__
-            return run
-
-        phases = [_timed(p) for p in phases]
-    with ThreadPoolExecutor(max_workers=len(phases)) as pool:
-        futures = [pool.submit(p) for p in phases]
-        errs = [f.exception() for f in futures]
-    for e in errs:
-        if e is not None:
-            raise e
+    _run_concurrent(phases)
 
     meta.update(
         {
