@@ -65,7 +65,8 @@ LIGHT_TIER = WARM_FIRST + [
     "pack_sequences", "pagerank", "dedup_exact", "dedup_ngram_jaccard",
     "dedup_minhash_lsh", "dedup_simhash", "dedup_components", "ann_topk",
     "ann_ivf", "ann_kmeans", "cosine_pairs", "cosine_lsh_pairs",
-    "decontaminate", "repetition_stats", "sample_stratified", "dup_passages",
+    "decontaminate", "repetition_stats", "sample_stratified",
+    "sample_temperature", "dup_passages",
 ]
 # Section B: served from the in-memory long-postings index.
 INDEX_TIER = [

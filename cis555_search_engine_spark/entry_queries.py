@@ -2192,6 +2192,42 @@ WHERE substr(md5(doc_id::VARCHAR), 1, 8) <
 )
 
 
+def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted (p^alpha) mixture sampling over the language
+    strata — data-dependent rates, deterministic md5-key membership
+    (operators/curation.sample_temperature; XLM-R-style upweighting of
+    low-resource strata). The SQL twin recomputes the rates from the
+    same counts with the identical operation order."""
+    from .operators.curation import sample_temperature
+
+    docs = load(spark, sf_dir, "documents")
+    return sample_temperature(
+        docs, alpha=0.5, target_frac=0.5, stratum_col="lang"
+    ).select("doc_id", "lang", "sample_rate")
+
+
+# the oracle twin recomputes the data-dependent rates in pure SQL with
+# the same operation order and the same round-to-6-then-floor threshold
+# conversion as curation.hex_rate_threshold_col (printf('%08x', ...) is
+# fixed-width lowercase hex on both engines)
+SQL_SAMPLE_TEMPERATURE = """
+WITH c AS (SELECT lang AS g, count(*)::DOUBLE AS n_g FROM documents GROUP BY lang),
+t AS (SELECT sum(n_g) AS n_tot FROM c),
+w AS (SELECT g, n_g, pow(n_g / n_tot, 0.5) AS q, n_tot FROM c, t),
+z AS (SELECT sum(q) AS z_tot FROM w),
+r AS (SELECT g, round(least(1.0, 0.5 * n_tot * q / (z_tot * n_g)), 6) AS rate
+      FROM w, z),
+thr AS (SELECT g, rate,
+               CASE WHEN rate >= 1.0 THEN 'g'
+                    ELSE printf('%08x', CAST(floor(rate * 4294967296.0) AS BIGINT))
+               END AS thr
+        FROM r)
+SELECT d.doc_id, d.lang, thr.rate AS sample_rate
+FROM documents d JOIN thr ON d.lang IS NOT DISTINCT FROM thr.g
+WHERE substr(md5(d.doc_id::VARCHAR), 1, 8) < thr.thr
+"""
+
+
 def q_dup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Passage-level dedup: maximal spans of 5-token windows repeated
     anywhere in the corpus (substring dedup, not whole-doc)."""
@@ -2390,6 +2426,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionize": q_sessionize,
     "cosine_lsh_pairs": q_cosine_lsh_pairs,
     "ann_ivf_served": q_ann_ivf_served,
+    # -------- round-5 additions (past the 50-row driver cap) ----------
+    "sample_temperature": q_sample_temperature,
 }
 
 ORACLES: dict[str, str] = {
@@ -2463,5 +2501,6 @@ ORACLES: dict[str, str] = {
     "dedup_passage_removed": SQL_DEDUP_PASSAGE_REMOVED,
     "repetition_stats": SQL_REPETITION_STATS,
     "sample_stratified": SQL_SAMPLE_STRATIFIED,
+    "sample_temperature": SQL_SAMPLE_TEMPERATURE,
     "facet_counts": SQL_FACET_COUNTS,
 }

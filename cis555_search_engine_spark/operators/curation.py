@@ -98,6 +98,91 @@ def hex_rate_threshold(rate: float) -> str:
     return "g" if rate >= 1.0 else format(max(int(rate * 16**8), 0), "08x")
 
 
+def hex_rate_threshold_col(rate_col):
+    """Column form of :func:`hex_rate_threshold` for DATA-DEPENDENT
+    rates (the per-stratum rates of :func:`sample_temperature` come out
+    of an aggregation, so they cannot be baked as literals). The rate is
+    rounded to 6 decimals FIRST, in both this plan and the SQL oracle
+    twin: the conversion to the 32-bit threshold integer is then applied
+    to the identical double on both engines, so a 1-ulp divergence in an
+    upstream ``pow``/sum cannot flip the threshold (and with it a row's
+    membership). ``format_string('%08x', ...)`` is fixed-width lowercase
+    hex — string order IS numeric order, same contract as the scalar
+    form."""
+    r = F.round(rate_col, 6)
+    return F.when(r >= 1.0, F.lit("g")).otherwise(
+        F.format_string("%08x", F.floor(r * F.lit(float(16**8))).cast("bigint"))
+    )
+
+
+def sample_temperature(
+    docs: DataFrame,
+    alpha: float = 0.5,
+    target_frac: float = 0.5,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-weighted mixture sampling — the multilingual
+    data-mixing step of a pretraining pipeline (public recipe: XLM-R,
+    Conneau et al. 2020 §3.1; mBERT exponentiated smoothing): stratum
+    ``g`` holding corpus share ``p_g`` is resampled toward share
+    ``q_g ∝ p_g^alpha``, which UPWEIGHTS low-resource strata for
+    ``alpha < 1`` instead of letting the head language drown them.
+
+    keep_rate_g = min(1, target_frac · N · q_g / (Z · n_g)),
+    Z = Σ_g q_g — the expected kept count is ``target_frac · N`` (less
+    any mass lost to the min-clamp on upweighted small strata).
+
+    Scale shape: ONE tiny groupBy-count (the only data-sized shuffle;
+    group-cardinality rows), corpus-wide N and Z as whole-frame window
+    sums over that tiny frame, and the rate frame joined back to the
+    corpus (group-cardinality-sized — AQE broadcasts it). Membership is
+    the
+    same deterministic md5 hex-key predicate as
+    :func:`sample_stratified`: a pure function of (id, rate), so samples
+    are nested in ``target_frac``, stable under repartitioning/retries,
+    and reproducible at any cluster size. Returns the input columns plus
+    ``sample_rate`` (the stratum's applied keep-rate, 6-dp)."""
+    from pyspark.sql import Window
+
+    g = F.col(stratum_col)
+    # corpus-wide reductions as whole-frame window sums over the TINY
+    # counts frame (group-cardinality rows): no self-referential joins,
+    # one extra exchange of a handful of rows
+    whole = Window.partitionBy(F.lit(1))
+    # names must differ by more than case: the analyzer is
+    # case-insensitive by default, so `_N` would REPLACE `_n`
+    w = (
+        docs.groupBy(g.alias("_g"))
+        .agg(F.count("*").alias("_n"))
+        .withColumn("_n_tot", F.sum("_n").over(whole))
+        .withColumn("_q", F.pow(F.col("_n") / F.col("_n_tot"), F.lit(float(alpha))))
+        .withColumn("_z_tot", F.sum("_q").over(whole))
+    )
+    # operation ORDER mirrors the SQL twin exactly — ((t·N)·q)/(Z·n) —
+    # so both engines round the same double (see hex_rate_threshold_col)
+    rate = F.least(
+        F.lit(1.0),
+        F.lit(float(target_frac))
+        * F.col("_n_tot")
+        * F.col("_q")
+        / (F.col("_z_tot") * F.col("_n")),
+    )
+    rates = w.select(
+        "_g",
+        hex_rate_threshold_col(rate).alias("_thr"),
+        F.round(rate, 6).alias("sample_rate"),
+    )
+    key = F.substring(F.md5(F.col(id_col).cast("string").cast("binary")), 1, 8)
+    return (
+        docs.join(rates, g.eqNullSafe(F.col("_g")))  # null-safe: a null
+        # stratum is still a stratum (its docs sample at the null
+        # group's own rate, not silently drop on an inner-join null key)
+        .filter(key < F.col("_thr"))
+        .drop("_g", "_thr")
+    )
+
+
 def curate(
     docs: DataFrame,
     min_score: float = 0.55,

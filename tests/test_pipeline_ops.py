@@ -275,6 +275,89 @@ def test_sample_stratified_threshold_math(spark):
     assert got == want
 
 
+# --------------------------------------------------- sample_temperature
+
+
+def _temp_rates(rows, alpha, target):
+    """Pure-Python oracle for the p^alpha mixture rates (same operation
+    order as the operator and its SQL twin)."""
+    from collections import Counter
+
+    counts = Counter(s for _, s in rows)
+    n_tot = float(sum(counts.values()))
+    q = {g: (n / n_tot) ** alpha for g, n in counts.items()}
+    z = sum(q[g] for g in sorted(q))  # any order: rates get round(,6)
+    return {
+        g: round(min(1.0, target * n_tot * q[g] / (z * counts[g])), 6)
+        for g in counts
+    }
+
+
+def test_sample_temperature_matches_python_oracle(spark):
+    """Skewed strata: membership equals the exact md5-threshold oracle
+    at the p^0.5 rates; low-resource strata get HIGHER keep-rates than
+    the head stratum (the point of temperature sampling)."""
+    import random
+
+    from cis555_search_engine_spark.operators.curation import sample_temperature
+
+    rng = random.Random(11)
+    # heavy head: ~80% 'en', small 'de'/'fi' tails
+    rows = [
+        (i, rng.choices(["en", "de", "fi"], weights=[80, 15, 5])[0])
+        for i in range(3000)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    rates = _temp_rates(rows, alpha=0.5, target=0.5)
+    assert rates["fi"] > rates["de"] > rates["en"]  # tail upweighted
+
+    def kept(i, s):
+        r = rates[s]
+        return r >= 1.0 or _hexkey(i) < format(int(r * 16**8), "08x")
+
+    want = {i for i, s in rows if kept(i, s)}
+    out = sample_temperature(df, alpha=0.5, target_frac=0.5).collect()
+    got = {r["doc_id"] for r in out}
+    assert got == want
+    # the reported sample_rate column carries the applied per-stratum rate
+    assert {(r["lang"], r["sample_rate"]) for r in out} == {
+        (g, rates[g]) for g in rates if any(s == g for i, s in rows if i in got)
+    }
+
+
+def test_sample_temperature_nested_stable_and_clamped(spark):
+    """target_frac nests the samples; membership survives repartitioning;
+    a tiny stratum whose upweighted rate clears 1.0 is kept whole, and
+    alpha=1 degenerates to uniform target_frac sampling."""
+    import random
+
+    from cis555_search_engine_spark.operators.curation import sample_temperature
+
+    rng = random.Random(5)
+    rows = [
+        (i, rng.choices(["en", "de", "xx"], weights=[96, 3, 1])[0])
+        for i in range(4000)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    small = {r["doc_id"] for r in sample_temperature(df, target_frac=0.25).collect()}
+    big = {r["doc_id"] for r in sample_temperature(df, target_frac=0.6).collect()}
+    assert small < big
+    re48 = {
+        r["doc_id"]
+        for r in sample_temperature(df.repartition(48), target_frac=0.6).collect()
+    }
+    assert re48 == big
+    # alpha=0.25, target 0.9: the rare stratum's rate clamps at 1.0 -> whole
+    out = sample_temperature(df, alpha=0.25, target_frac=0.9)
+    n_xx_all = sum(1 for _, s in rows if s == "xx")
+    n_xx_kept = out.filter("lang = 'xx'").count()
+    assert n_xx_kept == n_xx_all
+    assert out.filter("lang = 'xx'").select("sample_rate").first()[0] == 1.0
+    # alpha=1 -> q ∝ p, so every stratum keeps exactly target_frac
+    flat = sample_temperature(df, alpha=1.0, target_frac=0.3)
+    assert {r[0] for r in flat.select("sample_rate").distinct().collect()} == {0.3}
+
+
 # ---------------------------------------------------------- pipeline_job
 
 
