@@ -2100,6 +2100,59 @@ SELECT src AS doc_id, min(dst) AS comp FROM reach GROUP BY src
 )
 
 
+def q_dedup_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection: one representative per near-dup
+    cluster (same edge set as dedup_components), chosen by max
+    quality_score with min-id tie-break; singletons represent
+    themselves (operators/dedup.cluster_representatives)."""
+    from .operators.dedup import (
+        cluster_representatives,
+        exact_dedup,
+        ngram_jaccard_pairs,
+    )
+    from .operators.text_analysis import quality_score
+
+    docs = load(spark, sf_dir, "documents")
+    ex = exact_dedup(docs).select(
+        F.col("rep_id").alias("i"), F.col("dup_id").alias("j")
+    )
+    ng = ngram_jaccard_pairs(docs, threshold=0.5).select("i", "j")
+    reps = cluster_representatives(
+        docs, ex.unionByName(ng), quality_score(docs)
+    )
+    return reps.select(
+        F.col("comp").cast("long").alias("comp"),
+        F.col("rep_id").cast("long").alias("rep_id"),
+        "rep_score",
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+    )
+
+
+# the twin composes the components CTE (comp = min reachable id, self
+# included) with the quality CTE, then picks max-score / min-id per
+# cluster; docs with no edges are their own singleton cluster
+SQL_DEDUP_CLUSTER_REPS = (
+    SQL_DEDUP_COMPONENTS.replace(
+        "SELECT src AS doc_id, min(dst) AS comp FROM reach GROUP BY src",
+        """, compq AS (SELECT src AS doc_id, min(dst) AS comp FROM reach GROUP BY src),
+qual AS ("""
+        + SQL_QUALITY
+        + """),
+lab AS (
+  SELECT d.doc_id AS id, coalesce(c.comp, d.doc_id) AS comp
+  FROM documents d LEFT JOIN compq c ON d.doc_id = c.doc_id
+),
+sc AS (SELECT l.id, l.comp, q.score FROM lab l JOIN qual q ON l.id = q.id),
+agg AS (SELECT comp, max(score) AS rep_score, count(*) AS cluster_size
+        FROM sc GROUP BY comp)
+SELECT a.comp, min(s.id) AS rep_id, a.rep_score, a.cluster_size
+FROM agg a JOIN sc s ON a.comp = s.comp AND s.score = a.rep_score
+GROUP BY a.comp, a.rep_score, a.cluster_size
+""",
+    )
+)
+
+
 # --------------------------------------- round-4 pipeline additions
 
 
@@ -2428,6 +2481,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_served": q_ann_ivf_served,
     # -------- round-5 additions (past the 50-row driver cap) ----------
     "sample_temperature": q_sample_temperature,
+    "dedup_cluster_reps": q_dedup_cluster_reps,
 }
 
 ORACLES: dict[str, str] = {
@@ -2502,5 +2556,6 @@ ORACLES: dict[str, str] = {
     "repetition_stats": SQL_REPETITION_STATS,
     "sample_stratified": SQL_SAMPLE_STRATIFIED,
     "sample_temperature": SQL_SAMPLE_TEMPERATURE,
+    "dedup_cluster_reps": SQL_DEDUP_CLUSTER_REPS,
     "facet_counts": SQL_FACET_COUNTS,
 }

@@ -734,3 +734,52 @@ def remove_spans(
         (F.size("_toks") - F.size(kept)).cast("long").alias("n_removed"),
         F.array_join(kept, " ").alias(text_col),
     )
+
+
+def cluster_representatives(
+    docs: DataFrame,
+    pairs: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Canonical-document selection: given near-dup edges, keep ONE
+    representative per duplicate cluster — the highest-``score_col`` doc
+    (ties: min id) — the policy step a curation pipeline runs after the
+    pair-finding family (public recipe: near-dedup keeping the
+    best-quality member, e.g. Lee et al. 2022 §3 "we keep one document
+    from each cluster").
+
+    ``pairs`` is any (i, j) edge frame, so every detector in this module
+    feeds it (exact keys, n-gram Jaccard, MinHash-LSH, SimHash,
+    embedding LSH); ``scores`` is (id, ``score_col``) — e.g.
+    ``text_analysis.quality_score``. Docs in no pair are singleton
+    clusters and representative of themselves.
+
+    Scale shape: component labeling is the alternating-star fixpoint
+    (operators/components.py); the argmax is TWO hash aggregations —
+    per-cluster max score, then min id among the max-score members —
+    both with map-side partial agg and the cluster id in the key, so a
+    giant cluster (the all-identical worst case) never pins a single
+    window partition. Returns (comp, rep_id, rep_score, cluster_size).
+    """
+    from .components import connected_components
+
+    comp = connected_components(pairs)
+    lab = (
+        docs.select(F.col(id_col).alias("id"))
+        .join(comp.withColumnRenamed("node", "id"), "id", "left")
+        .withColumn("comp", F.coalesce("comp", F.col("id")))
+    )
+    sc = lab.join(scores.select("id", score_col), "id")
+    agg = sc.groupBy("comp").agg(
+        F.max(score_col).alias("rep_score"),
+        F.count("*").alias("cluster_size"),
+    )
+    return (
+        sc.join(agg, "comp")
+        .filter(F.col(score_col) == F.col("rep_score"))
+        .groupBy("comp", "rep_score", "cluster_size")
+        .agg(F.min("id").alias("rep_id"))
+        .select("comp", "rep_id", "rep_score", "cluster_size")
+    )

@@ -201,3 +201,43 @@ def test_simhash_rejects_radius_beyond_pigeonhole(spark):
     df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
     with _pytest.raises(ValueError, match="exact radius"):
         simhash_pairs(df, max_hamming=4)
+
+
+def test_cluster_representatives_policy(spark):
+    """Best-score wins; min-id breaks ties; singletons represent
+    themselves; cluster_size counts every member."""
+    from cis555_search_engine_spark.operators.dedup import cluster_representatives
+
+    docs = spark.createDataFrame([(i,) for i in range(1, 8)], ["doc_id"])
+    # {1,2,3} one cluster (chain edge 1-2, 2-3); {5,6} tie cluster; 4, 7 singletons
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], ["i", "j"])
+    scores = spark.createDataFrame(
+        [(1, 0.5), (2, 0.9), (3, 0.7), (4, 0.1), (5, 0.8), (6, 0.8), (7, 0.0)],
+        ["id", "score"],
+    )
+    got = {
+        r["comp"]: (r["rep_id"], r["rep_score"], r["cluster_size"])
+        for r in cluster_representatives(docs, pairs, scores).collect()
+    }
+    assert got == {
+        1: (2, 0.9, 3),  # best quality wins over min id
+        5: (5, 0.8, 2),  # score tie -> min id
+        4: (4, 0.1, 1),  # singletons: own representative
+        7: (7, 0.0, 1),
+    }
+
+
+def test_cluster_representatives_giant_cluster(spark):
+    """The all-identical worst case: one cluster spanning every doc must
+    produce exactly one representative (hash-agg path, no per-cluster
+    window partition to pin)."""
+    from cis555_search_engine_spark.operators.dedup import cluster_representatives
+
+    n = 500
+    docs = spark.createDataFrame([(i,) for i in range(n)], ["doc_id"])
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], ["i", "j"])
+    scores = spark.createDataFrame([(i, float(i % 7)) for i in range(n)], ["id", "score"])
+    rows = cluster_representatives(docs, pairs, scores).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["comp"], r["rep_id"], r["rep_score"], r["cluster_size"]) == (0, 6, 6.0, n)
