@@ -403,6 +403,41 @@ def test_pipeline_job_end_to_end(spark, tmp_path, monkeypatch):
     assert m2["counts"] == m1["counts"]
 
 
+def test_pipeline_job_temperature_mode(spark, tmp_path, monkeypatch):
+    """--temperature replaces the explicit --rates with p^alpha-derived
+    per-language rates; the sampled stage carries sample_rate and the
+    funnel stays monotone. --rates and --temperature together error."""
+    import json
+    import runpy
+    import sys as _sys
+
+    import pytest as _pytest
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    src = str(tmp_path / "docs")
+    docs.write.parquet(src)
+    out = str(tmp_path / "out")
+
+    argv = [
+        "pipeline_job.py", "--docs", src, "--out", out,
+        "--temperature", "0.5:0.8", "--min-score", "0.3", "--passage-w", "0",
+    ]
+    monkeypatch.setattr(_sys, "argv", argv)
+    runpy.run_path("tools/pipeline_job.py", run_name="__main__")
+    with open(f"{out}/metrics.json") as f:
+        m = json.load(f)
+    c = m["counts"]
+    assert c["input"] >= c["curated"] >= c["sampled"] == c["packed_docs"] > 0
+    sampled = spark.read.parquet(f"{out}/sampled")
+    assert "sample_rate" in sampled.columns
+    # both sampling modes at once is a usage error
+    monkeypatch.setattr(
+        _sys, "argv", argv + ["--rates", "en=0.5"]
+    )
+    with _pytest.raises(SystemExit):
+        runpy.run_path("tools/pipeline_job.py", run_name="__main__")
+
+
 # ------------------------------------------------------- dup_passages
 
 

@@ -17,8 +17,10 @@ package, with per-stage wall-time and row counts logged as ONE JSON line
                     by remove_spans; --passage-w 0 skips)
   3. decontaminate  drop docs overlapping the eval set by trigram
                     (skipped unless --eval-docs/--eval-dict given)
-  4. sample         deterministic per-language stratified rates
-                    (skipped unless --rates given)
+  4. sample         deterministic per-language rates — explicit
+                    (--rates en=0.5,de=0.25) or temperature-derived
+                    (--temperature alpha[:target], p^alpha upweighting
+                    of low-resource languages); skipped unless one given
   5. pack           sequence packing into fixed token-budget chunks
 
 Output layout under --out (each stage writes its own directory; the
@@ -27,7 +29,7 @@ LAST one in the funnel holds the surviving docs):
   passage_deduped/      kept/ with repeated passages cut from the text
   flagged/              decontamination hits (id, n_hits, n_shingles, overlap_frac)
   kept_decontaminated/  previous stage minus flagged ids (when an eval set was given)
-  sampled/              the stratified sample (when --rates was given)
+  sampled/              the sample (when --rates/--temperature was given)
   packed/               (id, n_tokens, start_offset, chunk_id) over the survivors
   metrics.json          the same JSON line, persisted
 Consumers wanting "the training set" read the LAST materialized stage
@@ -59,6 +61,9 @@ def main() -> None:
     ap.add_argument("--eval-docs", default=None, help="eval-set parquet to decontaminate against")
     ap.add_argument("--eval-dict", default=None, help="persisted write_eval_dict directory")
     ap.add_argument("--rates", default=None, help="stratified rates, e.g. en=0.5,de=0.25")
+    ap.add_argument("--temperature", default=None,
+                    help="temperature sampling 'alpha[:target_frac]' (e.g. 0.5:0.5), "
+                         "p^alpha-weighted per-language rates; alternative to --rates")
     ap.add_argument("--min-score", type=float, default=0.55)
     ap.add_argument("--langs", default="en,de")
     ap.add_argument("--budget-tokens", type=int, default=512)
@@ -70,6 +75,8 @@ def main() -> None:
     args = ap.parse_args()
     if args.eval_docs and args.eval_dict:
         ap.error("give at most one of --eval-docs / --eval-dict")
+    if args.rates and args.temperature:
+        ap.error("give at most one of --rates / --temperature")
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -173,14 +180,27 @@ def main() -> None:
         counts["flagged"] = spark.read.parquet(flagged_path).count()
         counts["decontaminated"] = kept.count()
 
-    # 4. stratified sample
-    if args.rates:
-        rates = {
-            k.strip(): float(v)
-            for k, v in (kv.split("=") for kv in args.rates.split(","))
-        }
+    # 4. sample (stratified explicit rates, or temperature-derived ones)
+    if args.rates or args.temperature:
         t0 = time.perf_counter()
-        kept = sample_stratified(kept, rates, stratum_col="lang")
+        if args.rates:
+            rates = {
+                k.strip(): float(v)
+                for k, v in (kv.split("=") for kv in args.rates.split(","))
+            }
+            kept = sample_stratified(kept, rates, stratum_col="lang")
+        else:
+            from cis555_search_engine_spark.operators.curation import (
+                sample_temperature,
+            )
+
+            alpha, _, target = args.temperature.partition(":")
+            kept = sample_temperature(
+                kept,
+                alpha=float(alpha),
+                target_frac=float(target) if target else 0.5,
+                stratum_col="lang",
+            )
         kept_path = os.path.join(args.out, "sampled")
         kept.write.mode("overwrite").parquet(kept_path)
         t0 = mark("sample", t0)
