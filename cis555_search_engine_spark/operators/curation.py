@@ -174,10 +174,15 @@ def sample_temperature(
         F.round(rate, 6).alias("sample_rate"),
     )
     key = F.substring(F.md5(F.col(id_col).cast("string").cast("binary")), 1, 8)
+    # hinted broadcast is BOUNDED here: one 3-column row per stratum
+    # (a mixing column is languages/domains — group-cardinality, never
+    # corpus-sized). Without the hint, toy-scale size estimates can pick
+    # the CORPUS as the build side, the exact wrong shape at 100 TB.
     return (
-        docs.join(rates, g.eqNullSafe(F.col("_g")))  # null-safe: a null
-        # stratum is still a stratum (its docs sample at the null
-        # group's own rate, not silently drop on an inner-join null key)
+        docs.join(F.broadcast(rates), g.eqNullSafe(F.col("_g")))  # null-
+        # safe: a null stratum is still a stratum (its docs sample at
+        # the null group's own rate, not silently drop on an inner-join
+        # null key)
         .filter(key < F.col("_thr"))
         .drop("_g", "_thr")
     )
