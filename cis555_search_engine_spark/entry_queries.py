@@ -2055,19 +2055,27 @@ LIMIT 10
 )
 
 
+def _neardup_edges(docs: DataFrame) -> DataFrame:
+    """ONE definition of the driver queries' near-dup edge set — the
+    union of exact-dup pairs and 0.5-Jaccard shingle pairs — shared by
+    q_dedup_components and q_dedup_cluster_reps so 'same edge set as
+    dedup_components' cannot drift (their SQL twins share the same CTEs
+    via SQL_DEDUP_COMPONENTS for the identical reason)."""
+    from .operators.dedup import exact_dedup, ngram_jaccard_pairs
+
+    ex = exact_dedup(docs).select(
+        F.col("rep_id").alias("i"), F.col("dup_id").alias("j")
+    )
+    return ex.unionByName(ngram_jaccard_pairs(docs, threshold=0.5).select("i", "j"))
+
+
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERS: connected components (alternating large-star /
     small-star) over the union of exact-dup pairs and 0.5-Jaccard
     shingle pairs. comp = min reachable doc_id."""
     from .operators.components import connected_components
-    from .operators.dedup import exact_dedup, ngram_jaccard_pairs
 
-    docs = load(spark, sf_dir, "documents")
-    ex = exact_dedup(docs).select(
-        F.col("rep_id").alias("i"), F.col("dup_id").alias("j")
-    )
-    ng = ngram_jaccard_pairs(docs, threshold=0.5).select("i", "j")
-    comp = connected_components(ex.unionByName(ng))
+    comp = connected_components(_neardup_edges(load(spark, sf_dir, "documents")))
     return comp.select(F.col("node").alias("doc_id"), "comp")
 
 
@@ -2105,21 +2113,11 @@ def q_dedup_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster (same edge set as dedup_components), chosen by max
     quality_score with min-id tie-break; singletons represent
     themselves (operators/dedup.cluster_representatives)."""
-    from .operators.dedup import (
-        cluster_representatives,
-        exact_dedup,
-        ngram_jaccard_pairs,
-    )
+    from .operators.dedup import cluster_representatives
     from .operators.text_analysis import quality_score
 
     docs = load(spark, sf_dir, "documents")
-    ex = exact_dedup(docs).select(
-        F.col("rep_id").alias("i"), F.col("dup_id").alias("j")
-    )
-    ng = ngram_jaccard_pairs(docs, threshold=0.5).select("i", "j")
-    reps = cluster_representatives(
-        docs, ex.unionByName(ng), quality_score(docs)
-    )
+    reps = cluster_representatives(docs, _neardup_edges(docs), quality_score(docs))
     return reps.select(
         F.col("comp").cast("long").alias("comp"),
         F.col("rep_id").cast("long").alias("rep_id"),

@@ -110,8 +110,15 @@ def hex_rate_threshold_col(rate_col):
     hex — string order IS numeric order, same contract as the scalar
     form."""
     r = F.round(rate_col, 6)
-    return F.when(r >= 1.0, F.lit("g")).otherwise(
-        F.format_string("%08x", F.floor(r * F.lit(float(16**8))).cast("bigint"))
+    # clamp at 0 like the scalar form: %08x on a NEGATIVE bigint prints
+    # 16 hex chars, which sorts ABOVE every 8-char md5 key — a negative
+    # rate would silently keep 100% instead of 0% (review r5)
+    return (
+        F.when(r >= 1.0, F.lit("g"))
+        .when(r <= 0.0, F.lit("00000000"))
+        .otherwise(
+            F.format_string("%08x", F.floor(r * F.lit(float(16**8))).cast("bigint"))
+        )
     )
 
 
@@ -145,6 +152,12 @@ def sample_temperature(
     ``sample_rate`` (the stratum's applied keep-rate, 6-dp)."""
     from pyspark.sql import Window
 
+    if not target_frac > 0.0:
+        raise ValueError(f"target_frac must be > 0, got {target_frac}")
+    # a re-sampled frame (pipeline sampled/ output) carries sample_rate
+    # from the previous pass — replace it, don't emit a duplicate column
+    if "sample_rate" in docs.columns:
+        docs = docs.drop("sample_rate")
     g = F.col(stratum_col)
     # corpus-wide reductions as whole-frame window sums over the TINY
     # counts frame (group-cardinality rows): no self-referential joins,

@@ -756,12 +756,23 @@ def cluster_representatives(
     ``text_analysis.quality_score``. Docs in no pair are singleton
     clusters and representative of themselves.
 
+    Docs MISSING from ``scores`` (or with a null score) still count as
+    cluster members and can still represent a cluster whose every member
+    is unscored — they lose to any scored member (missing score =
+    lowest), so a partial scores frame never silently drops a doc or a
+    whole cluster from the keep-set.
+
     Scale shape: component labeling is the alternating-star fixpoint
     (operators/components.py); the argmax is TWO hash aggregations —
     per-cluster max score, then min id among the max-score members —
-    both with map-side partial agg and the cluster id in the key, so a
-    giant cluster (the all-identical worst case) never pins a single
-    window partition. Returns (comp, rep_id, rep_score, cluster_size).
+    both with map-side partial agg and the cluster id in the key, so
+    the heavy reduction of a giant cluster (the all-identical worst
+    case) happens map-side. The residual join of the cluster-cardinality
+    agg frame back onto the members is AQE-broadcast when small; at the
+    extreme (too many clusters to broadcast AND one giant cluster) AQE's
+    skew-join splitting keeps the hot comp partition parallel.
+    Returns (comp, rep_id, rep_score, cluster_size); rep_score is null
+    when the representative is unscored.
     """
     from .components import connected_components
 
@@ -771,15 +782,25 @@ def cluster_representatives(
         .join(comp.withColumnRenamed("node", "id"), "id", "left")
         .withColumn("comp", F.coalesce("comp", F.col("id")))
     )
-    sc = lab.join(scores.select("id", score_col), "id")
+    neg_inf = F.lit(float("-inf"))
+    sc = lab.join(scores.select("id", score_col), "id", "left").withColumn(
+        "_s", F.coalesce(F.col(score_col).cast("double"), neg_inf)
+    )
     agg = sc.groupBy("comp").agg(
-        F.max(score_col).alias("rep_score"),
+        F.max("_s").alias("_best"),
         F.count("*").alias("cluster_size"),
     )
     return (
         sc.join(agg, "comp")
-        .filter(F.col(score_col) == F.col("rep_score"))
-        .groupBy("comp", "rep_score", "cluster_size")
+        .filter(F.col("_s") == F.col("_best"))
+        .groupBy("comp", "_best", "cluster_size")
         .agg(F.min("id").alias("rep_id"))
-        .select("comp", "rep_id", "rep_score", "cluster_size")
+        .select(
+            "comp",
+            "rep_id",
+            F.when(F.col("_best") == neg_inf, F.lit(None).cast("double"))
+            .otherwise(F.col("_best"))
+            .alias("rep_score"),
+            "cluster_size",
+        )
     )

@@ -227,6 +227,30 @@ def test_cluster_representatives_policy(spark):
     }
 
 
+def test_cluster_representatives_partial_scores(spark):
+    """Docs missing from the scores frame (or null-scored) still count
+    as members and lose to any scored member; an all-unscored cluster
+    keeps its min-id doc with a null rep_score instead of vanishing."""
+    from cis555_search_engine_spark.operators.dedup import cluster_representatives
+
+    docs = spark.createDataFrame([(i,) for i in range(1, 7)], ["doc_id"])
+    # {1,2}: 2 scored, 1 missing; {3,4}: both missing; {5}: null score; {6}: scored
+    pairs = spark.createDataFrame([(1, 2), (3, 4)], ["i", "j"])
+    scores = spark.createDataFrame(
+        [(2, 0.4), (5, None), (6, 0.9)], "id long, score double"
+    )
+    got = {
+        r["comp"]: (r["rep_id"], r["rep_score"], r["cluster_size"])
+        for r in cluster_representatives(docs, pairs, scores).collect()
+    }
+    assert got == {
+        1: (2, 0.4, 2),     # scored member beats the unscored one
+        3: (3, None, 2),    # all-unscored cluster survives, min id, null score
+        5: (5, None, 1),    # null score == unscored
+        6: (6, 0.9, 1),
+    }
+
+
 def test_cluster_representatives_giant_cluster(spark):
     """The all-identical worst case: one cluster spanning every doc must
     produce exactly one representative (hash-agg path, no per-cluster

@@ -356,6 +356,18 @@ def test_sample_temperature_nested_stable_and_clamped(spark):
     # alpha=1 -> q ∝ p, so every stratum keeps exactly target_frac
     flat = sample_temperature(df, alpha=1.0, target_frac=0.3)
     assert {r[0] for r in flat.select("sample_rate").distinct().collect()} == {0.3}
+    # non-positive target is a usage error, not a silent keep-all (the
+    # %08x threshold of a negative rate would sort above every md5 key)
+    with pytest.raises(ValueError, match="target_frac"):
+        sample_temperature(df, target_frac=0.0)
+    with pytest.raises(ValueError, match="target_frac"):
+        sample_temperature(df, target_frac=-0.5)
+    # re-sampling a previous pass's output replaces sample_rate instead
+    # of emitting a duplicate column
+    once = sample_temperature(df, target_frac=0.6)
+    twice = sample_temperature(once, target_frac=0.25)
+    assert twice.columns.count("sample_rate") == 1
+    assert {r["doc_id"] for r in twice.collect()} <= big
 
 
 # ---------------------------------------------------------- pipeline_job

@@ -77,6 +77,18 @@ def main() -> None:
         ap.error("give at most one of --eval-docs / --eval-dict")
     if args.rates and args.temperature:
         ap.error("give at most one of --rates / --temperature")
+    temp_alpha = temp_target = None
+    if args.temperature:
+        a, _, t = args.temperature.partition(":")
+        try:
+            temp_alpha = float(a)
+            temp_target = float(t) if t else 0.5
+        except ValueError:
+            ap.error(f"--temperature expects 'alpha[:target_frac]', got {args.temperature!r}")
+        if temp_alpha < 0:
+            ap.error(f"--temperature alpha must be >= 0, got {temp_alpha}")
+        if not 0 < temp_target <= 1:
+            ap.error(f"--temperature target_frac must be in (0, 1], got {temp_target}")
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -194,12 +206,8 @@ def main() -> None:
                 sample_temperature,
             )
 
-            alpha, _, target = args.temperature.partition(":")
             kept = sample_temperature(
-                kept,
-                alpha=float(alpha),
-                target_frac=float(target) if target else 0.5,
-                stratum_col="lang",
+                kept, alpha=temp_alpha, target_frac=temp_target, stratum_col="lang"
             )
         kept_path = os.path.join(args.out, "sampled")
         kept.write.mode("overwrite").parquet(kept_path)
