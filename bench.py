@@ -66,7 +66,7 @@ LIGHT_TIER = WARM_FIRST + [
     "dedup_minhash_lsh", "dedup_simhash", "dedup_components", "ann_topk",
     "ann_ivf", "ann_kmeans", "cosine_pairs", "cosine_lsh_pairs",
     "decontaminate", "repetition_stats", "sample_stratified",
-    "sample_temperature", "dup_passages", "dedup_cluster_reps",
+    "sample_temperature", "dup_passages", "dedup_cluster_reps", "pii_redact",
 ]
 # Section B: served from the in-memory long-postings index.
 INDEX_TIER = [
