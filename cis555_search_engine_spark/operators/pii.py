@@ -54,6 +54,22 @@ PII_PATTERNS: list[tuple[str, str, str]] = [
 ]
 
 
+def scrub_text_cols(text_col: str = "text"):
+    """(clean, n_pii) column pair over `text_col` — the in-place form
+    for callers that rewrite text without reshaping the frame (the
+    pipeline job applies both in ONE projection via `withColumns`, so
+    the count sees the pre-redaction text). `clean` is the sequentially
+    redacted text; `n_pii` the total original-text match count."""
+    text = F.col(text_col)
+    clean = text
+    total = None
+    for _name, pattern, token in PII_PATTERNS:
+        c = F.regexp_count(text, F.lit(pattern)).cast("long")
+        total = c if total is None else total + c
+        clean = F.regexp_replace(clean, pattern, token)
+    return clean, total
+
+
 def pii_scrub(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -66,19 +82,14 @@ def pii_scrub(
     usually rosters or logs and get dropped rather than redacted).
     """
     text = F.col(text_col)
-    clean = text
-    counts = []
-    for name, pattern, token in PII_PATTERNS:
-        counts.append(
-            F.regexp_count(text, F.lit(pattern)).cast("long").alias(f"n_{name}")
-        )
-        clean = F.regexp_replace(clean, pattern, token)
-    total = None
-    for c in counts:
-        total = c if total is None else total + c
+    counts = [
+        F.regexp_count(text, F.lit(pattern)).cast("long").alias(f"n_{name}")
+        for name, pattern, _token in PII_PATTERNS
+    ]
+    clean, total = scrub_text_cols(text_col)
     return docs.select(
         F.col(id_col).alias("id"),
         clean.alias("clean_text"),
         *counts,
-        total.cast("long").alias("n_pii"),
+        total.alias("n_pii"),
     )

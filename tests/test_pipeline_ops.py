@@ -408,9 +408,13 @@ def test_pipeline_job_end_to_end(spark, tmp_path, monkeypatch):
     assert c["sampled"] == c["packed_docs"] > 0
     assert c["chunks"] >= 1
     assert set(m1["phases"]) == {
-        "curate", "passage_dedup", "decontaminate", "sample", "pack"
+        "curate", "passage_dedup", "pii_scrub", "decontaminate", "sample", "pack"
     }
     assert m1["counts"]["passage_tokens_removed"] >= 0
+    assert m1["counts"]["pii_redactions"] >= 0
+    # the scrub stage rewrites text in place and drops its scratch column
+    survivors = spark.read.parquet(f"{out}/sampled")
+    assert "n_pii" not in survivors.columns
     m2 = run()  # idempotent re-run: every stage overwrites its own dir
     assert m2["counts"] == m1["counts"]
 

@@ -15,18 +15,24 @@ package, with per-stage wall-time and row counts logged as ONE JSON line
   2. passage-dedup  cut repeated passages (Lee et al. 2022 substring
                     dedup: spans flagged by repeated_passages, removed
                     by remove_spans; --passage-w 0 skips)
-  3. decontaminate  drop docs overlapping the eval set by trigram
+  3. pii-scrub      redact emails / IPv4 / phones in place (regex tier,
+                    operators/pii; --no-pii-scrub skips) — BEFORE
+                    decontamination, so eval-overlap and token budgets
+                    are judged on the text actually trained on
+  4. decontaminate  drop docs overlapping the eval set by trigram
                     (skipped unless --eval-docs/--eval-dict given)
-  4. sample         deterministic per-language rates — explicit
+  5. sample         deterministic per-language rates — explicit
                     (--rates en=0.5,de=0.25) or temperature-derived
                     (--temperature alpha[:target], p^alpha upweighting
                     of low-resource languages); skipped unless one given
-  5. pack           sequence packing into fixed token-budget chunks
+  6. pack           sequence packing into fixed token-budget chunks
 
 Output layout under --out (each stage writes its own directory; the
 LAST one in the funnel holds the surviving docs):
   kept/                 docs surviving stage 1 (curate) ONLY
   passage_deduped/      kept/ with repeated passages cut from the text
+  pii_scrubbed/         previous stage with PII redacted in the text
+                        (per-doc n_pii column kept for thresholding)
   flagged/              decontamination hits (id, n_hits, n_shingles, overlap_frac)
   kept_decontaminated/  previous stage minus flagged ids (when an eval set was given)
   sampled/              the sample (when --rates/--temperature was given)
@@ -71,6 +77,8 @@ def main() -> None:
     ap.add_argument("--passage-w", type=int, default=8,
                     help="repeated-passage window width in tokens; 0 skips the stage")
     ap.add_argument("--passage-min-occ", type=int, default=2)
+    ap.add_argument("--no-pii-scrub", action="store_true",
+                    help="skip the PII redaction stage (on by default)")
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     args = ap.parse_args()
     if args.eval_docs and args.eval_dict:
@@ -168,7 +176,24 @@ def main() -> None:
         )
         kept = kept.drop("n_tokens", "n_removed")
 
-    # 3. decontaminate: drop overlapping docs from the kept set
+    # 3. PII scrub: redact in place (pure map — one projection computes
+    # the pre-redaction count AND the rewritten text, zero shuffles)
+    if not args.no_pii_scrub:
+        from cis555_search_engine_spark.operators.pii import scrub_text_cols
+
+        t0 = time.perf_counter()
+        clean, n_pii = scrub_text_cols("text")
+        scrubbed = kept.withColumns({"text": clean, "n_pii": n_pii})
+        pii_path = os.path.join(args.out, "pii_scrubbed")
+        scrubbed.write.mode("overwrite").parquet(pii_path)
+        t0 = mark("pii_scrub", t0)
+        kept = spark.read.parquet(pii_path)
+        counts["pii_redactions"] = int(
+            kept.agg(F.sum("n_pii")).collect()[0][0] or 0
+        )
+        kept = kept.drop("n_pii")
+
+    # 4. decontaminate: drop overlapping docs from the kept set
     ev = None
     if args.eval_dict:
         ev = read_eval_dict(spark, args.eval_dict)
@@ -192,7 +217,7 @@ def main() -> None:
         counts["flagged"] = spark.read.parquet(flagged_path).count()
         counts["decontaminated"] = kept.count()
 
-    # 4. sample (stratified explicit rates, or temperature-derived ones)
+    # 5. sample (stratified explicit rates, or temperature-derived ones)
     if args.rates or args.temperature:
         t0 = time.perf_counter()
         if args.rates:
@@ -215,7 +240,7 @@ def main() -> None:
         kept = spark.read.parquet(kept_path)
         counts["sampled"] = kept.count()
 
-    # 5. sequence packing over the survivors
+    # 6. sequence packing over the survivors
     t0 = time.perf_counter()
     packed = pack_sequences(kept, budget_tokens=args.budget_tokens)
     packed.write.mode("overwrite").parquet(os.path.join(args.out, "packed"))
