@@ -67,6 +67,7 @@ LIGHT_TIER = WARM_FIRST + [
     "ann_ivf", "ann_kmeans", "cosine_pairs", "cosine_lsh_pairs",
     "decontaminate", "repetition_stats", "sample_stratified",
     "sample_temperature", "dup_passages", "dedup_cluster_reps", "pii_redact",
+    "zipf_stats",
 ]
 # Section B: served from the in-memory long-postings index.
 INDEX_TIER = [

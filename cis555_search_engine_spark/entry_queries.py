@@ -2454,6 +2454,36 @@ FROM inj
 SQL_PII_REDACT = _sql_pii_redact()
 
 
+def q_zipf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term-distribution diagnostics: ln-ln Zipf slope over the
+    top-1000 terms + exact vocab/token totals, fed by the same
+    tokenizer as the index build (operators/text_analysis.zipf_stats)."""
+    from .operators.text_analysis import zipf_stats
+
+    return zipf_stats(q_wordcount(spark, sf_dir), top_n=1000)
+
+
+# ranks come from the identical (cnt DESC, term ASC) comparator, so the
+# window over the full wordcount then LIMIT keeps exactly Spark's
+# top-1000 frame; ln() is natural log on both engines
+SQL_ZIPF_STATS = (
+    SQL_TOK
+    + """,
+wc AS (SELECT term, count(*)::BIGINT AS cnt FROM tok GROUP BY term),
+top AS (SELECT cnt,
+               row_number() OVER (ORDER BY cnt DESC, term ASC) AS rank
+        FROM wc ORDER BY cnt DESC, term ASC LIMIT 1000),
+fit AS (SELECT round(regr_slope(ln(cnt), ln(rank)), 4) AS zipf_slope,
+               count(*)::BIGINT AS n_terms_fit
+        FROM top),
+vocab AS (SELECT count(*)::BIGINT AS n_vocab, sum(cnt)::BIGINT AS n_tokens
+          FROM wc)
+SELECT fit.zipf_slope, fit.n_terms_fit, vocab.n_vocab, vocab.n_tokens
+FROM fit, vocab
+"""
+)
+
+
 # ---------------------------------------------------------- registry
 
 # Registry ORDER is a driver contract (round-3 verdict item 1): the
@@ -2545,6 +2575,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_temperature": q_sample_temperature,
     "dedup_cluster_reps": q_dedup_cluster_reps,
     "pii_redact": q_pii_redact,
+    "zipf_stats": q_zipf_stats,
 }
 
 ORACLES: dict[str, str] = {
@@ -2622,4 +2653,5 @@ ORACLES: dict[str, str] = {
     "dedup_cluster_reps": SQL_DEDUP_CLUSTER_REPS,
     "facet_counts": SQL_FACET_COUNTS,
     "pii_redact": SQL_PII_REDACT,
+    "zipf_stats": SQL_ZIPF_STATS,
 }

@@ -145,6 +145,47 @@ def token_counts(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     )
 
 
+def zipf_stats(
+    wordcount: DataFrame,
+    top_n: int = 1000,
+    term_col: str = "term",
+    count_col: str = "cnt",
+) -> DataFrame:
+    """One-row corpus diagnostics over a (term, count) wordcount frame:
+    least-squares slope of ln(freq) vs ln(rank) across the `top_n` most
+    frequent terms (Zipf's law predicts ≈ -1 for natural text; a slope
+    far from it flags templated/boilerplate or synthetic corpora before
+    any training run), plus exact vocab size and token total.
+
+    Scale shape: the top-`top_n` cut is orderBy+limit, which Spark
+    plans as TakeOrderedAndProject (per-partition heaps, one merge of
+    top_n rows) — never a global sort of the vocab-sized frame; the
+    rank window then runs over AT MOST top_n rows (one bounded task,
+    same discipline as the k-boundary joins). Ties break on term so the
+    ranks — and therefore the fit — are bit-deterministic under any
+    partitioning. n_vocab / n_tokens aggregate the full frame with
+    map-side partials. The slope is rounded to 4 dp: regr_slope's
+    double accumulation order differs across engines/partitionings and
+    the trailing bits are noise, not signal.
+    """
+    from pyspark.sql import Window
+
+    order = [F.desc(count_col), F.asc(term_col)]
+    top = wordcount.orderBy(*order).limit(top_n)
+    ranked = top.withColumn("rank", F.row_number().over(Window.orderBy(*order)))
+    fit = ranked.agg(
+        F.round(
+            F.regr_slope(F.log(F.col(count_col)), F.log("rank")), 4
+        ).alias("zipf_slope"),
+        F.count(F.lit(1)).cast("long").alias("n_terms_fit"),
+    )
+    totals = wordcount.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vocab"),
+        F.sum(count_col).cast("long").alias("n_tokens"),
+    )
+    return fit.crossJoin(totals)
+
+
 def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(id, fp) — order-sensitive rolling fingerprint.
 

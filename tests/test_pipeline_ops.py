@@ -694,3 +694,55 @@ def test_pack_sequences_skewed_oracle(spark, skewed_rows, skewed_sdf):
         for r in pack_sequences(skewed_sdf, budget_tokens=budget, num_buckets=1).collect()
     }
     assert single == got
+
+
+# --------------------------------------------------------- zipf_stats
+
+
+def test_zipf_stats_matches_numpy_fit(spark):
+    """Known distribution: cnt = 2^(20-rank) for 20 terms — the ln-ln
+    slope must equal the numpy least-squares fit; totals exact."""
+    import numpy as np
+
+    from cis555_search_engine_spark.operators.text_analysis import zipf_stats
+
+    rows = [(f"t{i:02d}", 2 ** (20 - i)) for i in range(1, 21)]
+    wc = spark.createDataFrame(rows, "term string, cnt long")
+    got = zipf_stats(wc, top_n=1000).collect()[0]
+    ranks = np.arange(1, 21)
+    cnts = np.array([c for _, c in sorted(rows, key=lambda r: (-r[1], r[0]))])
+    want = np.polyfit(np.log(ranks), np.log(cnts), 1)[0]
+    assert got["zipf_slope"] == round(float(want), 4)
+    assert got["n_terms_fit"] == 20
+    assert got["n_vocab"] == 20
+    assert got["n_tokens"] == sum(c for _, c in rows)
+
+
+def test_zipf_stats_top_n_cut_and_tie_break(spark):
+    """top_n truncates the fit set (not the totals); all-tied counts
+    rank deterministically by term and fit slope 0."""
+    from cis555_search_engine_spark.operators.text_analysis import zipf_stats
+
+    rows = [(f"x{i:03d}", 7) for i in range(50)]
+    wc = spark.createDataFrame(rows, "term string, cnt long").repartition(8)
+    got = zipf_stats(wc, top_n=10).collect()[0]
+    assert got["n_terms_fit"] == 10
+    assert got["n_vocab"] == 50
+    assert got["n_tokens"] == 350
+    assert got["zipf_slope"] == 0.0  # constant y: zero slope exactly
+
+
+def test_zipf_stats_plan_is_take_ordered(spark):
+    """The vocab-sized frame must be cut with TakeOrderedAndProject,
+    never a global Sort of the whole wordcount."""
+    from pyspark.sql import functions as F
+
+    from cis555_search_engine_spark.operators.text_analysis import zipf_stats
+
+    wc = (
+        spark.range(5000)
+        .select(F.concat(F.lit("w"), F.col("id")).alias("term"),
+                (F.col("id") % 97 + 1).alias("cnt"))
+    )
+    plan = zipf_stats(wc)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
