@@ -1,6 +1,8 @@
-"""Round-4 training-pipeline operators: decontamination, repetition
-signals, stratified sampling, facet counts — each vs a pure-Python
-oracle plus edge cases the driver's sf0.01 data may not exercise."""
+"""Training-pipeline operators: decontamination, repetition signals,
+stratified + temperature sampling, facet counts, passage dedup +
+removal, Zipf diagnostics, and the composed pipeline job — each vs a
+pure-Python/numpy oracle plus edge cases the driver's sf0.01 data may
+not exercise."""
 
 from __future__ import annotations
 
