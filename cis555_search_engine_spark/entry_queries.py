@@ -2490,11 +2490,12 @@ FROM fit, vocab
 # correctness driver gates the FIRST 50 entries. Round-5 ROTATION
 # (round-4 verdict item 5): the 16 near-twin variants parked past
 # position 50 in round 4 (green there via tools/selfcheck.py + pytest)
-# now occupy driver slots, together with the round-5 additions; 17
-# round-4 driver-green representatives rotate past position 50 in
-# exchange (each keeps its green CORRECTNESS_r04 row, its selfcheck
-# coverage, and its pytest oracles) — the union of CORRECTNESS_r04 +
-# CORRECTNESS_r05 covers every registered query.
+# now occupy driver slots, together with ALL FIVE round-5 additions
+# (none of which has ever had a driver row); round-4 driver-green
+# representatives rotate past position 50 in exchange (each keeps its
+# green CORRECTNESS_r04 row, its selfcheck coverage, and its pytest
+# oracles) — the union of CORRECTNESS_r04 + CORRECTNESS_r05 covers
+# every registered query.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- core index + ranking (families: postings, stats, rankers) ---
     "postings": q_postings,
@@ -2508,9 +2509,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_batch_blocks": q_bm25_batch_blocks,
     "bm25_not_blocks": q_bm25_not_blocks,
     "bm25_compacted": q_bm25_compacted,
-    "bm25_compact_deleted": q_bm25_compact_deleted,
-    "tfidf_topk": q_tfidf_topk,
-    "cosine_topk": q_cosine_topk,
     "term_semi_join": q_term_semi_join,
     "topk_join_meta": q_topk_join_meta,
     "prior_blend": q_prior_blend,
@@ -2547,13 +2545,20 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "html_clean": q_html_clean,
     "hashed_features": q_hashed_features,
     "sample_stratified": q_sample_stratified,
+    "sample_temperature": q_sample_temperature,
+    "dedup_cluster_reps": q_dedup_cluster_reps,
+    "pii_redact": q_pii_redact,
+    "zipf_stats": q_zipf_stats,
     "multimodal_meta": q_multimodal_meta,
-    "multimodal_decode": q_multimodal_decode,
     "curate": q_curate,
     "pack_sequences": q_pack_sequences,
     "pagerank": q_pagerank,
     # -------- position 51+: round-4 driver-green representatives -------
     # (rotated out this round; green rows in CORRECTNESS_r04 + selfcheck)
+    "bm25_compact_deleted": q_bm25_compact_deleted,
+    "tfidf_topk": q_tfidf_topk,
+    "cosine_topk": q_cosine_topk,
+    "multimodal_decode": q_multimodal_decode,
     "bm25_batch": q_bm25_batch,
     "phrase_blocks": q_phrase_blocks,
     "bm25_append_blocks": q_bm25_append_blocks,
