@@ -2484,6 +2484,44 @@ FROM fit, vocab
 )
 
 
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus phrase mining: top-100 adjacent-bigram collocations by PMI
+    (pair count >= 5) over the index tokenizer's token stream
+    (operators/text_analysis.collocations)."""
+    from .operators.text_analysis import collocations
+
+    docs = load(spark, sf_dir, "documents")
+    return collocations(docs, k=100, min_count=5)
+
+
+# the bigram side reuses SQL_TOK's positioned token stream: adjacency in
+# the KEPT-token sequence is exactly pos+1 there; PMI is spelled as the
+# identical ln-sum on both engines and rounded to 6 dp (libm vs JVM ln
+# trailing-ulp noise), ties broken on (w1, w2)
+SQL_COLLOCATIONS = (
+    SQL_TOK
+    + """,
+big AS (SELECT t1.term AS w1, t2.term AS w2, count(*)::BIGINT AS pair_cnt
+        FROM tok t1 JOIN tok t2
+          ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+        GROUP BY 1, 2),
+uni AS (SELECT term, count(*)::BIGINT AS cnt FROM tok GROUP BY term),
+colt AS (SELECT (SELECT sum(pair_cnt) FROM big)::DOUBLE AS n_big,
+                (SELECT sum(cnt) FROM uni)::DOUBLE AS n_tok)
+SELECT b.w1, b.w2, b.pair_cnt,
+       round(ln(b.pair_cnt) - ln(t.n_big) - ln(u1.cnt) - ln(u2.cnt)
+             + 2 * ln(t.n_tok), 6) AS pmi
+FROM big b
+JOIN uni u1 ON b.w1 = u1.term
+JOIN uni u2 ON b.w2 = u2.term
+CROSS JOIN colt t
+WHERE b.pair_cnt >= 5
+ORDER BY pmi DESC, b.w1 ASC, b.w2 ASC
+LIMIT 100
+"""
+)
+
+
 # ---------------------------------------------------------- registry
 
 # Registry ORDER is a driver contract (round-3 verdict item 1): the
@@ -2511,7 +2549,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_compacted": q_bm25_compacted,
     "term_semi_join": q_term_semi_join,
     "topk_join_meta": q_topk_join_meta,
-    "prior_blend": q_prior_blend,
+    # prior_blend (green in CORRECTNESS_r04) rotated past 50 in exchange
+    # for collocations, which has never had a driver row
+    "collocations": q_collocations,
     # --- serving operators ---
     "phrase_match": q_phrase_match,
     "proximity_topk": q_proximity_topk,
@@ -2576,11 +2616,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionize": q_sessionize,
     "cosine_lsh_pairs": q_cosine_lsh_pairs,
     "ann_ivf_served": q_ann_ivf_served,
-    # -------- round-5 additions (past the 50-row driver cap) ----------
-    "sample_temperature": q_sample_temperature,
-    "dedup_cluster_reps": q_dedup_cluster_reps,
-    "pii_redact": q_pii_redact,
-    "zipf_stats": q_zipf_stats,
+    "prior_blend": q_prior_blend,
 }
 
 ORACLES: dict[str, str] = {
@@ -2659,4 +2695,5 @@ ORACLES: dict[str, str] = {
     "facet_counts": SQL_FACET_COUNTS,
     "pii_redact": SQL_PII_REDACT,
     "zipf_stats": SQL_ZIPF_STATS,
+    "collocations": SQL_COLLOCATIONS,
 }

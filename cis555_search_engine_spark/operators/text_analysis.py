@@ -186,6 +186,85 @@ def zipf_stats(
     return fit.crossJoin(totals)
 
 
+def collocations(
+    docs: DataFrame,
+    k: int = 100,
+    min_count: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """(w1, w2, pair_cnt, pmi) — top-k adjacent-bigram collocations by
+    pointwise mutual information over the index tokenizer's token stream
+    (Church & Hanks 1990 word-association norms; the standard phrase-
+    mining pass a training-data pipeline runs before tokenizer/vocab
+    decisions — multiword units, boilerplate phrases, templated spans).
+
+    pmi(w1,w2) = ln P(w1,w2) - ln P(w1) - ln P(w2)
+               = ln c12 - ln Nb - ln c1 - ln c2 + 2 ln N
+
+    with c12 the adjacent-pair count, Nb the total bigram occurrences,
+    c1/c2 unigram counts, N total tokens. `min_count` drops hapax pairs
+    (raw PMI degenerates to a rare-pair detector without it).
+
+    Scale shape: bigrams come from zip_with over two slices of the
+    per-doc token array — narrow, no self-join of the exploded token
+    stream (a pos+1 self-join would shuffle the whole corpus twice on
+    doc_id). One hash agg keyed by (w1, w2) — doc-id-free, so partial
+    aggregation collapses the stream map-side; one vocab-sized unigram
+    agg; the pair frame is min_count-filtered BEFORE the two unigram
+    equi-joins and those joins carry NO broadcast hint (vocab-sized
+    side — Heaps' law at 100 TB makes a forced stats ship multi-GB; AQE
+    broadcasts the filtered pair side when genuinely small). Totals are
+    one-row frames. Final top-k is orderBy+limit → TakeOrderedAndProject
+    (per-partition heaps), never a global sort. Ties break on (w1, w2)
+    so the cut is deterministic; pmi is rounded to 6 dp because libm vs
+    JVM ln differ in trailing ulps.
+    """
+    from ..functions.tokenizer import tokenize_col
+
+    arrays = docs.select(tokenize_col(F.col(text_col)).alias("toks"))
+    n = F.size("toks")
+    pairs = (
+        arrays.filter(n >= 2)
+        .select(
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("toks"), F.lit(1), n - 1),
+                    F.slice(F.col("toks"), F.lit(2), n - 1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+    )
+    big = pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("pair_cnt")
+    )
+    uni = (
+        arrays.select(F.explode("toks").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    # totals BEFORE the min_count filter: Nb is the bigram mass, not the
+    # surviving-pair mass (P(w1,w2) must stay a probability)
+    tots = big.agg(
+        F.sum("pair_cnt").cast("double").alias("n_big")
+    ).crossJoin(uni.agg(F.sum("cnt").cast("double").alias("n_tok")))
+    pmi = F.round(
+        F.log("pair_cnt") - F.log("n_big") - F.log("u1cnt") - F.log("u2cnt")
+        + 2 * F.log("n_tok"),
+        6,
+    )
+    return (
+        big.filter(F.col("pair_cnt") >= min_count)
+        .join(uni.withColumnRenamed("term", "w1").withColumnRenamed("cnt", "u1cnt"), "w1")
+        .join(uni.withColumnRenamed("term", "w2").withColumnRenamed("cnt", "u2cnt"), "w2")
+        .crossJoin(F.broadcast(tots))
+        .select("w1", "w2", "pair_cnt", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+        .limit(k)
+    )
+
+
 def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(id, fp) — order-sensitive rolling fingerprint.
 

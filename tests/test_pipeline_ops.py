@@ -748,3 +748,76 @@ def test_zipf_stats_plan_is_take_ordered(spark):
     )
     plan = zipf_stats(wc)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+# ------------------------------------------------------- collocations
+
+
+def _pmi_oracle(texts, k, min_count):
+    import math
+    from collections import Counter
+
+    from cis555_search_engine_spark.functions.tokenizer import tokenize_py
+
+    uni, big = Counter(), Counter()
+    for t in texts:
+        toks = tokenize_py(t)
+        uni.update(toks)
+        big.update(zip(toks, toks[1:]))
+    n_tok, n_big = sum(uni.values()), sum(big.values())
+    rows = [
+        (w1, w2, c,
+         round(math.log(c) - math.log(n_big) - math.log(uni[w1])
+               - math.log(uni[w2]) + 2 * math.log(n_tok), 6))
+        for (w1, w2), c in big.items() if c >= min_count
+    ]
+    rows.sort(key=lambda r: (-r[3], r[0], r[1]))
+    return rows[:k]
+
+
+def test_collocations_matches_oracle(spark, docs_sdf, docs_rows):
+    from cis555_search_engine_spark.operators.text_analysis import collocations
+
+    want = _pmi_oracle([t for _, t in docs_rows], k=50, min_count=3)
+    got = [
+        (r["w1"], r["w2"], r["pair_cnt"], r["pmi"])
+        for r in collocations(docs_sdf, k=50, min_count=3).collect()
+    ]
+    assert got == want
+    assert len(want) == 50, "fixture corpus must fill the cut or the test is weak"
+
+
+def test_collocations_min_count_and_degenerate_docs(spark):
+    """Single-token and empty docs contribute no bigrams (but DO count
+    toward unigram mass); hapax pairs fall to min_count; Nb is the
+    pre-filter bigram mass."""
+    import math
+
+    from cis555_search_engine_spark.operators.text_analysis import collocations
+
+    rows = [(i, "alpha beta") for i in range(5)] + [
+        (90, "alpha"), (91, ""), (92, "gamma delta")
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(4)
+    got = collocations(df, k=10, min_count=5).collect()
+    # bigram mass Nb = 6 (5x alpha-beta + 1x gamma-delta); unigrams:
+    # alpha 6, beta 5, gamma 1, delta 1; N = 13
+    assert len(got) == 1
+    r = got[0]
+    assert (r["w1"], r["w2"], r["pair_cnt"]) == ("alpha", "beta", 5)
+    want = round(math.log(5) - math.log(6) - math.log(6) - math.log(5)
+                 + 2 * math.log(13), 6)
+    assert r["pmi"] == want
+
+
+def test_collocations_plan_shape(spark, docs_sdf):
+    """Top-k must be TakeOrderedAndProject — never a global sort of the
+    bigram-vocab frame. (AQE may still broadcast the min_count-filtered
+    pair side at toy scale; that is its call, not a hint of ours.)"""
+    from cis555_search_engine_spark.operators.text_analysis import collocations
+
+    plan = (
+        collocations(docs_sdf, k=100, min_count=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
