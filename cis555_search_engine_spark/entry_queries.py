@@ -2522,6 +2522,43 @@ LIMIT 100
 )
 
 
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality signal: per-doc perplexity under an add-0.5
+    bigram LM trained on the corpus itself
+    (operators/text_analysis.lm_perplexity)."""
+    from .operators.text_analysis import lm_perplexity
+
+    docs = load(spark, sf_dir, "documents")
+    return lm_perplexity(docs, k_smooth=0.5)
+
+
+# dbig mirrors Spark's per-doc-first aggregation; the model ln is the
+# identical expression both sides; avg_nll rounded to 6 dp (partial-sum
+# order noise) and ppl exponentiates the ROUNDED value
+SQL_LM_PERPLEXITY = (
+    SQL_TOK
+    + """,
+dbig AS (SELECT t1.doc_id, t1.term AS w1, t2.term AS w2,
+                count(*)::BIGINT AS c
+         FROM tok t1 JOIN tok t2
+           ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+         GROUP BY 1, 2, 3),
+uni AS (SELECT term, count(*)::BIGINT AS cnt FROM tok GROUP BY term),
+voc AS (SELECT count(*)::DOUBLE AS v FROM uni),
+model AS (SELECT b.w1, b.w2,
+                 ln((b.c12 + 0.5) / (u.cnt + 0.5 * voc.v)) AS lp
+          FROM (SELECT w1, w2, sum(c)::BIGINT AS c12 FROM dbig GROUP BY 1, 2) b
+          JOIN uni u ON b.w1 = u.term
+          CROSS JOIN voc),
+sc AS (SELECT d.doc_id AS id, sum(d.c)::BIGINT AS n_bigrams,
+              round(-sum(d.c * m.lp) / sum(d.c), 6) AS avg_nll
+       FROM dbig d JOIN model m ON d.w1 = m.w1 AND d.w2 = m.w2
+       GROUP BY d.doc_id)
+SELECT id, n_bigrams, avg_nll, round(exp(avg_nll), 4) AS ppl FROM sc
+"""
+)
+
+
 # ---------------------------------------------------------- registry
 
 # Registry ORDER is a driver contract (round-3 verdict item 1): the
@@ -2548,10 +2585,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_not_blocks": q_bm25_not_blocks,
     "bm25_compacted": q_bm25_compacted,
     "term_semi_join": q_term_semi_join,
-    "topk_join_meta": q_topk_join_meta,
-    # prior_blend (green in CORRECTNESS_r04) rotated past 50 in exchange
-    # for collocations, which has never had a driver row
+    # topk_join_meta / prior_blend (both green in CORRECTNESS_r04)
+    # rotated past 50 in exchange for the two new-this-session queries,
+    # which have never had a driver row
     "collocations": q_collocations,
+    "lm_perplexity": q_lm_perplexity,
     # --- serving operators ---
     "phrase_match": q_phrase_match,
     "proximity_topk": q_proximity_topk,
@@ -2617,6 +2655,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cosine_lsh_pairs": q_cosine_lsh_pairs,
     "ann_ivf_served": q_ann_ivf_served,
     "prior_blend": q_prior_blend,
+    "topk_join_meta": q_topk_join_meta,
 }
 
 ORACLES: dict[str, str] = {
@@ -2696,4 +2735,5 @@ ORACLES: dict[str, str] = {
     "pii_redact": SQL_PII_REDACT,
     "zipf_stats": SQL_ZIPF_STATS,
     "collocations": SQL_COLLOCATIONS,
+    "lm_perplexity": SQL_LM_PERPLEXITY,
 }

@@ -186,6 +186,19 @@ def zipf_stats(
     return fit.crossJoin(totals)
 
 
+def _bigrams(toks):
+    """array<struct<w1,w2>> of ADJACENT token pairs, built narrowly from
+    two slices of the per-doc token array. The alternative — exploding
+    the positioned token stream and self-joining on pos+1 — shuffles the
+    whole corpus twice on doc_id; this is a pure per-row expression."""
+    n = F.size(toks)
+    return F.zip_with(
+        F.slice(toks, F.lit(1), n - 1),
+        F.slice(toks, F.lit(2), n - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+
+
 def collocations(
     docs: DataFrame,
     k: int = 100,
@@ -222,18 +235,9 @@ def collocations(
     from ..functions.tokenizer import tokenize_col
 
     arrays = docs.select(tokenize_col(F.col(text_col)).alias("toks"))
-    n = F.size("toks")
     pairs = (
-        arrays.filter(n >= 2)
-        .select(
-            F.explode(
-                F.zip_with(
-                    F.slice(F.col("toks"), F.lit(1), n - 1),
-                    F.slice(F.col("toks"), F.lit(2), n - 1),
-                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
-                )
-            ).alias("p")
-        )
+        arrays.filter(F.size("toks") >= 2)
+        .select(F.explode(_bigrams(F.col("toks"))).alias("p"))
         .select("p.w1", "p.w2")
     )
     big = pairs.groupBy("w1", "w2").agg(
@@ -262,6 +266,80 @@ def collocations(
         .select("w1", "w2", "pair_cnt", pmi.alias("pmi"))
         .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
         .limit(k)
+    )
+
+
+def lm_perplexity(
+    docs: DataFrame,
+    k_smooth: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_bigrams, avg_nll, ppl) — per-document perplexity under an
+    add-k-smoothed bigram LM trained on the corpus itself: the
+    CCNet-style (Wenzek et al. 2020) quality-filtering signal — garbled,
+    templated, or off-distribution documents score far from the corpus
+    mode. (CCNet scores against an external KenLM; with no external
+    models in this environment the corpus-trained LM is the
+    self-contained variant — still a strong outlier detector because a
+    single doc's own mass barely moves corpus-level counts.)
+
+        P(w2|w1) = (c(w1,w2) + k) / (c(w1) + k·V)
+        avg_nll(doc) = -Σ c_doc(w1,w2)·ln P(w2|w1) / Σ c_doc(w1,w2)
+        ppl = exp(avg_nll)
+
+    Docs with < 2 tokens have no bigrams and are absent from the output
+    (no LM evidence either way — callers left-join and impute).
+
+    Scale shape: bigrams come from the narrow `_bigrams` expression;
+    per-doc pair counts are aggregated FIRST (one shuffle keyed by
+    (id, w1, w2) — doc-id in the key kills hot-pair skew, partial aggs
+    collapse repeats map-side), the global model is derived FROM those
+    local counts (second agg reads the much smaller frame, not the raw
+    stream), and the model join back is a plain (w1, w2) equi-join with
+    NO broadcast hint (the model is bigram-vocab-sized). The vocab count
+    V is a one-row broadcast. avg_nll is rounded to 6 dp (partial-sum
+    order noise), ppl derived from the ROUNDED nll so both engines
+    exponentiate the identical double.
+    """
+    from ..functions.tokenizer import tokenize_col
+
+    arrays = docs.select(
+        F.col(id_col).alias("id"), tokenize_col(F.col(text_col)).alias("toks")
+    )
+    dp = (
+        arrays.filter(F.size("toks") >= 2)
+        .select("id", F.explode(_bigrams(F.col("toks"))).alias("p"))
+        .select("id", "p.w1", "p.w2")
+        .groupBy("id", "w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    uni = (
+        arrays.select(F.explode("toks").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    vocab = uni.agg(F.count(F.lit(1)).cast("double").alias("v"))
+    model = (
+        dp.groupBy("w1", "w2")
+        .agg(F.sum("c").cast("long").alias("c12"))
+        .join(uni.withColumnRenamed("term", "w1").withColumnRenamed("cnt", "c1"), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "w1",
+            "w2",
+            F.log((F.col("c12") + k_smooth) / (F.col("c1") + k_smooth * F.col("v"))).alias("lp"),
+        )
+    )
+    nll = F.round(-F.sum(F.col("c") * F.col("lp")) / F.sum("c"), 6)
+    return (
+        dp.join(model, ["w1", "w2"])
+        .groupBy("id")
+        .agg(
+            F.sum("c").cast("long").alias("n_bigrams"),
+            nll.alias("avg_nll"),
+        )
+        .select("id", "n_bigrams", "avg_nll", F.round(F.exp("avg_nll"), 4).alias("ppl"))
     )
 
 

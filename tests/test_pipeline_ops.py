@@ -821,3 +821,61 @@ def test_collocations_plan_shape(spark, docs_sdf):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "TakeOrderedAndProject" in plan
+
+
+# ------------------------------------------------------ lm_perplexity
+
+
+def _ppl_oracle(rows, k=0.5):
+    import math
+    from collections import Counter
+
+    from cis555_search_engine_spark.functions.tokenizer import tokenize_py
+
+    uni, big, docs = Counter(), Counter(), {}
+    for i, t in rows:
+        toks = tokenize_py(t)
+        uni.update(toks)
+        docs[i] = list(zip(toks, toks[1:]))
+        big.update(docs[i])
+    v = len(uni)
+    out = {}
+    for i, pairs in docs.items():
+        if not pairs:
+            continue
+        c = Counter(pairs)
+        n = sum(c.values())
+        nll = round(
+            -sum(cnt * math.log((big[p] + k) / (uni[p[0]] + k * v))
+                 for p, cnt in c.items()) / n,
+            6,
+        )
+        out[i] = (n, nll, round(math.exp(nll), 4))
+    return out
+
+
+def test_lm_perplexity_matches_oracle(spark, docs_sdf, docs_rows):
+    from cis555_search_engine_spark.operators.text_analysis import lm_perplexity
+
+    want = _ppl_oracle(docs_rows)
+    got = {
+        r["id"]: (r["n_bigrams"], r["avg_nll"], r["ppl"])
+        for r in lm_perplexity(docs_sdf).collect()
+    }
+    assert got == want
+    assert len(want) > 100, "fixture corpus must exercise the LM broadly"
+
+
+def test_lm_perplexity_flags_garbled_doc(spark):
+    """A doc of corpus-alien bigrams must score strictly higher than the
+    repeated in-distribution docs; sub-2-token docs are absent."""
+    from cis555_search_engine_spark.operators.text_analysis import lm_perplexity
+
+    rows = [(i, "the cat sat on the mat") for i in range(20)] + [
+        (90, "zqx wvy kjh zqx gfd"), (91, "mat"), (92, "")
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(4)
+    got = {r["id"]: r["ppl"] for r in lm_perplexity(df).collect()}
+    assert set(got) == set(range(20)) | {90}
+    assert got[90] > 2 * got[0]
+    assert len({got[i] for i in range(20)}) == 1  # identical docs, identical ppl
