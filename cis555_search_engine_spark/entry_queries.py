@@ -2559,6 +2559,86 @@ SELECT id, n_bigrams, avg_nll, round(exp(avg_nll), 4) AS ppl FROM sc
 )
 
 
+def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift monitor drill-down: top-50 unigram movers between the
+    even-doc_id and odd-doc_id halves of the corpus (stand-ins for two
+    ingestion snapshots) — operators/text_analysis.unigram_drift."""
+    from .operators.text_analysis import unigram_drift
+
+    docs = load(spark, sf_dir, "documents")
+    return unigram_drift(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        k=50,
+    )
+
+
+def q_corpus_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift monitor scalar: Jensen-Shannon divergence + vocab overlap
+    between the same two corpus halves
+    (operators/text_analysis.js_divergence)."""
+    from .operators.text_analysis import js_divergence
+
+    docs = load(spark, sf_dir, "documents")
+    return js_divergence(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+    )
+
+
+# both drift twins share this body: per-slice wordcounts full-outer
+# joined on term, coalesced zero counts, one-row totals
+_SQL_DRIFT_BODY = (
+    SQL_TOK
+    + """,
+wa AS (SELECT term, count(*)::BIGINT AS cnt_a FROM tok
+       WHERE doc_id % 2 = 0 GROUP BY term),
+wb AS (SELECT term, count(*)::BIGINT AS cnt_b FROM tok
+       WHERE doc_id % 2 = 1 GROUP BY term),
+j AS (SELECT coalesce(wa.term, wb.term) AS term,
+             coalesce(cnt_a, 0) AS cnt_a,
+             coalesce(cnt_b, 0) AS cnt_b
+      FROM wa FULL OUTER JOIN wb ON wa.term = wb.term),
+jt AS (SELECT (SELECT sum(cnt_a) FROM j)::BIGINT AS n_a,
+              (SELECT sum(cnt_b) FROM j)::BIGINT AS n_b)
+"""
+)
+
+# ORDER BY the exact integer |cnt_a*n_b - cnt_b*n_a| — bit-identical to
+# Spark's sort key, immune to double noise at the cut
+SQL_CORPUS_DRIFT = (
+    _SQL_DRIFT_BODY
+    + """
+SELECT j.term, j.cnt_a, j.cnt_b,
+       round((j.cnt_a / jt.n_a::DOUBLE - j.cnt_b / jt.n_b::DOUBLE)
+             * 1000000.0, 4) AS delta_ppm
+FROM j CROSS JOIN jt
+ORDER BY abs(j.cnt_a * jt.n_b - j.cnt_b * jt.n_a) DESC, j.term ASC
+LIMIT 50
+"""
+)
+
+SQL_CORPUS_JSD = (
+    _SQL_DRIFT_BODY
+    + """
+SELECT round(0.5 * sum(CASE WHEN cnt_a > 0 THEN (cnt_a / n_a::DOUBLE)
+                  * ln(2.0 * (cnt_a / n_a::DOUBLE)
+                       / (cnt_a / n_a::DOUBLE + cnt_b / n_b::DOUBLE))
+                  ELSE 0.0 END)
+           + 0.5 * sum(CASE WHEN cnt_b > 0 THEN (cnt_b / n_b::DOUBLE)
+                  * ln(2.0 * (cnt_b / n_b::DOUBLE)
+                       / (cnt_a / n_a::DOUBLE + cnt_b / n_b::DOUBLE))
+                  ELSE 0.0 END), 6) AS jsd,
+       sum((cnt_a > 0 AND cnt_b > 0)::BIGINT)::BIGINT AS n_common,
+       sum((cnt_b = 0)::BIGINT)::BIGINT AS n_a_only,
+       sum((cnt_a = 0)::BIGINT)::BIGINT AS n_b_only,
+       max(n_a) AS n_tok_a,
+       max(n_b) AS n_tok_b
+FROM j CROSS JOIN jt
+"""
+)
+
+
 # ---------------------------------------------------------- registry
 
 # Registry ORDER is a driver contract (round-3 verdict item 1): the
@@ -2584,17 +2664,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_batch_blocks": q_bm25_batch_blocks,
     "bm25_not_blocks": q_bm25_not_blocks,
     "bm25_compacted": q_bm25_compacted,
-    "term_semi_join": q_term_semi_join,
-    # topk_join_meta / prior_blend (both green in CORRECTNESS_r04)
-    # rotated past 50 in exchange for the two new-this-session queries,
-    # which have never had a driver row
+    # term_semi_join / group_topk / topk_join_meta / prior_blend (all
+    # green in CORRECTNESS_r04) rotated past 50 in exchange for the four
+    # new-this-session queries, which have never had a driver row
     "collocations": q_collocations,
     "lm_perplexity": q_lm_perplexity,
+    "corpus_drift": q_corpus_drift,
+    "corpus_jsd": q_corpus_jsd,
     # --- serving operators ---
     "phrase_match": q_phrase_match,
     "proximity_topk": q_proximity_topk,
     "term_completion": q_term_completion,
-    "group_topk": q_group_topk,
     # --- relational / window ---
     "tpch_q3": q_tpch_q3,
     "tpch_rollup": q_tpch_rollup,
@@ -2656,6 +2736,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_served": q_ann_ivf_served,
     "prior_blend": q_prior_blend,
     "topk_join_meta": q_topk_join_meta,
+    "term_semi_join": q_term_semi_join,
+    "group_topk": q_group_topk,
 }
 
 ORACLES: dict[str, str] = {
@@ -2736,4 +2818,6 @@ ORACLES: dict[str, str] = {
     "zipf_stats": SQL_ZIPF_STATS,
     "collocations": SQL_COLLOCATIONS,
     "lm_perplexity": SQL_LM_PERPLEXITY,
+    "corpus_drift": SQL_CORPUS_DRIFT,
+    "corpus_jsd": SQL_CORPUS_JSD,
 }

@@ -343,6 +343,124 @@ def lm_perplexity(
     )
 
 
+def _drift_counts(docs_a: DataFrame, docs_b: DataFrame, text_col: str):
+    """Full-outer-joined unigram counts of two corpus slices plus the
+    one-row totals frame — the shared body of unigram_drift and
+    js_divergence. Each side is one tokenize+hash-agg (map-side
+    partials); the join keys the two vocab-sized frames on term (no
+    broadcast hint — Heaps' law makes either side unboundable); totals
+    are single-row broadcasts."""
+    from ..functions.tokenizer import tokenize_col
+
+    def wc(docs, name):
+        return (
+            docs.select(F.explode(tokenize_col(F.col(text_col))).alias("term"))
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).cast("long").alias(name))
+        )
+
+    a, b = wc(docs_a, "cnt_a"), wc(docs_b, "cnt_b")
+    joined = (
+        a.join(b, "term", "full_outer")
+        .select(
+            "term",
+            F.coalesce("cnt_a", F.lit(0)).alias("cnt_a"),
+            F.coalesce("cnt_b", F.lit(0)).alias("cnt_b"),
+        )
+    )
+    tots = joined.agg(
+        F.sum("cnt_a").cast("long").alias("n_a"),
+        F.sum("cnt_b").cast("long").alias("n_b"),
+    )
+    return joined, tots
+
+
+def unigram_drift(
+    docs_a: DataFrame,
+    docs_b: DataFrame,
+    k: int = 200,
+    text_col: str = "text",
+    exact_order: bool = True,
+) -> DataFrame:
+    """(term, cnt_a, cnt_b, delta_ppm) — the k terms whose unigram
+    probability moved most between two corpus slices (snapshot A vs
+    snapshot B of a continuously-ingested corpus): the per-term drill-
+    down a drift monitor pages on. delta_ppm = (cnt_a/N_a − cnt_b/N_b)
+    in parts-per-million, rounded 4 dp.
+
+    Determinism at the cut: ORDER BY |p_a − p_b| on doubles puts the
+    boundary at float-noise mercy, so the sort key is the EXACT integer
+    |cnt_a·N_b − cnt_b·N_a| (≡ |p_a−p_b|·N_a·N_b) with a term
+    tie-break — bit-identical on any engine/partitioning. BIGINT-safe
+    to ~3×10⁹ tokens per slice; beyond that (the 10¹²-token corpus)
+    pass exact_order=False to rank on the double-cast products — the
+    cut is then approximate at the boundary, disclosed, while delta_ppm
+    stays exact per term.
+    """
+    joined, tots = _drift_counts(docs_a, docs_b, text_col)
+    ca, cb = F.col("cnt_a"), F.col("cnt_b")
+    if not exact_order:
+        ca, cb = ca.cast("double"), cb.cast("double")
+    mover = F.abs(ca * F.col("n_b") - cb * F.col("n_a")).alias("_mv")
+    return (
+        joined.crossJoin(F.broadcast(tots))
+        .select(
+            "term",
+            "cnt_a",
+            "cnt_b",
+            F.round(
+                (F.col("cnt_a") / F.col("n_a") - F.col("cnt_b") / F.col("n_b"))
+                * F.lit(1000000.0),
+                4,
+            ).alias("delta_ppm"),
+            mover,
+        )
+        .orderBy(F.desc("_mv"), F.asc("term"))
+        .limit(k)
+        .drop("_mv")
+    )
+
+
+def js_divergence(
+    docs_a: DataFrame,
+    docs_b: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """One-row Jensen–Shannon divergence between the unigram
+    distributions of two corpus slices, plus the vocab-overlap counts —
+    the scalar a drift monitor alerts on (symmetric, bounded by ln 2,
+    defined even when vocabularies differ — unlike KL).
+
+        JSD = ½ Σ p·ln(2p/(p+q)) + ½ Σ q·ln(2q/(p+q))
+
+    Zero-count terms contribute only to the present side (0·ln0 := 0 by
+    the standard convention — the full-outer join's coalesced zeros make
+    the term drop out of its own sum exactly). One pass over the joined
+    vocab frame, order-independent aggregates, rounded 6 dp (double
+    partial-sum order noise ~1e-12 at any vocab size).
+    """
+    joined, tots = _drift_counts(docs_a, docs_b, text_col)
+    p = F.col("cnt_a") / F.col("n_a")
+    q = F.col("cnt_b") / F.col("n_b")
+    term_a = F.when(
+        F.col("cnt_a") > 0, p * F.log(F.lit(2.0) * p / (p + q))
+    ).otherwise(F.lit(0.0))
+    term_b = F.when(
+        F.col("cnt_b") > 0, q * F.log(F.lit(2.0) * q / (p + q))
+    ).otherwise(F.lit(0.0))
+    return (
+        joined.crossJoin(F.broadcast(tots))
+        .agg(
+            F.round(0.5 * F.sum(term_a) + 0.5 * F.sum(term_b), 6).alias("jsd"),
+            F.sum(((F.col("cnt_a") > 0) & (F.col("cnt_b") > 0)).cast("long")).alias("n_common"),
+            F.sum((F.col("cnt_b") == 0).cast("long")).alias("n_a_only"),
+            F.sum((F.col("cnt_a") == 0).cast("long")).alias("n_b_only"),
+            F.max("n_a").alias("n_tok_a"),
+            F.max("n_b").alias("n_tok_b"),
+        )
+    )
+
+
 def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(id, fp) — order-sensitive rolling fingerprint.
 

@@ -879,3 +879,92 @@ def test_lm_perplexity_flags_garbled_doc(spark):
     assert set(got) == set(range(20)) | {90}
     assert got[90] > 2 * got[0]
     assert len({got[i] for i in range(20)}) == 1  # identical docs, identical ppl
+
+
+# ------------------------------------------------- corpus drift monitor
+
+
+def _drift_counts_py(rows):
+    from collections import Counter
+
+    from cis555_search_engine_spark.functions.tokenizer import tokenize_py
+
+    a, b = Counter(), Counter()
+    for i, t in rows:
+        (a if i % 2 == 0 else b).update(tokenize_py(t))
+    return a, b
+
+
+def test_unigram_drift_matches_oracle(spark, docs_sdf, docs_rows):
+    from pyspark.sql import functions as F
+
+    from cis555_search_engine_spark.operators.text_analysis import unigram_drift
+
+    a, b = _drift_counts_py(docs_rows)
+    na, nb = sum(a.values()), sum(b.values())
+    rows = [
+        (t, a[t], b[t], round((a[t] / na - b[t] / nb) * 1e6, 4))
+        for t in set(a) | set(b)
+    ]
+    rows.sort(key=lambda r: (-abs(r[1] * nb - r[2] * na), r[0]))
+    want = rows[:10]
+
+    got = [
+        tuple(r)
+        for r in unigram_drift(
+            docs_sdf.filter(F.col("doc_id") % 2 == 0),
+            docs_sdf.filter(F.col("doc_id") % 2 == 1),
+            k=10,
+        ).collect()
+    ]
+    assert got == want
+
+
+def test_js_divergence_matches_oracle_and_properties(spark):
+    """JSD(X, X) = 0; disjoint vocabularies hit the ln2 bound; a hand
+    case matches the closed form; side-only vocab counts are exact."""
+    import math
+
+    from cis555_search_engine_spark.operators.text_analysis import js_divergence
+
+    same = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma")], ["doc_id", "text"]
+    )
+    r = js_divergence(same.filter("doc_id = 1"), same.filter("doc_id = 2")).collect()[0]
+    assert r["jsd"] == 0.0 and r["n_common"] == 3
+    assert r["n_a_only"] == 0 and r["n_b_only"] == 0
+
+    disjoint = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta")], ["doc_id", "text"]
+    )
+    r = js_divergence(disjoint.filter("doc_id = 1"), disjoint.filter("doc_id = 2")).collect()[0]
+    assert r["jsd"] == round(math.log(2), 6)
+    assert r["n_common"] == 0 and r["n_a_only"] == 2 and r["n_b_only"] == 2
+
+    # hand case: A = {x:2, y:1}, B = {x:1, y:2}
+    ab = spark.createDataFrame([(1, "x x y"), (2, "x y y")], ["doc_id", "text"])
+    p, q = [2 / 3, 1 / 3], [1 / 3, 2 / 3]
+    want = round(
+        0.5 * sum(pi * math.log(2 * pi / (pi + qi)) for pi, qi in zip(p, q))
+        + 0.5 * sum(qi * math.log(2 * qi / (pi + qi)) for pi, qi in zip(p, q)),
+        6,
+    )
+    r = js_divergence(ab.filter("doc_id = 1"), ab.filter("doc_id = 2")).collect()[0]
+    assert r["jsd"] == want and r["n_tok_a"] == 3 and r["n_tok_b"] == 3
+
+
+def test_unigram_drift_exact_order_boundary(spark):
+    """The cut ranks on the exact integer |cnt_a*n_b - cnt_b*n_a|: two
+    terms with identical float |delta_p| but different terms must cut
+    deterministically by term, under any partitioning."""
+    from cis555_search_engine_spark.operators.text_analysis import unigram_drift
+
+    a = spark.createDataFrame(
+        [(0, "aaa aaa bbb ccc")], ["doc_id", "text"]
+    ).repartition(4)
+    b = spark.createDataFrame(
+        [(1, "aaa bbb bbb ccc")], ["doc_id", "text"]
+    ).repartition(4)
+    got = [r["term"] for r in unigram_drift(a, b, k=2).collect()]
+    # movers: aaa (+1/4), bbb (-1/4) tie on magnitude -> term order; ccc flat
+    assert got == ["aaa", "bbb"]
