@@ -968,3 +968,43 @@ def test_unigram_drift_exact_order_boundary(spark):
     got = [r["term"] for r in unigram_drift(a, b, k=2).collect()]
     # movers: aaa (+1/4), bbb (-1/4) tie on magnitude -> term order; ccc flat
     assert got == ["aaa", "bbb"]
+
+
+def test_pipeline_job_ppl_filter_stage(spark, tmp_path, monkeypatch):
+    """--ppl-quantile inserts the perplexity-filter stage: the kept count
+    shrinks by roughly the cut tail, every surviving doc's audit ppl is
+    at or below the recorded threshold, and an out-of-range quantile is
+    a usage error."""
+    import json
+    import runpy
+    import sys as _sys
+
+    import pytest as _pytest
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    src = str(tmp_path / "docs")
+    docs.write.parquet(src)
+    out = str(tmp_path / "out")
+
+    argv = [
+        "pipeline_job.py", "--docs", src, "--out", out,
+        "--min-score", "0.3", "--passage-w", "0", "--no-pii-scrub",
+        "--ppl-quantile", "0.9",
+    ]
+    monkeypatch.setattr(_sys, "argv", argv)
+    runpy.run_path("tools/pipeline_job.py", run_name="__main__")
+    with open(f"{out}/metrics.json") as f:
+        m = json.load(f)
+    c = m["counts"]
+    assert c["curated"] >= c["ppl_kept"] == c["packed_docs"] > 0
+    assert c["ppl_kept"] < c["curated"], "a 0.9 quantile must cut a tail"
+    filt = spark.read.parquet(f"{out}/ppl_filtered")
+    audit = filt.agg({"ppl": "max"}).collect()[0][0]
+    assert audit is None or audit <= c["ppl_threshold"]
+    assert "ppl_filter" in m["phases"]
+
+    monkeypatch.setattr(
+        _sys, "argv", argv[:-1] + ["1.5"]
+    )
+    with _pytest.raises(SystemExit):
+        runpy.run_path("tools/pipeline_job.py", run_name="__main__")

@@ -21,11 +21,16 @@ package, with per-stage wall-time and row counts logged as ONE JSON line
                     are judged on the text actually trained on
   4. decontaminate  drop docs overlapping the eval set by trigram
                     (skipped unless --eval-docs/--eval-dict given)
-  5. sample         deterministic per-language rates — explicit
+  5. ppl-filter     drop the worst perplexity tail under a corpus-
+                    trained bigram LM (CCNet-style; --ppl-quantile 0.95
+                    keeps docs at or below the 95th-percentile ppl;
+                    skipped unless given) — AFTER the text rewrites so
+                    the LM scores the text actually trained on
+  6. sample         deterministic per-language rates — explicit
                     (--rates en=0.5,de=0.25) or temperature-derived
                     (--temperature alpha[:target], p^alpha upweighting
                     of low-resource languages); skipped unless one given
-  6. pack           sequence packing into fixed token-budget chunks
+  7. pack           sequence packing into fixed token-budget chunks
 
 Output layout under --out (each stage writes its own directory; the
 LAST one in the funnel holds the surviving docs):
@@ -35,11 +40,14 @@ LAST one in the funnel holds the surviving docs):
                         (per-doc n_pii column kept for thresholding)
   flagged/              decontamination hits (id, n_hits, n_shingles, overlap_frac)
   kept_decontaminated/  previous stage minus flagged ids (when an eval set was given)
+  ppl_filtered/         previous stage minus the high-perplexity tail
+                        (per-doc ppl column kept for audit)
   sampled/              the sample (when --rates/--temperature was given)
   packed/               (id, n_tokens, start_offset, chunk_id) over the survivors
   metrics.json          the same JSON line, persisted
 Consumers wanting "the training set" read the LAST materialized stage
-(sampled/, else kept_decontaminated/, else passage_deduped/) or just packed/.
+(sampled/, else ppl_filtered/, else kept_decontaminated/, else
+passage_deduped/) or just packed/.
 
 Each stage writes parquet with mode=overwrite, so re-running the job is
 idempotent. Stage inputs re-read the previous stage's parquet rather
@@ -79,6 +87,10 @@ def main() -> None:
     ap.add_argument("--passage-min-occ", type=int, default=2)
     ap.add_argument("--no-pii-scrub", action="store_true",
                     help="skip the PII redaction stage (on by default)")
+    ap.add_argument("--ppl-quantile", type=float, default=None,
+                    help="drop docs above this ppl quantile under a "
+                         "corpus-trained bigram LM (e.g. 0.95); skipped "
+                         "unless given")
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     args = ap.parse_args()
     if args.eval_docs and args.eval_dict:
@@ -97,6 +109,8 @@ def main() -> None:
             ap.error(f"--temperature alpha must be >= 0, got {temp_alpha}")
         if not 0 < temp_target <= 1:
             ap.error(f"--temperature target_frac must be in (0, 1], got {temp_target}")
+    if args.ppl_quantile is not None and not 0 < args.ppl_quantile < 1:
+        ap.error(f"--ppl-quantile must be in (0, 1), got {args.ppl_quantile}")
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -217,7 +231,40 @@ def main() -> None:
         counts["flagged"] = spark.read.parquet(flagged_path).count()
         counts["decontaminated"] = kept.count()
 
-    # 5. sample (stratified explicit rates, or temperature-derived ones)
+    # 5. perplexity filter: drop the worst tail under a bigram LM trained
+    # on the surviving corpus itself (CCNet-style). Runs AFTER the text
+    # rewrites (passage cut, PII scrub) so the LM judges the text that
+    # would actually be trained on. Docs with < 2 tokens have no LM
+    # evidence and are KEPT (the curate stage already gates degenerate
+    # docs on its own features). The threshold is approx_percentile over
+    # the ppl column — deterministic for a given input, and the per-doc
+    # ppl is carried into the output for audit.
+    if args.ppl_quantile is not None:
+        from cis555_search_engine_spark.operators.text_analysis import lm_perplexity
+
+        t0 = time.perf_counter()
+        ppl = lm_perplexity(kept).select(
+            F.col("id").alias("doc_id"), "ppl"
+        )
+        thr = float(
+            ppl.agg(
+                F.percentile_approx("ppl", args.ppl_quantile, 10000)
+            ).collect()[0][0]
+            or float("inf")
+        )
+        survived = (
+            kept.join(ppl, "doc_id", "left")
+            .filter(F.col("ppl").isNull() | (F.col("ppl") <= F.lit(thr)))
+        )
+        ppl_path = os.path.join(args.out, "ppl_filtered")
+        survived.write.mode("overwrite").parquet(ppl_path)
+        t0 = mark("ppl_filter", t0)
+        kept = spark.read.parquet(ppl_path)
+        counts["ppl_threshold"] = round(thr, 4)
+        counts["ppl_kept"] = kept.count()
+        kept = kept.drop("ppl")
+
+    # 6. sample (stratified explicit rates, or temperature-derived ones)
     if args.rates or args.temperature:
         t0 = time.perf_counter()
         if args.rates:
@@ -240,7 +287,7 @@ def main() -> None:
         kept = spark.read.parquet(kept_path)
         counts["sampled"] = kept.count()
 
-    # 6. sequence packing over the survivors
+    # 7. sequence packing over the survivors
     t0 = time.perf_counter()
     packed = pack_sequences(kept, budget_tokens=args.budget_tokens)
     packed.write.mode("overwrite").parquet(os.path.join(args.out, "packed"))
