@@ -2639,6 +2639,39 @@ FROM j CROSS JOIN jt
 )
 
 
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer vocab-sizing diagnostic: token-mass coverage of top-V
+    vocabularies (operators/text_analysis.vocab_coverage) over the same
+    wordcount frame as zipf_stats."""
+    from .operators.text_analysis import vocab_coverage
+
+    return vocab_coverage(q_wordcount(spark, sf_dir), sizes=(10, 100, 1000))
+
+
+# identical (cnt DESC, term ASC) comparator; every quantity except the
+# final ratio is an exact integer, so the twin cannot drift
+SQL_VOCAB_COVERAGE = (
+    SQL_TOK
+    + """,
+wc AS (SELECT term, count(*)::BIGINT AS cnt FROM tok GROUP BY term),
+top AS (SELECT row_number() OVER (ORDER BY cnt DESC, term ASC) AS rank,
+               sum(cnt) OVER (ORDER BY cnt DESC, term ASC
+                              ROWS UNBOUNDED PRECEDING) AS cum
+        FROM wc ORDER BY cnt DESC, term ASC LIMIT 1000),
+tv AS (SELECT count(*)::BIGINT AS n_vocab, sum(cnt)::BIGINT AS n_tokens
+       FROM wc),
+sz AS (SELECT * FROM (VALUES (10), (100), (1000)) AS t(vocab_size))
+SELECT sz.vocab_size::BIGINT AS vocab_size,
+       least(sz.vocab_size, tv.n_vocab)::BIGINT AS n_terms,
+       coalesce(top.cum, 0)::BIGINT AS covered_tokens,
+       round(coalesce(top.cum, 0) / tv.n_tokens::DOUBLE, 6) AS coverage
+FROM sz CROSS JOIN tv
+LEFT JOIN top ON top.rank = least(sz.vocab_size, tv.n_vocab)
+ORDER BY vocab_size
+"""
+)
+
+
 # ---------------------------------------------------------- registry
 
 # Registry ORDER is a driver contract (round-3 verdict item 1): the
@@ -2664,13 +2697,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_batch_blocks": q_bm25_batch_blocks,
     "bm25_not_blocks": q_bm25_not_blocks,
     "bm25_compacted": q_bm25_compacted,
-    # term_semi_join / group_topk / topk_join_meta / prior_blend (all
-    # green in CORRECTNESS_r04) rotated past 50 in exchange for the four
-    # new-this-session queries, which have never had a driver row
+    # term_semi_join / group_topk / topk_join_meta / prior_blend /
+    # pagerank (all green in CORRECTNESS_r04) rotated past 50 in
+    # exchange for the five new-this-session queries, which have never
+    # had a driver row
     "collocations": q_collocations,
     "lm_perplexity": q_lm_perplexity,
     "corpus_drift": q_corpus_drift,
     "corpus_jsd": q_corpus_jsd,
+    "vocab_coverage": q_vocab_coverage,
     # --- serving operators ---
     "phrase_match": q_phrase_match,
     "proximity_topk": q_proximity_topk,
@@ -2820,4 +2855,5 @@ ORACLES: dict[str, str] = {
     "lm_perplexity": SQL_LM_PERPLEXITY,
     "corpus_drift": SQL_CORPUS_DRIFT,
     "corpus_jsd": SQL_CORPUS_JSD,
+    "vocab_coverage": SQL_VOCAB_COVERAGE,
 }

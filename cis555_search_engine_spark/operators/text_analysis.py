@@ -343,6 +343,70 @@ def lm_perplexity(
     )
 
 
+def vocab_coverage(
+    wordcount: DataFrame,
+    sizes: tuple[int, ...] = (100, 1000, 10000),
+    term_col: str = "term",
+    count_col: str = "cnt",
+) -> DataFrame:
+    """(vocab_size, n_terms, covered_tokens, coverage) — what fraction of
+    the corpus token mass a top-V vocabulary captures, for each candidate
+    V: the tokenizer vocab-sizing diagnostic (pick V where the marginal
+    coverage flattens; 1 − coverage is the OOV rate a V-entry vocab
+    would pay). n_terms = min(V, |vocab|) is the cut actually taken.
+
+    Scale shape: same discipline as zipf_stats — the vocab-sized
+    wordcount is cut with orderBy+limit max(sizes) (planned as
+    TakeOrderedAndProject: per-partition heaps, one merge of max(sizes)
+    rows — never a global vocab sort); the rank/cumsum window then runs
+    over AT MOST max(sizes) rows in one bounded task. (When max(sizes)
+    >= |vocab| Catalyst's EliminateLimits drops the limit and sorts the
+    whole wordcount — safe by construction, since that frame is itself
+    smaller than max(sizes).) Totals aggregate
+    the full frame with map-side partials. All quantities are exact
+    integers under the deterministic (cnt DESC, term ASC) comparator;
+    only the final ratio is a rounded double (6 dp).
+    """
+    from pyspark.sql import Window
+
+    if not sizes or any(s <= 0 for s in sizes):
+        raise ValueError(f"sizes must be positive, got {sizes!r}")
+    order = [F.desc(count_col), F.asc(term_col)]
+    w = Window.orderBy(*order)
+    top = (
+        wordcount.orderBy(*order)
+        .limit(max(sizes))
+        .select(
+            F.row_number().over(w).alias("rank"),
+            F.sum(count_col).over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        )
+    )
+    totals = wordcount.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vocab"),
+        F.sum(count_col).cast("long").alias("n_tokens"),
+    )
+    sizes_df = F.broadcast(
+        wordcount.sparkSession.createDataFrame(
+            [(int(s),) for s in sorted(set(sizes))], "vocab_size long"
+        )
+    )
+    return (
+        sizes_df.crossJoin(F.broadcast(totals))
+        .join(
+            top,
+            top["rank"] == F.least(F.col("vocab_size"), F.col("n_vocab")),
+            "left",
+        )
+        .select(
+            "vocab_size",
+            F.least(F.col("vocab_size"), F.col("n_vocab")).alias("n_terms"),
+            F.coalesce("cum", F.lit(0)).cast("long").alias("covered_tokens"),
+            F.round(F.coalesce("cum", F.lit(0)) / F.col("n_tokens"), 6).alias("coverage"),
+        )
+        .orderBy("vocab_size")
+    )
+
+
 def _drift_counts(docs_a: DataFrame, docs_b: DataFrame, text_col: str):
     """Full-outer-joined unigram counts of two corpus slices plus the
     one-row totals frame — the shared body of unigram_drift and

@@ -1008,3 +1008,60 @@ def test_pipeline_job_ppl_filter_stage(spark, tmp_path, monkeypatch):
     )
     with _pytest.raises(SystemExit):
         runpy.run_path("tools/pipeline_job.py", run_name="__main__")
+
+
+# ------------------------------------------------------ vocab_coverage
+
+
+def test_vocab_coverage_matches_oracle(spark, docs_rows):
+    from collections import Counter
+
+    from cis555_search_engine_spark.functions.tokenizer import tokenize_py
+    from cis555_search_engine_spark.operators.text_analysis import vocab_coverage
+
+    wc = Counter()
+    for _, t in docs_rows:
+        wc.update(tokenize_py(t))
+    ordered = sorted(wc.items(), key=lambda kv: (-kv[1], kv[0]))
+    total = sum(wc.values())
+
+    def want(v):
+        n = min(v, len(ordered))
+        cov = sum(c for _, c in ordered[:n])
+        return (v, n, cov, round(cov / total, 6))
+
+    wc_sdf = spark.createDataFrame(list(wc.items()), "term string, cnt long")
+    got = [
+        (r["vocab_size"], r["n_terms"], r["covered_tokens"], r["coverage"])
+        for r in vocab_coverage(wc_sdf, sizes=(5, 20, 10000)).collect()
+    ]
+    assert got == [want(5), want(20), want(10000)]
+    assert got[-1][3] == 1.0  # V beyond the vocab covers everything
+
+
+def test_vocab_coverage_plan_and_validation(spark):
+    """The wordcount cut must be TakeOrderedAndProject (never a global
+    vocab sort); bad sizes raise."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from cis555_search_engine_spark.operators.text_analysis import vocab_coverage
+
+    wc = (
+        spark.range(5000)
+        .select(F.concat(F.lit("w"), F.col("id")).alias("term"),
+                (F.col("id") % 97 + 1).cast("long").alias("cnt"))
+    )
+    # sizes strictly below the vocab size: when max(sizes) >= |vocab|
+    # Catalyst's EliminateLimits drops the limit (the frame is then
+    # bounded by the vocab itself, so that case is safe by construction)
+    plan = (
+        vocab_coverage(wc, sizes=(100, 1000))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    with _pytest.raises(ValueError):
+        vocab_coverage(wc, sizes=())
+    with _pytest.raises(ValueError):
+        vocab_coverage(wc, sizes=(0, 10))
