@@ -2672,6 +2672,67 @@ ORDER BY vocab_size
 )
 
 
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023): score every document
+    by hashed-ngram target-vs-raw log-likelihood ratio, target = the
+    doc_id % 10 == 0 slice (a stand-in curated subset)
+    (operators/curation.dsir_weights)."""
+    from .operators.curation import dsir_weights
+
+    docs = load(spark, sf_dir, "documents")
+    return dsir_weights(docs, docs.filter(F.col("doc_id") % 10 == 0))
+
+
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DSIR selection cut: top-100 most target-like docs by
+    importance weight, deterministic ties on id
+    (operators/curation.dsir_select)."""
+    from .operators.curation import dsir_select
+
+    docs = load(spark, sf_dir, "documents")
+    return dsir_select(docs, docs.filter(F.col("doc_id") % 10 == 0), k=100)
+
+
+# shared DSIR body: unigram ∪ adjacent-bigram grams, md5-bucketed with
+# the exact _gram_bucket formula, add-0.5-smoothed log-ratio per bucket
+_SQL_DSIR_BODY = (
+    SQL_TOK
+    + """,
+grams AS (
+  SELECT doc_id, term AS g FROM tok
+  UNION ALL
+  SELECT t1.doc_id, t1.term || ' ' || t2.term AS g
+  FROM tok t1 JOIN tok t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+),
+gb AS (SELECT doc_id,
+              (('0x' || substr(md5(g), 1, 8))::UBIGINT % 4096)::BIGINT AS b
+       FROM grams),
+dc AS (SELECT doc_id, b, count(*)::BIGINT AS c FROM gb GROUP BY 1, 2),
+rawb AS (SELECT b, sum(c)::BIGINT AS cr FROM dc GROUP BY b),
+tgtb AS (SELECT b, sum(c)::BIGINT AS ct FROM dc WHERE doc_id % 10 = 0
+         GROUP BY b),
+jb AS (SELECT coalesce(rawb.b, tgtb.b) AS b,
+              coalesce(cr, 0) AS cr, coalesce(ct, 0) AS ct
+       FROM rawb FULL OUTER JOIN tgtb ON rawb.b = tgtb.b),
+jt AS (SELECT sum(cr)::DOUBLE AS n_r, sum(ct)::DOUBLE AS n_t FROM jb),
+lr AS (SELECT b, ln((ct + 0.5) / (n_t + 0.5 * 4096))
+                 - ln((cr + 0.5) / (n_r + 0.5 * 4096)) AS lr
+       FROM jb CROSS JOIN jt),
+dw AS (SELECT dc.doc_id AS id, sum(dc.c)::BIGINT AS n_grams,
+              round(sum(dc.c * lr.lr), 6) AS logw
+       FROM dc JOIN lr ON dc.b = lr.b
+       GROUP BY dc.doc_id)
+"""
+)
+
+SQL_DSIR_WEIGHTS = _SQL_DSIR_BODY + "SELECT id, n_grams, logw FROM dw"
+
+SQL_DSIR_SELECT = (
+    _SQL_DSIR_BODY
+    + "SELECT id, n_grams, logw FROM dw ORDER BY logw DESC, id ASC LIMIT 100"
+)
+
+
 # ---------------------------------------------------------- registry
 
 # Registry ORDER is a driver contract (round-3 verdict item 1): the
@@ -2739,15 +2800,18 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hashed_features": q_hashed_features,
     "sample_stratified": q_sample_stratified,
     "sample_temperature": q_sample_temperature,
+    "dsir_weights": q_dsir_weights,
+    "dsir_select": q_dsir_select,
     "dedup_cluster_reps": q_dedup_cluster_reps,
     "pii_redact": q_pii_redact,
     "zipf_stats": q_zipf_stats,
-    "multimodal_meta": q_multimodal_meta,
     "curate": q_curate,
     "pack_sequences": q_pack_sequences,
     "pagerank": q_pagerank,
     # -------- position 51+: round-4 driver-green representatives -------
-    # (rotated out this round; green rows in CORRECTNESS_r04 + selfcheck)
+    # (rotated out this round; green rows in CORRECTNESS_r04 + selfcheck;
+    # multimodal_meta joined them to make room for the two DSIR queries)
+    "multimodal_meta": q_multimodal_meta,
     "bm25_compact_deleted": q_bm25_compact_deleted,
     "tfidf_topk": q_tfidf_topk,
     "cosine_topk": q_cosine_topk,
@@ -2847,6 +2911,8 @@ ORACLES: dict[str, str] = {
     "repetition_stats": SQL_REPETITION_STATS,
     "sample_stratified": SQL_SAMPLE_STRATIFIED,
     "sample_temperature": SQL_SAMPLE_TEMPERATURE,
+    "dsir_weights": SQL_DSIR_WEIGHTS,
+    "dsir_select": SQL_DSIR_SELECT,
     "dedup_cluster_reps": SQL_DEDUP_CLUSTER_REPS,
     "facet_counts": SQL_FACET_COUNTS,
     "pii_redact": SQL_PII_REDACT,

@@ -364,3 +364,155 @@ def pack_sequences(
         .join(F.broadcast(off_df), "_pid")
         .withColumn("start_offset", F.col("_off") + F.col("_local"))
     )
+
+
+def _gram_bucket(gram, n_buckets: int):
+    """Hashed-feature bucket of a gram string: first 8 hex chars of its
+    md5, read as an unsigned 32-bit integer, mod n_buckets. The SAME
+    formula the SQL oracle twin replays
+    (``('0x' || substr(md5(g),1,8))::UBIGINT % B``) — grams are ASCII
+    ([a-z-]+ tokens, space-joined bigrams), so the UTF-8 bytes Spark
+    hashes are byte-identical to DuckDB's VARCHAR md5 input."""
+    return (
+        F.conv(F.substring(F.md5(gram.cast("binary")), 1, 8), 16, 10).cast("long")
+        % F.lit(int(n_buckets))
+    )
+
+
+def _doc_gram_buckets(docs: DataFrame, text_col: str, n_buckets: int, id_col=None):
+    """(id?, b) — one row per gram occurrence, bucketed. Grams are the
+    DSIR feature set: unigrams plus adjacent bigrams ("w1 w2") of the
+    index tokenizer's stream, built narrowly from two slices of the
+    per-doc token array (no positioned-stream self-join) and exploded
+    ONCE from the concatenated array."""
+    from ..functions.tokenizer import tokenize_col
+    from .text_analysis import _bigrams
+
+    toks = tokenize_col(F.col(text_col))
+    big_strs = F.transform(
+        _bigrams(toks), lambda p: F.concat_ws(" ", p["w1"], p["w2"])
+    )
+    # _bigrams slices with length n-1: negative for the 0/1-token docs a
+    # transcript corpus always contains — those docs contribute their
+    # unigrams only
+    grams = F.when(F.size(toks) >= 2, F.concat(toks, big_strs)).otherwise(toks)
+    cols = [F.col(id_col).alias("id")] if id_col else []
+    return docs.select(*cols, F.explode(grams).alias("_g")).select(
+        *(["id"] if id_col else []), _gram_bucket(F.col("_g"), n_buckets).alias("b")
+    )
+
+
+def dsir_weights(
+    raw_docs: DataFrame,
+    target_docs: DataFrame,
+    n_buckets: int = 4096,
+    k_smooth: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_grams, logw) — per-document importance weights for
+    Data Selection via Importance Resampling (DSIR, Xie et al. 2023,
+    NeurIPS): score every raw-corpus document by how much more likely
+    its hashed n-gram features are under a TARGET corpus (the
+    high-quality / in-domain slice you want more of) than under the raw
+    corpus itself,
+
+        logw(doc) = Σ_b c_doc[b] · ( ln p̂_target[b] − ln p̂_raw[b] ),
+        p̂[b] = (count[b] + k) / (N + k·B)           (add-k smoothing)
+
+    with features b = md5-hash buckets of unigrams ∪ adjacent bigrams.
+    Selecting the top-weighted docs (``dsir_select``) tilts the kept
+    corpus toward the target distribution — the data-selection step a
+    pretraining pipeline runs between dedup and tokenization. Docs with
+    zero tokens have no feature evidence and are absent (callers
+    left-join and impute, same contract as lm_perplexity).
+
+    Scale shape: per-doc bucket counts are ONE hash agg keyed by
+    (id, bucket) — doc-id in the key kills hot-bucket skew, partials
+    collapse repeats map-side; the global raw distribution is derived
+    FROM that frame (second agg reads the much smaller counts, not the
+    raw gram stream); the target distribution is one hash agg over the
+    target slice. The log-ratio frame is at most B rows — B is a USER
+    PARAMETER (thousands, not vocab-sized), so its hinted broadcast is
+    bounded by construction, unlike a vocab/stats ship; the guard below
+    refuses a B large enough to break that reasoning. logw rounds to
+    6 dp (double partial-sum order noise; ln inputs are identical exact
+    doubles on both engines — integer counts plus exact halves).
+    """
+    if not 0 < n_buckets <= 1_000_000:
+        # the broadcast-boundedness argument above is the point of the
+        # cap: a million 3-column rows is ~24 MB, still a sane ship
+        raise ValueError(f"n_buckets must be in (0, 1e6], got {n_buckets}")
+    if k_smooth <= 0:
+        raise ValueError(f"k_smooth must be > 0, got {k_smooth}")
+    from pyspark.sql import Window
+
+    # stage dc ONCE (mint_doc_ids pattern): it feeds the raw-distribution
+    # derivation AND the final weights join — unstaged, each consumer
+    # re-tokenizes and re-shuffles the whole raw corpus
+    dc = (
+        _doc_gram_buckets(raw_docs, text_col, n_buckets, id_col=id_col)
+        .groupBy("id", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    ).localCheckpoint(eager=True)
+    raw_b = dc.groupBy("b").agg(F.sum("c").alias("cr"))
+    tgt_b = (
+        _doc_gram_buckets(target_docs, text_col, n_buckets)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("long").alias("ct"))
+    )
+    kb = float(k_smooth) * float(n_buckets)
+    joined = raw_b.join(tgt_b, "b", "full_outer").select(
+        "b",
+        F.coalesce("cr", F.lit(0)).alias("cr"),
+        F.coalesce("ct", F.lit(0)).alias("ct"),
+    )
+    # corpus-wide token totals as whole-frame window sums over the
+    # B-bounded joined frame (sample_temperature pattern): a separate
+    # totals agg + crossJoin would re-derive the joined subtree — and
+    # with it the target tokenize — a second time
+    whole = Window.partitionBy(F.lit(1))
+    lr = joined.select(
+        "b",
+        (
+            F.log(
+                (F.col("ct") + F.lit(float(k_smooth)))
+                / (F.sum("ct").over(whole).cast("double") + F.lit(kb))
+            )
+            - F.log(
+                (F.col("cr") + F.lit(float(k_smooth)))
+                / (F.sum("cr").over(whole).cast("double") + F.lit(kb))
+            )
+        ).alias("lr"),
+    )
+    return (
+        dc.join(F.broadcast(lr), "b")
+        .groupBy("id")
+        .agg(
+            F.sum("c").cast("long").alias("n_grams"),
+            F.round(F.sum(F.col("c") * F.col("lr")), 6).alias("logw"),
+        )
+    )
+
+
+def dsir_select(
+    raw_docs: DataFrame,
+    target_docs: DataFrame,
+    k: int = 100,
+    n_buckets: int = 4096,
+    k_smooth: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The selection cut over :func:`dsir_weights`: the k raw-corpus
+    docs most target-like by importance weight, deterministic ties on
+    id — orderBy+limit plans as TakeOrderedAndProject (per-partition
+    heaps, one k-row merge), never a global sort of the scored corpus.
+    For fraction-of-corpus selection at full scale, take the weights
+    frame and filter on a quantile threshold instead of ranking —
+    a 25%-of-10^12-rows cut is a predicate, not a top-k heap."""
+    w = dsir_weights(
+        raw_docs, target_docs, n_buckets=n_buckets, k_smooth=k_smooth,
+        id_col=id_col, text_col=text_col,
+    )
+    return w.orderBy(F.desc("logw"), F.asc("id")).limit(int(k))

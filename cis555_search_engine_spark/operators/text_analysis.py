@@ -170,6 +170,10 @@ def zipf_stats(
     """
     from pyspark.sql import Window
 
+    # stage the wordcount ONCE (mint_doc_ids pattern): the top-n cut and
+    # the totals agg are two consumers of the same subtree — unstaged,
+    # each action re-tokenizes and re-aggregates the whole corpus
+    wordcount = wordcount.localCheckpoint(eager=True)
     order = [F.desc(count_col), F.asc(term_col)]
     top = wordcount.orderBy(*order).limit(top_n)
     ranked = top.withColumn("rank", F.row_number().over(Window.orderBy(*order)))
@@ -240,14 +244,17 @@ def collocations(
         .select(F.explode(_bigrams(F.col("toks"))).alias("p"))
         .select("p.w1", "p.w2")
     )
+    # stage both count frames (mint_doc_ids pattern): big feeds the
+    # totals agg AND the filtered join, uni feeds the totals agg AND two
+    # joins — unstaged, every consumer re-tokenizes the whole corpus
     big = pairs.groupBy("w1", "w2").agg(
         F.count(F.lit(1)).cast("long").alias("pair_cnt")
-    )
+    ).localCheckpoint(eager=True)
     uni = (
         arrays.select(F.explode("toks").alias("term"))
         .groupBy("term")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-    )
+    ).localCheckpoint(eager=True)
     # totals BEFORE the min_count filter: Nb is the bigram mass, not the
     # surviving-pair mass (P(w1,w2) must stay a probability)
     tots = big.agg(
@@ -307,18 +314,23 @@ def lm_perplexity(
     arrays = docs.select(
         F.col(id_col).alias("id"), tokenize_col(F.col(text_col)).alias("toks")
     )
+    # stage the two count frames (mint_doc_ids pattern): dp feeds the
+    # model derivation AND the final join, uni feeds the model join AND
+    # the vocab count — unstaged, each consumer re-tokenizes the corpus
+    # (the "derived FROM the local counts" claim below is only true of a
+    # materialized frame, not a shared lazy subtree)
     dp = (
         arrays.filter(F.size("toks") >= 2)
         .select("id", F.explode(_bigrams(F.col("toks"))).alias("p"))
         .select("id", "p.w1", "p.w2")
         .groupBy("id", "w1", "w2")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
-    )
+    ).localCheckpoint(eager=True)
     uni = (
         arrays.select(F.explode("toks").alias("term"))
         .groupBy("term")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-    )
+    ).localCheckpoint(eager=True)
     vocab = uni.agg(F.count(F.lit(1)).cast("double").alias("v"))
     model = (
         dp.groupBy("w1", "w2")
@@ -371,6 +383,9 @@ def vocab_coverage(
 
     if not sizes or any(s <= 0 for s in sizes):
         raise ValueError(f"sizes must be positive, got {sizes!r}")
+    # stage the wordcount ONCE (zipf_stats note): top cut + totals agg
+    # are two consumers of the same corpus-tokenizing subtree
+    wordcount = wordcount.localCheckpoint(eager=True)
     order = [F.desc(count_col), F.asc(term_col)]
     w = Window.orderBy(*order)
     top = (
@@ -424,6 +439,9 @@ def _drift_counts(docs_a: DataFrame, docs_b: DataFrame, text_col: str):
         )
 
     a, b = wc(docs_a, "cnt_a"), wc(docs_b, "cnt_b")
+    # stage the joined vocab frame (mint_doc_ids pattern): it feeds the
+    # totals agg AND the caller's consumer — unstaged, each action
+    # re-tokenizes BOTH corpus slices
     joined = (
         a.join(b, "term", "full_outer")
         .select(
@@ -431,7 +449,7 @@ def _drift_counts(docs_a: DataFrame, docs_b: DataFrame, text_col: str):
             F.coalesce("cnt_a", F.lit(0)).alias("cnt_a"),
             F.coalesce("cnt_b", F.lit(0)).alias("cnt_b"),
         )
-    )
+    ).localCheckpoint(eager=True)
     tots = joined.agg(
         F.sum("cnt_a").cast("long").alias("n_a"),
         F.sum("cnt_b").cast("long").alias("n_b"),

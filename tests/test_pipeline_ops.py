@@ -1,6 +1,7 @@
 """Training-pipeline operators: decontamination, repetition signals,
-stratified + temperature sampling, facet counts, passage dedup +
-removal, Zipf diagnostics, and the composed pipeline job — each vs a
+stratified + temperature sampling, DSIR importance resampling, facet
+counts, passage dedup + removal, Zipf diagnostics, and the composed
+pipeline job — each vs a
 pure-Python/numpy oracle plus edge cases the driver's sf0.01 data may
 not exercise."""
 
@@ -1065,3 +1066,123 @@ def test_vocab_coverage_plan_and_validation(spark):
         vocab_coverage(wc, sizes=())
     with _pytest.raises(ValueError):
         vocab_coverage(wc, sizes=(0, 10))
+
+
+# --------------------------------------------------------------- DSIR
+
+
+def test_dsir_identity_target_gives_zero_weights(spark, docs_sdf):
+    """target == raw ⇒ the two smoothed distributions are the identical
+    doubles, so every log-ratio — and every doc weight — is exactly 0."""
+    from cis555_search_engine_spark.operators.curation import dsir_weights
+
+    out = dsir_weights(docs_sdf, docs_sdf, n_buckets=256).collect()
+    assert len(out) > 0
+    assert all(r["logw"] == 0.0 for r in out)
+
+
+def test_dsir_prefers_target_like_docs(spark):
+    """Docs sharing the target slice's grams must outscore docs that
+    share none — including a held-out doc NOT in the target itself."""
+    from cis555_search_engine_spark.operators.curation import (
+        dsir_select,
+        dsir_weights,
+    )
+
+    rows = [
+        (1, "cat dog cat dog"),       # target
+        (2, "cat dog bird"),          # held out, target-like
+        (3, "fish squid kelp"),       # off-target
+        (4, "fish squid squid kelp"), # off-target
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    target = docs.filter("doc_id = 1")
+    w = {r["id"]: r["logw"] for r in dsir_weights(docs, target).collect()}
+    assert w[2] > w[3] and w[2] > w[4]
+    assert w[1] > w[3]
+    top2 = [r["id"] for r in dsir_select(docs, target, k=2).collect()]
+    assert set(top2) == {1, 2}
+
+
+def test_dsir_python_oracle(spark, docs_sdf, docs_rows):
+    """Bit-for-bit against a pure-Python replay of the same hashing,
+    smoothing, and rounding (independent of the DuckDB twin)."""
+    import hashlib
+    import math
+    import re
+    from collections import Counter
+
+    from cis555_search_engine_spark.operators.curation import dsir_weights
+
+    B, K = 512, 0.5
+
+    def toks(text):
+        return [t for t in (x.strip("-") for x in re.findall(r"[a-z-]+", text.lower())) if t]
+
+    def buckets(text):
+        ts = toks(text)
+        grams = ts + [f"{a} {b}" for a, b in zip(ts, ts[1:])]
+        return Counter(
+            int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % B for g in grams
+        )
+
+    per_doc = {d: buckets(t) for d, t in docs_rows}
+    raw = Counter()
+    tgt = Counter()
+    for d, c in per_doc.items():
+        raw.update(c)
+        if d % 10 == 0:
+            tgt.update(c)
+    n_r, n_t = sum(raw.values()), sum(tgt.values())
+    lr = {
+        b: math.log((tgt.get(b, 0) + K) / (n_t + K * B))
+        - math.log((raw[b] + K) / (n_r + K * B))
+        for b in raw
+    }
+    expected = {
+        d: (sum(c.values()), round(sum(n * lr[b] for b, n in c.items()), 6))
+        for d, c in per_doc.items()
+        if c
+    }
+
+    from pyspark.sql import functions as F
+
+    got = {
+        r["id"]: (r["n_grams"], r["logw"])
+        for r in dsir_weights(
+            docs_sdf, docs_sdf.filter(F.col("doc_id") % 10 == 0),
+            n_buckets=B, k_smooth=K,
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_dsir_degenerate_docs_and_param_guards(spark):
+    from cis555_search_engine_spark.operators.curation import dsir_weights
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "one"), (3, None), (4, "two words here")],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: r["n_grams"] for r in
+           dsir_weights(docs, docs.filter("doc_id = 4")).collect()}
+    # empty/null docs absent; 1-token doc contributes its unigram only
+    assert set(out) == {2, 4}
+    assert out[2] == 1 and out[4] == 5  # 3 unigrams + 2 bigrams
+    with pytest.raises(ValueError):
+        dsir_weights(docs, docs, n_buckets=0)
+    with pytest.raises(ValueError):
+        dsir_weights(docs, docs, k_smooth=0.0)
+
+
+def test_dsir_select_plan_is_take_ordered(spark, docs_sdf):
+    """The selection cut must plan as TakeOrderedAndProject (per-
+    partition heaps), never a global sort of the scored corpus."""
+    from pyspark.sql import functions as F
+
+    from cis555_search_engine_spark.operators.curation import dsir_select
+
+    plan = dsir_select(
+        docs_sdf, docs_sdf.filter(F.col("doc_id") % 10 == 0), k=10
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
