@@ -2707,9 +2707,8 @@ grams AS (
 gb AS (SELECT doc_id,
               (('0x' || substr(md5(g), 1, 8))::UBIGINT % 4096)::BIGINT AS b
        FROM grams),
-dc AS (SELECT doc_id, b, count(*)::BIGINT AS c FROM gb GROUP BY 1, 2),
-rawb AS (SELECT b, sum(c)::BIGINT AS cr FROM dc GROUP BY b),
-tgtb AS (SELECT b, sum(c)::BIGINT AS ct FROM dc WHERE doc_id % 10 = 0
+rawb AS (SELECT b, count(*)::BIGINT AS cr FROM gb GROUP BY b),
+tgtb AS (SELECT b, count(*)::BIGINT AS ct FROM gb WHERE doc_id % 10 = 0
          GROUP BY b),
 jb AS (SELECT coalesce(rawb.b, tgtb.b) AS b,
               coalesce(cr, 0) AS cr, coalesce(ct, 0) AS ct
@@ -2718,10 +2717,10 @@ jt AS (SELECT sum(cr)::DOUBLE AS n_r, sum(ct)::DOUBLE AS n_t FROM jb),
 lr AS (SELECT b, ln((ct + 0.5) / (n_t + 0.5 * 4096))
                  - ln((cr + 0.5) / (n_r + 0.5 * 4096)) AS lr
        FROM jb CROSS JOIN jt),
-dw AS (SELECT dc.doc_id AS id, sum(dc.c)::BIGINT AS n_grams,
-              round(sum(dc.c * lr.lr), 6) AS logw
-       FROM dc JOIN lr ON dc.b = lr.b
-       GROUP BY dc.doc_id)
+dw AS (SELECT gb.doc_id AS id, count(*)::BIGINT AS n_grams,
+              round(sum(lr.lr), 6) AS logw
+       FROM gb JOIN lr ON gb.b = lr.b
+       GROUP BY gb.doc_id)
 """
 )
 

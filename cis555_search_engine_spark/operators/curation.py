@@ -417,7 +417,8 @@ def dsir_weights(
     high-quality / in-domain slice you want more of) than under the raw
     corpus itself,
 
-        logw(doc) = Σ_b c_doc[b] · ( ln p̂_target[b] − ln p̂_raw[b] ),
+        logw(doc) = Σ_g lr[bucket(g)],     g over the doc's grams,
+        lr[b] = ln p̂_target[b] − ln p̂_raw[b],
         p̂[b] = (count[b] + k) / (N + k·B)           (add-k smoothing)
 
     with features b = md5-hash buckets of unigrams ∪ adjacent bigrams.
@@ -427,17 +428,26 @@ def dsir_weights(
     zero tokens have no feature evidence and are absent (callers
     left-join and impute, same contract as lm_perplexity).
 
-    Scale shape: per-doc bucket counts are ONE hash agg keyed by
-    (id, bucket) — doc-id in the key kills hot-bucket skew, partials
-    collapse repeats map-side; the global raw distribution is derived
-    FROM that frame (second agg reads the much smaller counts, not the
-    raw gram stream); the target distribution is one hash agg over the
-    target slice. The log-ratio frame is at most B rows — B is a USER
-    PARAMETER (thousands, not vocab-sized), so its hinted broadcast is
-    bounded by construction, unlike a vocab/stats ship; the guard below
-    refuses a B large enough to break that reasoning. logw rounds to
-    6 dp (double partial-sum order noise; ln inputs are identical exact
-    doubles on both engines — integer counts plus exact halves).
+    Scale shape: the raw corpus is scanned twice, both passes map-heavy
+    with NO corpus-sized shuffle or materialization anywhere. Pass 1
+    (distributions): gram stream → groupBy(bucket) — at most B output
+    groups, so map-side partials collapse the stream before a B-row
+    shuffle; same for the target slice. Pass 2 (weights): gram stream →
+    broadcast-join the B-row log-ratio frame (map-side) → groupBy(id)
+    — partials collapse each task's occurrences to its distinct doc
+    ids, so the only shuffle ships ~n_docs rows. (The obvious
+    alternative — a per-doc (id, bucket, c) count frame shared by both
+    passes — compresses almost nothing: grams within a doc are mostly
+    distinct buckets, so at a 986k-doc profile that frame held 53M rows
+    for a 66M-gram stream and its (id,b) shuffle + eager staging cost
+    more than the one extra map-only scan this shape pays instead.)
+    The log-ratio frame is at most B rows — B is a USER PARAMETER
+    (thousands, not vocab-sized), so its hinted broadcast is bounded by
+    construction, unlike a vocab/stats ship; the guard below refuses a
+    B large enough to break that reasoning. logw rounds to 6 dp (double
+    partial-sum order noise; the ln inputs are identical exact doubles
+    on both engines — integer counts plus exact halves); the SQL twin
+    sums per-occurrence the same way.
     """
     if not 0 < n_buckets <= 1_000_000:
         # the broadcast-boundedness argument above is the point of the
@@ -447,15 +457,8 @@ def dsir_weights(
         raise ValueError(f"k_smooth must be > 0, got {k_smooth}")
     from pyspark.sql import Window
 
-    # stage dc ONCE (mint_doc_ids pattern): it feeds the raw-distribution
-    # derivation AND the final weights join — unstaged, each consumer
-    # re-tokenizes and re-shuffles the whole raw corpus
-    dc = (
-        _doc_gram_buckets(raw_docs, text_col, n_buckets, id_col=id_col)
-        .groupBy("id", "b")
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
-    ).localCheckpoint(eager=True)
-    raw_b = dc.groupBy("b").agg(F.sum("c").alias("cr"))
+    gb = _doc_gram_buckets(raw_docs, text_col, n_buckets, id_col=id_col)
+    raw_b = gb.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("cr"))
     tgt_b = (
         _doc_gram_buckets(target_docs, text_col, n_buckets)
         .groupBy("b")
@@ -470,7 +473,7 @@ def dsir_weights(
     # corpus-wide token totals as whole-frame window sums over the
     # B-bounded joined frame (sample_temperature pattern): a separate
     # totals agg + crossJoin would re-derive the joined subtree — and
-    # with it the target tokenize — a second time
+    # with it the TARGET tokenize — a second time
     whole = Window.partitionBy(F.lit(1))
     lr = joined.select(
         "b",
@@ -486,11 +489,11 @@ def dsir_weights(
         ).alias("lr"),
     )
     return (
-        dc.join(F.broadcast(lr), "b")
+        gb.join(F.broadcast(lr), "b")
         .groupBy("id")
         .agg(
-            F.sum("c").cast("long").alias("n_grams"),
-            F.round(F.sum(F.col("c") * F.col("lr")), 6).alias("logw"),
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.round(F.sum("lr"), 6).alias("logw"),
         )
     )
 

@@ -1186,3 +1186,46 @@ def test_dsir_select_plan_is_take_ordered(spark, docs_sdf):
         docs_sdf, docs_sdf.filter(F.col("doc_id") % 10 == 0), k=10
     )._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_pipeline_job_dsir_stage(spark, tmp_path, monkeypatch):
+    """--dsir-target/--dsir-frac inserts the DSIR selection stage: the
+    kept count shrinks to ~frac, every surviving weighted doc's audit
+    logw is at or above the recorded threshold, and an out-of-range
+    frac is a usage error."""
+    import json
+    import runpy
+    import sys as _sys
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    src = str(tmp_path / "docs")
+    docs.write.parquet(src)
+    tgt = str(tmp_path / "tgt")
+    docs.filter(F.col("doc_id") % 10 == 0).write.parquet(tgt)
+    out = str(tmp_path / "out")
+
+    argv = [
+        "pipeline_job.py", "--docs", src, "--out", out,
+        "--min-score", "0.3", "--passage-w", "0", "--no-pii-scrub",
+        "--dsir-target", tgt, "--dsir-frac", "0.5",
+    ]
+    monkeypatch.setattr(_sys, "argv", argv)
+    runpy.run_path("tools/pipeline_job.py", run_name="__main__")
+    with open(f"{out}/metrics.json") as f:
+        m = json.load(f)
+    c = m["counts"]
+    assert c["curated"] >= c["dsir_kept"] == c["packed_docs"] > 0
+    assert c["dsir_kept"] < c["curated"], "a 0.5 frac must cut"
+    # roughly half survive (quantile cut; ties can move the count a bit)
+    assert 0.3 * c["curated"] <= c["dsir_kept"] <= 0.7 * c["curated"]
+    sel = spark.read.parquet(f"{out}/dsir_selected")
+    audit = sel.agg({"logw": "min"}).collect()[0][0]
+    assert audit is None or audit >= c["dsir_threshold"]
+    assert "dsir_select" in m["phases"]
+
+    monkeypatch.setattr(_sys, "argv", argv[:-1] + ["1.5"])
+    with _pytest.raises(SystemExit):
+        runpy.run_path("tools/pipeline_job.py", run_name="__main__")

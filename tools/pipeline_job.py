@@ -26,11 +26,18 @@ package, with per-stage wall-time and row counts logged as ONE JSON line
                     keeps docs at or below the 95th-percentile ppl;
                     skipped unless given) — AFTER the text rewrites so
                     the LM scores the text actually trained on
-  6. sample         deterministic per-language rates — explicit
+  6. dsir-select    keep the most target-like fraction by DSIR
+                    importance weight (Xie et al. 2023; hashed-ngram
+                    target-vs-raw log-likelihood ratio; --dsir-target
+                    <parquet> + --dsir-frac 0.5; skipped unless given)
+                    — AFTER the text rewrites, BEFORE mixing, so
+                    selection judges the trained text and the mixer
+                    sees the selected pool
+  7. sample         deterministic per-language rates — explicit
                     (--rates en=0.5,de=0.25) or temperature-derived
                     (--temperature alpha[:target], p^alpha upweighting
                     of low-resource languages); skipped unless one given
-  7. pack           sequence packing into fixed token-budget chunks
+  8. pack           sequence packing into fixed token-budget chunks
 
 Output layout under --out (each stage writes its own directory; the
 LAST one in the funnel holds the surviving docs):
@@ -42,12 +49,14 @@ LAST one in the funnel holds the surviving docs):
   kept_decontaminated/  previous stage minus flagged ids (when an eval set was given)
   ppl_filtered/         previous stage minus the high-perplexity tail
                         (per-doc ppl column kept for audit)
+  dsir_selected/        previous stage cut to the target-like fraction
+                        (per-doc logw column kept for audit)
   sampled/              the sample (when --rates/--temperature was given)
   packed/               (id, n_tokens, start_offset, chunk_id) over the survivors
   metrics.json          the same JSON line, persisted
 Consumers wanting "the training set" read the LAST materialized stage
-(sampled/, else ppl_filtered/, else kept_decontaminated/, else
-passage_deduped/) or just packed/.
+(sampled/, else dsir_selected/, else ppl_filtered/, else
+kept_decontaminated/, else passage_deduped/) or just packed/.
 
 Each stage writes parquet with mode=overwrite, so re-running the job is
 idempotent. Stage inputs re-read the previous stage's parquet rather
@@ -91,6 +100,12 @@ def main() -> None:
                     help="drop docs above this ppl quantile under a "
                          "corpus-trained bigram LM (e.g. 0.95); skipped "
                          "unless given")
+    ap.add_argument("--dsir-target", default=None,
+                    help="target-corpus parquet for DSIR importance "
+                         "selection; skipped unless given")
+    ap.add_argument("--dsir-frac", type=float, default=0.5,
+                    help="fraction of docs to keep by DSIR weight "
+                         "(quantile-threshold cut; needs --dsir-target)")
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     args = ap.parse_args()
     if args.eval_docs and args.eval_dict:
@@ -111,6 +126,8 @@ def main() -> None:
             ap.error(f"--temperature target_frac must be in (0, 1], got {temp_target}")
     if args.ppl_quantile is not None and not 0 < args.ppl_quantile < 1:
         ap.error(f"--ppl-quantile must be in (0, 1), got {args.ppl_quantile}")
+    if args.dsir_target is not None and not 0 < args.dsir_frac < 1:
+        ap.error(f"--dsir-frac must be in (0, 1), got {args.dsir_frac}")
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -264,7 +281,40 @@ def main() -> None:
         counts["ppl_kept"] = kept.count()
         kept = kept.drop("ppl")
 
-    # 6. sample (stratified explicit rates, or temperature-derived ones)
+    # 6. DSIR selection: keep the most target-like --dsir-frac of the
+    # survivors by importance weight (the quantile-threshold form the
+    # dsir_select docstring prescribes at scale — a fraction cut is a
+    # predicate, not a top-k heap). Runs AFTER the text rewrites so the
+    # weights judge the trained text, BEFORE mixing so the sampler sees
+    # the selected pool. Docs with no weight (< 1 token: no feature
+    # evidence) are KEPT, the ppl-filter convention.
+    if args.dsir_target is not None:
+        from cis555_search_engine_spark.operators.curation import dsir_weights
+
+        t0 = time.perf_counter()
+        w = dsir_weights(
+            kept, spark.read.parquet(args.dsir_target)
+        ).select(F.col("id").alias("doc_id"), "logw")
+        # keep the TOP dsir_frac => threshold at the (1 - frac) quantile
+        thr = float(
+            w.agg(
+                F.percentile_approx("logw", 1.0 - args.dsir_frac, 10000)
+            ).collect()[0][0]
+            or float("-inf")
+        )
+        selected = (
+            kept.join(w, "doc_id", "left")
+            .filter(F.col("logw").isNull() | (F.col("logw") >= F.lit(thr)))
+        )
+        dsir_path = os.path.join(args.out, "dsir_selected")
+        selected.write.mode("overwrite").parquet(dsir_path)
+        t0 = mark("dsir_select", t0)
+        kept = spark.read.parquet(dsir_path)
+        counts["dsir_threshold"] = round(thr, 4)
+        counts["dsir_kept"] = kept.count()
+        kept = kept.drop("logw")
+
+    # 7. sample (stratified explicit rates, or temperature-derived ones)
     if args.rates or args.temperature:
         t0 = time.perf_counter()
         if args.rates:
@@ -287,7 +337,7 @@ def main() -> None:
         kept = spark.read.parquet(kept_path)
         counts["sampled"] = kept.count()
 
-    # 7. sequence packing over the survivors
+    # 8. sequence packing over the survivors
     t0 = time.perf_counter()
     packed = pack_sequences(kept, budget_tokens=args.budget_tokens)
     packed.write.mode("overwrite").parquet(os.path.join(args.out, "packed"))
