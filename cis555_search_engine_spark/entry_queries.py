@@ -253,6 +253,47 @@ LIMIT 80
 )
 
 
+def q_lm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third ranking family: Dirichlet-smoothed query likelihood (Zhai
+    & Lafferty, SIGIR 2001) over the same posting/stat frames as BM25.
+    Ordered on the ROUNDED score (like cosine) so the k-cutoff is
+    stable across engines at float ties."""
+    from .operators.scoring import lm_dirichlet_scores
+
+    idx = get_index(spark, sf_dir)
+    allr = lm_dirichlet_scores(idx, BM25_QUERY, stem=False)
+    return (
+        allr.select("doc_id", F.round("score", 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(80)
+    )
+
+
+SQL_LM_TOPK = (
+    SQL_TOK
+    + """
+, cf AS (
+  SELECT term, sum(tf)::DOUBLE AS cf FROM postings
+  WHERE term IN ('hash', 'join', 'merge') GROUP BY term
+),
+tt AS (
+  SELECT (SELECT sum(doc_len) FROM ds)::DOUBLE AS total_tokens
+)
+SELECT p.doc_id,
+       round(sum(ln(1.0 + p.tf * tt.total_tokens / (2000.0 * cf.cf)))
+             + 3 * ln(2000.0 / (ds.doc_len + 2000.0)), 4) AS score
+FROM postings p, cf, ds, tt
+WHERE p.term = cf.term AND p.doc_id = ds.doc_id
+  AND p.term IN ('hash', 'join', 'merge')
+GROUP BY p.doc_id, ds.doc_len
+ORDER BY round(sum(ln(1.0 + p.tf * tt.total_tokens / (2000.0 * cf.cf)))
+               + 3 * ln(2000.0 / (ds.doc_len + 2000.0)), 4) DESC,
+         p.doc_id ASC
+LIMIT 80
+"""
+)
+
+
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A9: the reference's cosine ranker, top-40. Ordered on the ROUNDED
     score so the k-cutoff is stable across engines at float ties."""
@@ -2747,11 +2788,14 @@ SQL_DSIR_SELECT = (
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- core index + ranking (families: postings, stats, rankers) ---
     "postings": q_postings,
-    "doc_stats": q_doc_stats,
+    # doc_stats (driver-green in r4) rotated past 50 in exchange for
+    # the late-round-5 Dirichlet-LM ranker, which has never had a
+    # driver row — the r4+r5 union still covers every query
     "corpus_stats": q_corpus_stats,
     "wordcount": q_wordcount,
     "bm25_topk": q_bm25_topk,
     "bm25_and_topk": q_bm25_and_topk,
+    "lm_topk": q_lm_topk,
     "bm25_blocks": q_bm25_blocks,
     "bm25_and_blocks": q_bm25_and_blocks,
     "bm25_batch_blocks": q_bm25_batch_blocks,
@@ -2809,7 +2853,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pagerank": q_pagerank,
     # -------- position 51+: round-4 driver-green representatives -------
     # (rotated out this round; green rows in CORRECTNESS_r04 + selfcheck;
-    # multimodal_meta joined them to make room for the two DSIR queries)
+    # multimodal_meta joined them to make room for the two DSIR queries,
+    # doc_stats to make room for the lm_topk ranker)
+    "doc_stats": q_doc_stats,
     "multimodal_meta": q_multimodal_meta,
     "bm25_compact_deleted": q_bm25_compact_deleted,
     "tfidf_topk": q_tfidf_topk,
@@ -2859,6 +2905,7 @@ ORACLES: dict[str, str] = {
     "bm25_compact_deleted": SQL_BM25_COMPACT_DELETED,
     "merge_stats": SQL_CORPUS_STATS,
     "tfidf_topk": SQL_TFIDF_TOPK,
+    "lm_topk": SQL_LM_TOPK,
     "cosine_topk": SQL_COSINE_TOPK,
     "term_semi_join": SQL_TERM_SEMI_JOIN,
     "topk_join_meta": SQL_TOPK_JOIN_META,

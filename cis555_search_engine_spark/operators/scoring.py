@@ -341,3 +341,71 @@ def tfidf_ref_topk(
             .select(*key, "score")
         )
     return _topk(scored, key, k)
+
+
+MU = 2000.0  # Dirichlet prior mass (Zhai & Lafferty's recommended range)
+
+
+def lm_dirichlet_topk(
+    index: InvertedIndex,
+    query: str,
+    k: int = 80,
+    mu: float = MU,
+    stem: bool = True,
+) -> DataFrame:
+    """Top-k docs by Dirichlet-smoothed query likelihood (Zhai &
+    Lafferty, SIGIR 2001) — a second public ranking family over the
+    same posting/stat frames the BM25 path serves (the reference ships
+    two rankers, SearchHelper.java:155-185 + SearchHelperYezheng.java:
+    226-242; this adds the standard LM alternative). Decomposed
+    posting-driven form, so only matched postings are ever scanned:
+
+        score(q,d) = Σ_{t ∈ q∩d} ln(1 + tf_{t,d}·T / (μ·cf_t))
+                     + |q| · ln(μ / (doc_len_d + μ))
+
+    where cf_t = collection frequency of t and T = total corpus tokens.
+    Scale notes: cf comes from ONE hash agg over the query-term-matched
+    postings (≤|q| result rows, broadcast back — never vocab-sized);
+    T = n_docs·avg_doc_len is a driver scalar the index already holds.
+    Docs matching no query term are not scored (posting-driven
+    retrieval, same contract as the BM25/tf-idf rankers).
+    """
+    scored = lm_dirichlet_scores(index, query, mu=mu, stem=stem)
+    if scored is None:
+        return _empty(index)
+    return _topk(scored, list(index.doc_key), k)
+
+
+def lm_dirichlet_scores(
+    index: InvertedIndex,
+    query: str,
+    mu: float = MU,
+    stem: bool = True,
+) -> DataFrame | None:
+    """FULL Dirichlet-LM match set (doc_key..., score); None on an
+    empty query. Shared body of :func:`lm_dirichlet_topk`."""
+    terms = bm25_query_terms(query) if stem else list(dict.fromkeys(tokenize_py(query)))
+    if not terms:
+        return None
+    key = list(index.doc_key)
+    total_tokens = float(index.n_docs) * float(index.avg_doc_len)
+    matched = index.postings.filter(F.col("term").isin(terms))
+    # collection frequency of the QUERY terms only: one agg over the
+    # matched postings, ≤|terms| rows out — safe to broadcast back
+    cf = matched.groupBy("term").agg(F.sum("tf").cast("double").alias("cf"))
+    return (
+        matched.join(F.broadcast(cf), "term")
+        .join(index.doc_stats.select(*key, "doc_len"), key)
+        .withColumn(
+            "partial",
+            F.log(1.0 + F.col("tf") * F.lit(total_tokens) / (F.lit(mu) * F.col("cf"))),
+        )
+        .groupBy(*key)
+        .agg(
+            (
+                F.sum("partial")
+                + F.lit(float(len(terms)))
+                * F.log(F.lit(mu) / (F.first("doc_len") + F.lit(mu)))
+            ).alias("score")
+        )
+    )

@@ -151,3 +151,40 @@ def score_bm25(
                 scores[key] = scores.get(key, 0.0) + s
     ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
     return [(c, t, s) for (c, t), s in ranked[:k]]
+
+
+def score_lm_dirichlet(
+    idx: OracleIndex, query: str, k: int = 80, mu: float = 2000.0
+) -> list[tuple[str, int, float]]:
+    """Dirichlet-smoothed query likelihood (Zhai & Lafferty, SIGIR 2001),
+    decomposed posting-driven form — the pure-Python twin of
+    operators.scoring.lm_dirichlet_topk:
+
+        score(q,d) = Σ_{t∈q∩d} ln(1 + tf·T/(μ·cf_t)) + |q|·ln(μ/(len_d+μ))
+
+    Stemmed deduplicated query terms (same contract as score_bm25);
+    only docs matching ≥1 query term are ranked.
+    """
+    terms = list(dict.fromkeys(porter_stem(t) for t in tokenize_py(query)))
+    n = idx.n_docs
+    avglen = sum(idx.doc_len.values()) / n if n else 0.0
+    total_tokens = float(n) * avglen
+    cf = {
+        t: sum(tf.get(t, 0) for tf in idx.doc_tf.values())
+        for t in terms
+    }
+    scores: dict[tuple[str, int], float] = {}
+    for t in terms:
+        c_t = cf.get(t)
+        if not c_t:
+            continue
+        for key, tf in idx.doc_tf.items():
+            c = tf.get(t)
+            if c:
+                s = math.log(1.0 + c * total_tokens / (mu * c_t))
+                scores[key] = scores.get(key, 0.0) + s
+    nq = float(len(terms))
+    for key in list(scores):
+        scores[key] += nq * math.log(mu / (idx.doc_len[key] + mu))
+    ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+    return [(c, t, s) for (c, t), s in ranked[:k]]

@@ -8,8 +8,16 @@ import math
 import pytest
 from pyspark.sql import functions as F
 
-from cis555_search_engine_spark.oracle import score_bm25, score_tfidf_ref
-from cis555_search_engine_spark.operators.scoring import bm25_topk, tfidf_ref_topk
+from cis555_search_engine_spark.oracle import (
+    score_bm25,
+    score_lm_dirichlet,
+    score_tfidf_ref,
+)
+from cis555_search_engine_spark.operators.scoring import (
+    bm25_topk,
+    lm_dirichlet_topk,
+    tfidf_ref_topk,
+)
 from cis555_search_engine_spark.synth import REFERENCE_QUERIES
 
 
@@ -77,6 +85,16 @@ def test_tfidf_ref_rank_identical(spark_index, oracle_index, query):
     _rank_identical(
         tfidf_ref_topk(spark_index, query, k=80).collect(),
         score_tfidf_ref(oracle_index, query, k=80),
+    )
+
+
+@pytest.mark.parametrize("query", REFERENCE_QUERIES[:8])
+def test_lm_dirichlet_rank_identical(spark_index, oracle_index, query):
+    """Third ranking family (Dirichlet query likelihood) must be
+    rank-identical to its pure-Python twin on the reference queries."""
+    _rank_identical(
+        lm_dirichlet_topk(spark_index, query, k=80).collect(),
+        score_lm_dirichlet(oracle_index, query, k=80),
     )
 
 
