@@ -409,3 +409,135 @@ def lm_dirichlet_scores(
             ).alias("score")
         )
     )
+
+
+# -------------------------------------------------- RM3 feedback (4th family)
+
+def rm3_term_weights(
+    index: InvertedIndex,
+    query: str,
+    fb_docs: int = 10,
+    fb_terms: int = 10,
+    orig_weight: float = 0.5,
+    stem: bool = True,
+) -> DataFrame | None:
+    """RM3 pseudo-relevance-feedback term weights (Lavrenko & Croft,
+    SIGIR 2001; RM3 interpolation per Abdul-Jaleel et al., TREC 2004 —
+    public literature; the reference engine has no feedback pass, this
+    extends its single-shot ranker family, SearchHelper.java:155-185).
+
+    Two-stage plan, all bounded frames:
+
+    1. BM25 over the original query; the top ``fb_docs`` docs (ordered
+       on the ROUNDED score + doc_key so the cutoff is reproducible
+       cross-engine) become the pseudo-relevant set.
+    2. Relevance model P(w|R) = Σ_d  tf(w,d)/doc_len(d) · P(d), with
+       P(d) ∝ the doc's (rounded) BM25 score. The top ``fb_terms``
+       terms by P(w|R) (rounded to 6dp for a stable cutoff) are
+       renormalized and interpolated with the uniform original-query
+       model at ``orig_weight``.
+
+    Returns a tiny (term, w) frame, ≤ fb_terms + |query| rows.
+
+    Scale notes: the feedback-doc frame is fb_docs rows → broadcast to
+    the postings scan (the one unavoidable full-postings pass: RM3 by
+    definition needs EVERY term of the feedback docs, so no term
+    pushdown exists for stage 2 — it is one broadcast-pruned scan, not
+    a shuffle). All other frames (score total, P(w|R) top terms, weight
+    union) are ≤ fb_terms rows.
+    """
+    terms = bm25_query_terms(query) if stem else list(dict.fromkeys(tokenize_py(query)))
+    if not terms:
+        return None
+    spark = index.postings.sparkSession
+    key = list(index.doc_key)
+    scored = bm25_scores(index, query, stem=stem)
+    if scored is None:
+        return None
+    fb = (
+        scored.select(*key, F.round("score", 4).alias("s"))
+        .orderBy(F.desc("s"), *[F.asc(c) for c in key])
+        .limit(fb_docs)
+        .join(index.doc_stats.select(*key, "doc_len"), key)
+    )
+    stot = fb.agg(F.sum("s").alias("st"))
+    prm = (
+        index.postings.join(F.broadcast(fb), key)
+        .crossJoin(F.broadcast(stot))
+        .groupBy("term")
+        .agg(
+            F.round(
+                F.sum(F.col("tf") / F.col("doc_len") * F.col("s") / F.col("st")), 6
+            ).alias("p6")
+        )
+        .orderBy(F.desc("p6"), F.asc("term"))
+        .limit(fb_terms)
+    )
+    psum = prm.agg(F.sum("p6").alias("ps"))
+    qw = spark.createDataFrame([(t,) for t in terms], "term string").withColumn(
+        "w", F.lit(float(orig_weight) / len(terms))
+    )
+    ew = prm.crossJoin(F.broadcast(psum)).select(
+        "term", (F.lit(1.0 - orig_weight) * F.col("p6") / F.col("ps")).alias("w")
+    )
+    return qw.unionByName(ew).groupBy("term").agg(F.sum("w").alias("w"))
+
+
+def rm3_topk(
+    index: InvertedIndex,
+    query: str,
+    k: int = 80,
+    fb_docs: int = 10,
+    fb_terms: int = 10,
+    orig_weight: float = 0.5,
+    stem: bool = True,
+) -> DataFrame:
+    """Top-k by RM3-weighted BM25: the interpolated feedback weights
+    from :func:`rm3_term_weights` drive a weighted second BM25 pass
+    (score(d) = Σ_w  weight(w)·bm25(w,d)) — the standard two-pass
+    feedback retrieval loop, as a composition of the engine's existing
+    scoring frames. Returns (doc_key..., score).
+
+    The weight frame is collected once (bounded: ≤ fb_terms + |query|
+    rows, same class as the centroid/offset collects) so the second
+    pass gets a literal term IN-list — the expanded query scores with
+    exactly the same pushdown/broadcast shape as a user-typed query.
+    """
+    wts = rm3_term_weights(
+        index, query, fb_docs=fb_docs, fb_terms=fb_terms,
+        orig_weight=orig_weight, stem=stem,
+    )
+    if wts is None:
+        return _empty(index)
+    rows = wts.collect()  # bounded: <= fb_terms + |query terms|
+    if not rows:
+        return _empty(index)
+    spark = index.postings.sparkSession
+    wdf = spark.createDataFrame(
+        [(r["term"], float(r["w"])) for r in rows], "term string, w double"
+    )
+    wterms = [r["term"] for r in rows]
+    key = list(index.doc_key)
+    matched = index.postings.filter(F.col("term").isin(wterms))
+    scored = (
+        matched.join(F.broadcast(wdf), "term")
+        .join(
+            F.broadcast(
+                index.corpus_stats.filter(F.col("term").isin(wterms)).select(
+                    "term", "idf_bm25"
+                )
+            ),
+            "term",
+        )
+        .join(index.doc_stats.select(*key, "doc_len"), key)
+        .withColumn(
+            "partial",
+            F.col("w")
+            * bm25_score_col(
+                F.col("tf"), F.col("idf_bm25"), F.col("doc_len"), index.avg_doc_len
+            ),
+        )
+        .groupBy(*key)
+        .agg(F.sum("partial").alias("score"))
+    )
+    return _topk(scored, key, k)

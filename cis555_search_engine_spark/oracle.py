@@ -188,3 +188,66 @@ def score_lm_dirichlet(
         scores[key] += nq * math.log(mu / (idx.doc_len[key] + mu))
     ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
     return [(c, t, s) for (c, t), s in ranked[:k]]
+
+
+def score_rm3(
+    idx: OracleIndex,
+    query: str,
+    k: int = 80,
+    fb_docs: int = 10,
+    fb_terms: int = 10,
+    orig_weight: float = 0.5,
+) -> list[tuple[str, int, float]]:
+    """RM3 pseudo-relevance feedback (Lavrenko & Croft SIGIR'01;
+    interpolation per Abdul-Jaleel et al. TREC'04) — the pure-Python
+    twin of operators.scoring.rm3_topk:
+
+    1. BM25 first pass; top ``fb_docs`` by (round(score,4) DESC, key
+       ASC) are the pseudo-relevant set (rounded cutoff = the engine's
+       reproducible tie-break).
+    2. P(w|R) = Σ_d tf(w,d)/len_d · s_d/Σs, rounded to 6dp; top
+       ``fb_terms`` by (P DESC, term ASC), renormalized, interpolated
+       with the uniform query model at ``orig_weight``.
+    3. Weighted BM25 second pass: score(d) = Σ_w w(t)·bm25(t,d).
+    """
+    terms = list(dict.fromkeys(porter_stem(t) for t in tokenize_py(query)))
+    if not terms:
+        return []
+    fb_all = [
+        (key, round(s, 4))
+        for c, t, s in score_bm25(idx, query, k=idx.n_docs)
+        for key in [(c, t)]
+    ]
+    fb_all.sort(key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+    fb = fb_all[:fb_docs]
+    if not fb:
+        return []
+    stot = sum(s for _, s in fb)
+    prm: dict[str, float] = {}
+    for key, s in fb:
+        dl = idx.doc_len[key]
+        for t, c in idx.doc_tf[key].items():
+            prm[t] = prm.get(t, 0.0) + c / dl * s / stot
+    top_terms = sorted(
+        ((t, round(p, 6)) for t, p in prm.items()), key=lambda kv: (-kv[1], kv[0])
+    )[:fb_terms]
+    psum = sum(p for _, p in top_terms)
+    weights: dict[str, float] = {t: orig_weight / len(terms) for t in terms}
+    for t, p in top_terms:
+        weights[t] = weights.get(t, 0.0) + (1.0 - orig_weight) * p / psum
+    n = idx.n_docs
+    avglen = sum(idx.doc_len.values()) / n if n else 0.0
+    scores: dict[tuple[str, int], float] = {}
+    for t, w in weights.items():
+        dfreq = idx.df.get(t)
+        if not dfreq:
+            continue
+        idf = math.log((n - dfreq + 0.5) / (dfreq + 0.5) + 1.0)
+        for key, tf in idx.doc_tf.items():
+            c = tf.get(t)
+            if c:
+                dl = idx.doc_len[key]
+                s = w * (idf * c * (K1 + 1.0) / (c + K1 * (1.0 - B + B * dl / avglen)))
+                scores[key] = scores.get(key, 0.0) + s
+    ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+    return [(c, t, s) for (c, t), s in ranked[:k]]

@@ -231,3 +231,31 @@ def test_null_key_docs_count_toward_n_docs(spark):
     assert idx.n_docs == idx.doc_stats.count() == 2
     total_len = idx.doc_stats.agg({"doc_len": "sum"}).collect()[0][0]
     assert abs(idx.avg_doc_len - total_len / 2) < 1e-9
+
+
+@pytest.mark.parametrize("query", REFERENCE_QUERIES[:8])
+def test_rm3_rank_identical(spark_index, oracle_index, query):
+    """Fourth ranking family (RM3 pseudo-relevance feedback) must be
+    rank-identical to its pure-Python twin on the reference queries —
+    the full two-pass loop: BM25 seed, relevance-model expansion,
+    weighted re-score."""
+    from cis555_search_engine_spark.operators.scoring import rm3_topk
+    from cis555_search_engine_spark.oracle import score_rm3
+
+    _rank_identical(
+        rm3_topk(spark_index, query, k=80).collect(),
+        score_rm3(oracle_index, query, k=80),
+    )
+
+
+def test_rm3_weights_form_a_distribution(spark_index):
+    """RM3 interpolated weights sum to 1 (λ·uniform + (1-λ)·renormalized
+    relevance model) and every original query term keeps at least its
+    uniform λ/|q| mass."""
+    from cis555_search_engine_spark.operators.scoring import rm3_term_weights
+
+    wts = rm3_term_weights(spark_index, "rice noodle", orig_weight=0.5)
+    rows = {r["term"]: r["w"] for r in wts.collect()}
+    assert sum(rows.values()) == pytest.approx(1.0)
+    for t in ("rice", "noodl"):
+        assert rows.get(t, 0.0) >= 0.25 - 1e-9
