@@ -356,6 +356,72 @@ LIMIT 80
 )
 
 
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: the lexical BM25 top-50 and the embedding-cosine
+    top-50 (query = doc/vec 0, the ann_topk convention) fused by
+    reciprocal-rank fusion (Cormack et al. SIGIR'09, c=60). Only integer
+    ranks enter the fusion, so the result is bit-reproducible across
+    engines regardless of per-leg score precision."""
+    from .operators.query_ops import rrf_fuse, with_rank
+    from .operators.scoring import bm25_scores
+    from .operators.similarity import ann_topk_bruteforce
+
+    idx = get_index(spark, sf_dir)
+    lex50 = (
+        bm25_scores(idx, BM25_QUERY, stem=False)
+        .filter(F.col("doc_id") != 0)
+        .select("doc_id", F.round("score", 4).alias("s"))
+        .orderBy(F.desc("s"), F.asc("doc_id"))
+        .limit(50)
+    )
+    lexr = with_rank(lex50, [F.desc("s"), F.asc("doc_id")]).select("doc_id", "rank")
+    vec50 = ann_topk_bruteforce(load(spark, sf_dir, "embeddings"), query_vec_id=0, k=50)
+    vecr = with_rank(vec50, [F.desc("cos"), F.asc("vec_id")]).select(
+        F.col("vec_id").alias("doc_id"), "rank"
+    )
+    return rrf_fuse([lexr, vecr], key="doc_id", c=60, k=20)
+
+
+SQL_HYBRID_RRF = (
+    SQL_TOK
+    + """
+, lex AS (
+  SELECT p.doc_id,
+         round(sum(ln((tot.n_docs - cs.df + 0.5) / (cs.df + 0.5) + 1.0)
+                   * p.tf * 2.2
+                   / (p.tf + 1.2 * (0.25 + 0.75 * ds.doc_len / tot.avg_len))), 4) AS s
+  FROM postings p, cs, ds, tot
+  WHERE p.term = cs.term AND p.doc_id = ds.doc_id
+    AND p.term IN ('hash', 'join', 'merge') AND p.doc_id <> 0
+  GROUP BY p.doc_id
+  ORDER BY s DESC, p.doc_id ASC
+  LIMIT 50
+),
+lexr AS (
+  SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rank FROM lex
+),
+vec AS (
+  SELECT e.vec_id AS doc_id,
+         round(list_cosine_similarity(e.embedding::DOUBLE[], q.qvec), 6) AS cos
+  FROM embeddings e,
+       (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0) q
+  WHERE e.vec_id <> 0
+  ORDER BY cos DESC, doc_id ASC
+  LIMIT 50
+),
+vecr AS (
+  SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id ASC) AS rank FROM vec
+),
+legs AS (SELECT doc_id, rank FROM lexr UNION ALL SELECT doc_id, rank FROM vecr)
+SELECT doc_id, count(*)::INT AS n_legs,
+       round(sum(1.0::DOUBLE / (60.0 + rank)), 6) AS rrf
+FROM legs GROUP BY doc_id
+ORDER BY rrf DESC, doc_id ASC
+LIMIT 20
+"""
+)
+
+
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A9: the reference's cosine ranker, top-40. Ordered on the ROUNDED
     score so the k-cutoff is stable across engines at float ties."""
@@ -2862,6 +2928,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # driver slot; token_counts (driver-green in r4) rotates past 50 in
     # exchange — the r4+r5 union still covers every query
     "rm3_topk": q_rm3_topk,
+    # hybrid_rrf is new this session (lexical+vector rank fusion) and
+    # takes a driver slot; fingerprint (driver-green in r4) rotates
+    # past 50 in exchange
+    "hybrid_rrf": q_hybrid_rrf,
     "bm25_blocks": q_bm25_blocks,
     "bm25_and_blocks": q_bm25_and_blocks,
     "bm25_batch_blocks": q_bm25_batch_blocks,
@@ -2902,7 +2972,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- text analysis / curation / multimodal / graph ---
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
-    "fingerprint": q_fingerprint,
     "repetition_stats": q_repetition_stats,
     "html_clean": q_html_clean,
     "hashed_features": q_hashed_features,
@@ -2921,9 +2990,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # multimodal_meta joined them to make room for the two DSIR queries,
     # doc_stats to make room for the lm_topk ranker)
     "doc_stats": q_doc_stats,
-    # token_counts rotated past 50 this session in exchange for
-    # rm3_topk (green CORRECTNESS_r04 row + pytest runtime oracle kept)
+    # token_counts / fingerprint rotated past 50 this session in
+    # exchange for rm3_topk / hybrid_rrf (green CORRECTNESS_r04 rows +
+    # pytest runtime oracles kept)
     "token_counts": q_token_counts,
+    "fingerprint": q_fingerprint,
     "multimodal_meta": q_multimodal_meta,
     "bm25_compact_deleted": q_bm25_compact_deleted,
     "tfidf_topk": q_tfidf_topk,
@@ -2975,6 +3046,7 @@ ORACLES: dict[str, str] = {
     "tfidf_topk": SQL_TFIDF_TOPK,
     "lm_topk": SQL_LM_TOPK,
     "rm3_topk": SQL_RM3_TOPK,
+    "hybrid_rrf": SQL_HYBRID_RRF,
     "cosine_topk": SQL_COSINE_TOPK,
     "term_semi_join": SQL_TERM_SEMI_JOIN,
     "topk_join_meta": SQL_TOPK_JOIN_META,

@@ -350,3 +350,65 @@ def parse_boolean_query(query: str) -> dict:
         elif term and term != "-":
             out["not_terms" if neg_t else "terms"].append(term)
     return out
+
+
+# ------------------------------------------------------ rank fusion (hybrid)
+
+
+def rrf_fuse(
+    rankings: Sequence[DataFrame],
+    key: str | Sequence[str] = "doc_id",
+    c: int = 60,
+    k: int = 20,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009):
+    fuse N independent rankings of the same id space into one list by
+
+        rrf(d) = Σ_legs  1 / (c + rank_leg(d))
+
+    Each input frame must be (key..., rank) with 1-based integer ranks
+    (absent = the doc didn't make that leg's cut — contributes 0, the
+    standard RRF convention). Returns (key..., n_legs, rrf), top-k by
+    (rrf DESC, key ASC).
+
+    RRF is the standard score-free way to combine a lexical (BM25) and
+    a vector (embedding-cosine) retriever — no score calibration needed
+    because only integer ranks enter the sum, which also makes the
+    fusion bit-reproducible across engines (the per-leg score scales
+    never meet). The reference engine is lexical-only; this fuses its
+    ranking with the similarity module's ANN leg.
+
+    Scale notes: leg frames are already top-N cuts (bounded, ≤ N rows
+    each), so the union + hash-agg here is over O(N·legs) rows
+    regardless of corpus size; the heavy lifting stays in each leg's
+    own distributed plan.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    legs = [r.select(*keys, "rank") for r in rankings]
+    allr = legs[0]
+    for leg in legs[1:]:
+        allr = allr.unionByName(leg)
+    return (
+        allr.groupBy(*keys)
+        .agg(
+            F.count("*").cast("int").alias("n_legs"),
+            F.round(
+                F.sum(F.lit(1.0) / (F.lit(float(c)) + F.col("rank"))), 6
+            ).alias("rrf"),
+        )
+        .orderBy(F.desc("rrf"), *[F.asc(kc) for kc in keys])
+        .limit(k)
+    )
+
+
+def with_rank(topn: DataFrame, order: Sequence[Column], out: str = "rank") -> DataFrame:
+    """1-based dense ranks over an ALREADY top-N-cut frame.
+
+    The single-partition window here is deliberate and safe: callers
+    pass a bounded frame (an ``orderBy().limit(N)`` result, N ≤ a few
+    hundred), so the window sorts N rows on one task — the global
+    ordering work already happened in the leg's TakeOrderedAndProject.
+    Never call this on an uncut table."""
+    from pyspark.sql import Window
+
+    return topn.withColumn(out, F.row_number().over(Window.orderBy(*order)))

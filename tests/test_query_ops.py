@@ -193,3 +193,34 @@ def test_group_topk_sums_member_scores(spark_index, corpus_sdf):
         assert r["score"] == pytest.approx(ws, rel=1e-9)
         assert r["n_docs"] == wn
         assert r["best"] == pytest.approx(wb, rel=1e-12)
+
+
+# ------------------------------------------------------------ rank fusion
+
+
+def test_rrf_fuse_known_values(spark):
+    """RRF over hand-built legs: rrf(d) = Σ 1/(60+rank) per leg the doc
+    appears in; docs absent from a leg contribute 0 there; tie-break on
+    doc_id ASC."""
+    from cis555_search_engine_spark.operators.query_ops import rrf_fuse
+
+    lex = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "doc_id int, rank int")
+    vec = spark.createDataFrame([(2, 1), (4, 2), (1, 3)], "doc_id int, rank int")
+    rows = rrf_fuse([lex, vec], key="doc_id", c=60, k=10).collect()
+    got = {r["doc_id"]: (r["n_legs"], r["rrf"]) for r in rows}
+    assert got[1] == (2, round(1 / 61 + 1 / 63, 6))
+    assert got[2] == (2, round(1 / 62 + 1 / 61, 6))
+    assert got[3] == (1, round(1 / 63, 6))
+    assert got[4] == (1, round(1 / 62, 6))
+    # doc 2 (ranks 2+1) outscores doc 1 (ranks 1+3); singles follow
+    assert [r["doc_id"] for r in rows] == [2, 1, 4, 3]
+
+
+def test_rrf_fuse_respects_k_and_ties(spark):
+    from cis555_search_engine_spark.operators.query_ops import rrf_fuse
+
+    # two docs with identical rank sets tie on rrf -> doc_id ASC decides
+    a = spark.createDataFrame([(7, 1), (5, 2)], "doc_id int, rank int")
+    b = spark.createDataFrame([(5, 1), (7, 2)], "doc_id int, rank int")
+    rows = rrf_fuse([a, b], key="doc_id", c=60, k=1).collect()
+    assert len(rows) == 1 and rows[0]["doc_id"] == 5
