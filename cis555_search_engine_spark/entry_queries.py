@@ -1969,6 +1969,62 @@ r{i} AS (
 SQL_PAGERANK = _sql_pagerank(10)
 
 
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kleinberg HITS (hubs & authorities), 10 fixed iterations, over
+    the same deterministic orders-derived edge set as pagerank
+    (operators/pagerank.hits)."""
+    from .operators.pagerank import hits
+
+    orders = load(spark, sf_dir, "orders")
+    edges = orders.select(
+        (F.col("o_custkey") % 50).alias("src"), (F.col("o_orderkey") % 50).alias("dst")
+    )
+    out = hits(edges, n_iter=10)
+    return out.select(
+        "id", F.round("hub", 6).alias("hub"), F.round("auth", 6).alias("auth")
+    )
+
+
+def _sql_hits(n_iter: int = 10) -> str:
+    """Unrolled-CTE HITS oracle (the _sql_pagerank pattern). Normalizes
+    every iteration; the Spark side normalizes only at checkpoint
+    boundaries — scaling commutes through the linear updates, so the
+    fixpoint direction is identical (fp drift ≪ the round-6 grid)."""
+    head = """
+WITH e AS (
+  SELECT DISTINCT o_custkey % 50 AS src, o_orderkey % 50 AS dst
+  FROM orders WHERE (o_custkey % 50) <> (o_orderkey % 50)
+),
+nodes AS (SELECT DISTINCT src AS id FROM e UNION SELECT DISTINCT dst FROM e),
+a0 AS (SELECT id, 1.0::DOUBLE AS auth FROM nodes)"""
+    stages = []
+    for i in range(1, n_iter + 1):
+        # normalize via sum() OVER () — a scalar subquery would
+        # reference each CTE twice and the inlined expansion doubles
+        # per iteration (2^n_iter scans); the window keeps it linear
+        stages.append(f""",
+h{i} AS (
+  SELECT id, s / sum(s) OVER () AS hub FROM (
+    SELECT e.src AS id, sum(a.auth) AS s
+    FROM e JOIN a{i - 1} a ON a.id = e.dst GROUP BY e.src)
+),
+a{i} AS (
+  SELECT id, s / sum(s) OVER () AS auth FROM (
+    SELECT e.dst AS id, sum(h.hub) AS s
+    FROM e JOIN h{i} h ON h.id = e.src GROUP BY e.dst)
+)""")
+    tail = f"""
+SELECT n.id, round(coalesce(h.hub, 0.0), 6) AS hub,
+       round(coalesce(a.auth, 0.0), 6) AS auth
+FROM nodes n LEFT JOIN h{n_iter} h ON h.id = n.id
+             LEFT JOIN a{n_iter} a ON a.id = n.id
+ORDER BY n.id"""
+    return head + "".join(stages) + tail
+
+
+SQL_HITS = _sql_hits(10)
+
+
 def q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Positions-based phrase search 'hash join' over the index postings
     (the capability positions exist for — north rule). Native arrays:
@@ -2985,6 +3041,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curate": q_curate,
     "pack_sequences": q_pack_sequences,
     "pagerank": q_pagerank,
+    "hits": q_hits,
     # -------- position 51+: round-4 driver-green representatives -------
     # (rotated out this round; green rows in CORRECTNESS_r04 + selfcheck;
     # multimodal_meta joined them to make room for the two DSIR queries,
@@ -3081,6 +3138,7 @@ ORACLES: dict[str, str] = {
     "curate": SQL_CURATE,
     "pack_sequences": SQL_PACK_SEQUENCES,
     "pagerank": SQL_PAGERANK,
+    "hits": SQL_HITS,
     "phrase_match": SQL_PHRASE_MATCH,
     "proximity_topk": SQL_PROXIMITY,
     "proximity_blocks": SQL_PROXIMITY,

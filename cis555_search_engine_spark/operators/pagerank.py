@@ -175,3 +175,85 @@ def pagerank(
         if converged:
             break
     return finish(ranks)
+
+
+def hits(
+    edges: DataFrame,
+    n_iter: int = 10,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """Kleinberg's HITS (hubs & authorities, JACM 1999) — the classic
+    link-analysis sibling of the reference's PageRank
+    (`pagerank/SparkAppMain.java:59-115`), DataFrame-native.
+
+    Per iteration: hub(u) = Σ_{u→v} auth(v), then auth(v) = Σ_{u→v}
+    hub(u), each L1-normalized. Returns (id, hub, auth) over the full
+    node set (dangling/unreferenced nodes hold 0.0 on the missing side).
+
+    Scale notes — why normalization is FUSED to the lineage cuts:
+    dividing by the global sum needs the frame twice (values + its own
+    sum), which doubles the plan subtree; done every iteration that
+    doubling compounds exponentially. Scaling commutes through the
+    linear updates (hub_t ∝ A·auth_{t-1}, auth_t ∝ Aᵀ·hub_t), so the
+    normalized fixpoint direction is identical whether we normalize
+    every step or only at the ``checkpoint_every`` boundaries where an
+    eager localCheckpoint materializes the frame anyway (same hygiene
+    as :func:`pagerank`). Between cuts values grow by at most
+    λ_max(AᵀA)^Δ — far inside double range for any real Δ ≤ 20.
+    Each iteration is two `edges ⋈ scores` + hash aggs, whole-stage
+    codegen'd, AQE handling skew; the edge table is cached once.
+    """
+    e = clean_edges(edges).cache()
+    nodes = (
+        e.select("src").union(e.select(F.col("dst").alias("src"))).distinct()
+        .select(F.col("src").alias("id"))
+        .cache()
+    )
+    auth = nodes.select("id", F.lit(1.0).alias("auth"))
+    hub = nodes.select("id", F.lit(0.0).alias("hub"))
+    pinned: list[DataFrame] = []
+
+    def _l1(df: DataFrame, col: str) -> DataFrame:
+        # in-plan scalar: the 1-row total broadcast-joined back — no
+        # driver collect, no per-iteration action
+        tot = df.agg(F.sum(col).alias("_t"))
+        return df.crossJoin(F.broadcast(tot)).select(
+            "id", (F.col(col) / F.col("_t")).alias(col)
+        )
+
+    for i in range(n_iter):
+        # inner joins drop zero contributions exactly (a node absent
+        # from the score frame scores 0 and adds nothing to the sum)
+        hub = (
+            e.join(auth.withColumnRenamed("id", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.sum("auth").alias("hub"))
+            .withColumnRenamed("src", "id")
+        )
+        auth = (
+            e.join(hub.withColumnRenamed("id", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum("hub").alias("auth"))
+            .withColumnRenamed("dst", "id")
+        )
+        if (i + 1) % checkpoint_every == 0 or (i + 1) == n_iter:
+            hub = _l1(hub, "hub").localCheckpoint(eager=True)
+            auth = _l1(auth, "auth").localCheckpoint(eager=True)
+            for df in pinned:
+                _release(df)
+            pinned = [hub, auth]
+    out = (
+        nodes.join(hub, "id", "left")
+        .join(auth, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("hub"), F.lit(0.0)).alias("hub"),
+            F.coalesce(F.col("auth"), F.lit(0.0)).alias("auth"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for df in pinned:
+        _release(df)
+    nodes.unpersist()
+    e.unpersist()
+    return out

@@ -111,3 +111,33 @@ def test_jdbc_reader_surface(spark):
         ).count()
     msg = str(ei.value)
     assert "partitionColumn" not in msg, msg  # options accepted; failure is connectivity
+
+
+def test_hits_matches_numpy_power_iteration(spark):
+    """HITS hub/auth after 10 L1-normalized iterations equals the dense
+    numpy power iteration on the same adjacency — including a dangling
+    node (hub only) and an unreferenced node (auth 0)."""
+    import numpy as np
+
+    from cis555_search_engine_spark.operators.pagerank import hits
+
+    # 0→1, 0→2, 1→2, 3→2, 2→0: node 3 has no in-links (auth 0 side),
+    # and duplicate edge + self-loop must be dropped by clean_edges
+    raw = [(0, 1), (0, 2), (1, 2), (3, 2), (2, 0), (0, 2), (1, 1)]
+    edges = spark.createDataFrame(raw, "src long, dst long")
+    got = {r["id"]: (r["hub"], r["auth"]) for r in hits(edges, n_iter=10).collect()}
+
+    ids = [0, 1, 2, 3]
+    A = np.zeros((4, 4))
+    for s, d in set((s, d) for s, d in raw if s != d):
+        A[ids.index(s), ids.index(d)] = 1.0
+    a = np.ones(4)
+    for _ in range(10):
+        h = A @ a
+        h = h / h.sum()
+        a = A.T @ h
+        a = a / a.sum()
+    for i, nid in enumerate(ids):
+        assert got[nid][0] == pytest.approx(h[i], abs=1e-9)
+        assert got[nid][1] == pytest.approx(a[i], abs=1e-9)
+    assert got[3][1] == 0.0  # never linked to
