@@ -422,6 +422,81 @@ LIMIT 20
 )
 
 
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified top-10 from the lexical BM25 top-30: relevance
+    traded against embedding-cosine redundancy (λ=0.7). Relevance is
+    ROUNDED to 4 before normalization so both engines fold identical
+    inputs; mmr reported at 6."""
+    from .operators.scoring import bm25_scores
+    from .operators.similarity import mmr_rerank
+
+    idx = get_index(spark, sf_dir)
+    lex30 = (
+        bm25_scores(idx, BM25_QUERY, stem=False)
+        .select("doc_id", F.round("score", 4).alias("rel"))
+        .orderBy(F.desc("rel"), F.asc("doc_id"))
+        .limit(30)
+    )
+    out = mmr_rerank(lex30, load(spark, sf_dir, "embeddings"), k=10, lam=0.7)
+    return out.select(
+        "doc_id", F.col("step").cast("long").alias("step"), F.round("mmr", 6).alias("mmr")
+    )
+
+
+def _sql_mmr(k: int = 10, lam: float = 0.7, n_cand: int = 30) -> str:
+    """Unrolled greedy-MMR oracle. Each step's CTE is MATERIALIZED —
+    step i references sel_{i-1} three times (carry + exclusion +
+    max-sim), and inlined expansion would re-run the whole BM25
+    candidate query 3^k times."""
+    head = (
+        SQL_TOK
+        + f"""
+, lex AS (
+  SELECT p.doc_id,
+         round(sum(ln((tot.n_docs - cs.df + 0.5) / (cs.df + 0.5) + 1.0)
+                   * p.tf * 2.2
+                   / (p.tf + 1.2 * (0.25 + 0.75 * ds.doc_len / tot.avg_len))), 4) AS rel
+  FROM postings p, cs, ds, tot
+  WHERE p.term = cs.term AND p.doc_id = ds.doc_id
+    AND p.term IN ('hash', 'join', 'merge')
+  GROUP BY p.doc_id
+  ORDER BY rel DESC, p.doc_id ASC
+  LIMIT {n_cand}
+),
+cand AS MATERIALIZED (
+  SELECT l.doc_id, l.rel / max(l.rel) OVER () AS rel_n,
+         e.embedding::DOUBLE[] AS emb
+  FROM lex l JOIN embeddings e ON e.vec_id = l.doc_id
+),
+sel1 AS MATERIALIZED (
+  SELECT doc_id, rel_n, emb, 1 AS step, {lam} * rel_n AS mmr
+  FROM cand ORDER BY mmr DESC, doc_id ASC LIMIT 1
+)"""
+    )
+    stages = []
+    for i in range(2, k + 1):
+        stages.append(f""",
+sel{i} AS MATERIALIZED (
+  SELECT * FROM sel{i - 1}
+  UNION ALL
+  SELECT doc_id, rel_n, emb, {i} AS step, mmr FROM (
+    SELECT c.doc_id, c.rel_n, c.emb,
+           {lam} * c.rel_n
+             - (1.0 - {lam}) * max(list_cosine_similarity(c.emb, s.emb)) AS mmr
+    FROM cand c, sel{i - 1} s
+    WHERE c.doc_id NOT IN (SELECT doc_id FROM sel{i - 1})
+    GROUP BY c.doc_id, c.rel_n, c.emb
+    ORDER BY mmr DESC, c.doc_id ASC LIMIT 1)
+)""")
+    tail = f"""
+SELECT doc_id, step::BIGINT AS step, round(mmr, 6) AS mmr
+FROM sel{k} ORDER BY step"""
+    return head + "".join(stages) + tail
+
+
+SQL_MMR_RERANK = _sql_mmr(10, 0.7, 30)
+
+
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A9: the reference's cosine ranker, top-40. Ordered on the ROUNDED
     score so the k-cutoff is stable across engines at float ties."""
@@ -2988,6 +3063,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # takes a driver slot; fingerprint (driver-green in r4) rotates
     # past 50 in exchange
     "hybrid_rrf": q_hybrid_rrf,
+    "mmr_rerank": q_mmr_rerank,
+    # hits is new this session and takes a driver slot; dedup_exact
+    # (driver-green in r4) rotates past 50 in exchange — the r4+r5
+    # union still covers every query
+    "hits": q_hits,
     "bm25_blocks": q_bm25_blocks,
     "bm25_and_blocks": q_bm25_and_blocks,
     "bm25_batch_blocks": q_bm25_batch_blocks,
@@ -3012,7 +3092,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_window": q_events_window,
     "window_rank": q_window_rank,
     # --- dedup ---
-    "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
@@ -3041,7 +3120,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curate": q_curate,
     "pack_sequences": q_pack_sequences,
     "pagerank": q_pagerank,
-    "hits": q_hits,
+    # dedup_exact rotated past 50 this session in exchange for hits
+    # (green CORRECTNESS_r04 row + pytest runtime oracle kept)
+    "dedup_exact": q_dedup_exact,
     # -------- position 51+: round-4 driver-green representatives -------
     # (rotated out this round; green rows in CORRECTNESS_r04 + selfcheck;
     # multimodal_meta joined them to make room for the two DSIR queries,
@@ -3104,6 +3185,7 @@ ORACLES: dict[str, str] = {
     "lm_topk": SQL_LM_TOPK,
     "rm3_topk": SQL_RM3_TOPK,
     "hybrid_rrf": SQL_HYBRID_RRF,
+    "mmr_rerank": SQL_MMR_RERANK,
     "cosine_topk": SQL_COSINE_TOPK,
     "term_semi_join": SQL_TERM_SEMI_JOIN,
     "topk_join_meta": SQL_TOPK_JOIN_META,

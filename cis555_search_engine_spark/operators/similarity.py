@@ -108,6 +108,79 @@ def cosine_near_dup_pairs(
     )
 
 
+def mmr_rerank(
+    candidates: DataFrame,
+    emb: DataFrame,
+    k: int = 10,
+    lam: float = 0.7,
+    id_col: str = "doc_id",
+    rel_col: str = "rel",
+    emb_id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    max_candidates: int = 10_000,
+) -> DataFrame:
+    """Maximal Marginal Relevance rerank (Carbonell & Goldstein,
+    SIGIR 1998): greedily pick k results trading relevance against
+    redundancy —
+
+        mmr(d) = λ·rel_n(d) − (1−λ)·max_{s∈S} cos(d, s)
+
+    with rel_n = rel / max(rel) over the candidate set and max-sim over
+    the empty set = 0 (so pick 1 is the plain relevance argmax). Ties
+    break on id ASC. Returns (id, step, mmr) for steps 1..min(k, n).
+
+    Architecture — distributed retrieve, bounded rerank: `candidates`
+    is a top-N cut from a distributed ranker (BM25/ANN — the expensive,
+    corpus-sized work), and MMR is inherently sequential (each pick
+    conditions on the set so far), so the O(k·N) greedy runs on the
+    driver over the collected N-row candidate frame. That collect is
+    bounded by construction (a top-N cut) and double-guarded by
+    ``max_candidates`` — the same discipline as the codec's boundary
+    probes. At 100 TB nothing here grows: N and k are query constants.
+    """
+    cand = candidates.select(
+        F.col(id_col).alias("_id"), F.col(rel_col).cast("double").alias("_rel")
+    ).join(
+        emb.select(F.col(emb_id_col).alias("_id"), F.col(emb_col).alias("_emb")),
+        "_id",
+    )
+    rows = cand.limit(max_candidates + 1).collect()
+    if len(rows) > max_candidates:
+        raise ValueError(
+            f"mmr_rerank got >{max_candidates} candidates - pass a top-N cut, "
+            "not a full table (raise max_candidates only with a bounded source)"
+        )
+    spark = candidates.sparkSession
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("step", T.IntegerType()),
+            T.StructField("mmr", T.DoubleType()),
+        ]
+    )
+    if not rows:
+        return spark.createDataFrame([], schema)
+    rows.sort(key=lambda r: r["_id"])  # argmax ties -> smallest id
+    ids = np.array([r["_id"] for r in rows], dtype=np.int64)
+    rel = np.array([r["_rel"] for r in rows], dtype=np.float64)
+    V = np.array([r["_emb"] for r in rows], dtype=np.float64)
+    rel_n = rel / rel.max()
+    norms = np.sqrt((V * V).sum(axis=1))
+    norms[norms == 0.0] = 1.0  # zero vector: cos defined as 0 via zero dot
+    sims = (V @ V.T) / np.outer(norms, norms)
+    picked: list[tuple[int, int, float]] = []
+    chosen: list[int] = []
+    avail = np.ones(len(ids), dtype=bool)
+    for step in range(1, min(k, len(ids)) + 1):
+        maxsim = sims[:, chosen].max(axis=1) if chosen else np.zeros(len(ids))
+        score = np.where(avail, lam * rel_n - (1.0 - lam) * maxsim, -np.inf)
+        j = int(np.argmax(score))  # first max = smallest id (sorted)
+        picked.append((int(ids[j]), step, float(score[j])))
+        chosen.append(j)
+        avail[j] = False
+    return spark.createDataFrame(picked, schema)
+
+
 _RH_PLANES: dict[tuple, np.ndarray] = {}
 
 

@@ -329,3 +329,53 @@ def test_lsh_band_params_caps_infeasible_band_counts():
     assert bands_hi < MAX_LSH_BANDS
     p = 1.0 - __import__("math").acos(0.9) / __import__("math").pi
     assert (1 - p**bits_hi) ** bands_hi <= 1e-4
+
+
+def test_mmr_rerank_greedy_semantics(spark):
+    """Hand-checked greedy MMR: pick 1 = relevance argmax; pick 2 must
+    skip a near-duplicate of pick 1 in favor of a diverse lower-rel
+    candidate; mmr values match the closed-form trade-off."""
+    import pytest as _pytest
+
+    from cis555_search_engine_spark.operators.similarity import mmr_rerank
+
+    # doc 1: top rel; doc 2: near-identical vector to doc 1, rel close;
+    # doc 3: orthogonal vector, lower rel
+    cand = spark.createDataFrame(
+        [(1, 10.0), (2, 9.0), (3, 6.0)], "doc_id long, rel double"
+    )
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = mmr_rerank(cand, emb, k=3, lam=0.7).collect()
+    order = [(r["doc_id"], r["step"]) for r in rows]
+    assert order == [(1, 1), (3, 2), (2, 3)]
+    got = {r["doc_id"]: r["mmr"] for r in rows}
+    assert got[1] == _pytest.approx(0.7 * 1.0)
+    assert got[3] == _pytest.approx(0.7 * 0.6 - 0.3 * 0.0)
+    # doc 2: rel_n 0.9, max-sim vs {1,3} = 1.0 (duplicate of doc 1)
+    assert got[2] == _pytest.approx(0.7 * 0.9 - 0.3 * 1.0)
+
+
+def test_mmr_rerank_bounds_and_empty(spark):
+    from cis555_search_engine_spark.operators.similarity import mmr_rerank
+
+    emb = spark.range(5).selectExpr(
+        "id as vec_id", "array(cast(id as float), 1.0f) as embedding"
+    )
+    cand = spark.range(5).selectExpr("id as doc_id", "cast(id + 1 as double) as rel")
+    # k larger than n: returns all n, steps 1..n
+    rows = mmr_rerank(cand, emb, k=50, lam=0.5).collect()
+    assert sorted(r["step"] for r in rows) == [1, 2, 3, 4, 5]
+    # empty candidate frame: empty result, stable schema
+    out = mmr_rerank(cand.filter("doc_id < 0"), emb, k=3)
+    assert out.columns == ["doc_id", "step", "mmr"] and out.count() == 0
+    # unbounded-input guard trips
+    big = spark.range(20).selectExpr("id as doc_id", "1.0 as rel")
+    bigemb = spark.range(20).selectExpr("id as vec_id", "array(1.0f) as embedding")
+    try:
+        mmr_rerank(big, bigemb, k=2, max_candidates=10)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
