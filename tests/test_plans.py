@@ -208,3 +208,36 @@ def test_dictionary_prefix_scan_pushdown(spark, spark_index, tmp_path):
         .collect()
     )
     assert [tuple(r) for r in q.collect()] == [tuple(r) for r in want]
+
+
+def test_hybrid_rrf_legs_cut_before_rank_window(spark):
+    """The RRF fuse plan must show each leg's distributed top-N cut
+    (TakeOrderedAndProject) feeding the single-partition rank window —
+    i.e. the global ordering work happens in the leg, and the window
+    sorts only the bounded cut. No cartesian product anywhere."""
+    from cis555_search_engine_spark.entry_queries import q_hybrid_rrf
+
+    plan = explain_str(q_hybrid_rrf(spark, SF))
+    # two legs (lexical + vector), each a TakeOrderedAndProject
+    assert plan.count("TakeOrderedAndProject") >= 2
+    assert "CartesianProduct" not in plan
+    # the fuse itself is one hash aggregation over the unioned legs
+    assert "Union" in plan
+
+
+def test_mmr_candidate_join_is_bounded_input(spark):
+    """mmr_rerank's result is a driver-computed LocalRelation over a
+    BOUNDED candidate collect — the plan must be a local scan (no
+    re-execution of the retrieval per action), and the unbounded-input
+    guard must trip before any unbounded collect."""
+    from cis555_search_engine_spark.operators.similarity import mmr_rerank
+
+    emb = spark.range(30).selectExpr(
+        "id as vec_id", "array(cast(id as float), 1.0f) as embedding"
+    )
+    cand = spark.range(30).selectExpr("id as doc_id", "cast(id as double) as rel")
+    out = mmr_rerank(cand.limit(10), emb, k=3)
+    plan = explain_str(out)
+    assert any(s in plan for s in ("LocalTableScan", "LocalRelation", "ExistingRDD"))
+    with pytest.raises(ValueError):
+        mmr_rerank(cand, emb, k=3, max_candidates=5)
