@@ -151,9 +151,11 @@ def mmr_rerank(
             "not a full table (raise max_candidates only with a bounded source)"
         )
     spark = candidates.sparkSession
+    # the id keeps the CALLER's type — doc keys are strings at corpus
+    # scale (conv_id:turn_idx), ints in the toy tables
     schema = T.StructType(
         [
-            T.StructField(id_col, T.LongType()),
+            T.StructField(id_col, candidates.schema[id_col].dataType),
             T.StructField("step", T.IntegerType()),
             T.StructField("mmr", T.DoubleType()),
         ]
@@ -161,7 +163,7 @@ def mmr_rerank(
     if not rows:
         return spark.createDataFrame([], schema)
     rows.sort(key=lambda r: r["_id"])  # argmax ties -> smallest id
-    ids = np.array([r["_id"] for r in rows], dtype=np.int64)
+    ids = [r["_id"] for r in rows]
     rel = np.array([r["_rel"] for r in rows], dtype=np.float64)
     V = np.array([r["_emb"] for r in rows], dtype=np.float64)
     rel_n = rel / rel.max()
@@ -175,7 +177,7 @@ def mmr_rerank(
         maxsim = sims[:, chosen].max(axis=1) if chosen else np.zeros(len(ids))
         score = np.where(avail, lam * rel_n - (1.0 - lam) * maxsim, -np.inf)
         j = int(np.argmax(score))  # first max = smallest id (sorted)
-        picked.append((int(ids[j]), step, float(score[j])))
+        picked.append((ids[j], step, float(score[j])))
         chosen.append(j)
         avail[j] = False
     return spark.createDataFrame(picked, schema)

@@ -379,3 +379,21 @@ def test_mmr_rerank_bounds_and_empty(spark):
         raise AssertionError("expected ValueError")
     except ValueError:
         pass
+
+
+def test_mmr_rerank_string_ids(spark):
+    """Doc keys are strings at corpus scale (conv_id:turn_idx) — the
+    rerank must preserve the caller's id type end-to-end."""
+    from cis555_search_engine_spark.operators.similarity import mmr_rerank
+
+    cand = spark.createDataFrame(
+        [("c1:0", 5.0), ("c1:1", 4.0), ("c2:0", 3.0)], "doc_id string, rel double"
+    )
+    emb = spark.createDataFrame(
+        [("c1:0", [1.0, 0.0]), ("c1:1", [1.0, 0.0]), ("c2:0", [0.0, 1.0])],
+        "doc_id string, embedding array<float>",
+    )
+    out = mmr_rerank(cand, emb, k=3, id_col="doc_id", emb_id_col="doc_id")
+    assert dict(out.dtypes)["doc_id"] == "string"
+    rows = out.collect()
+    assert [r["doc_id"] for r in rows] == ["c1:0", "c2:0", "c1:1"]
