@@ -362,6 +362,47 @@ def politeness_rate_limit(
     )
 
 
+def trending_terms(
+    stream: DataFrame,
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+    text_col: str = "text",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Watermarked tumbling-window TERM counts over the transcript
+    stream — the "trending now" feed a live search frontend derives
+    from its ingest (the reference's batch-only pipeline has no analog;
+    this is the streaming twin of the `wordcount` query).
+
+    Tokenization is the index tokenizer (`functions.tokenizer
+    .tokenize_col`, a native regexp chain — no Python in the stream),
+    so the trend vocabulary matches the search vocabulary exactly.
+    Works identically on a batch frame (same plan — the streaming ≡
+    batch test pattern). Late rows beyond the watermark are dropped;
+    state is bounded per (window × term).
+
+    Scale notes: the explode fans each turn to its ~30 tokens BEFORE a
+    (window, term) hash agg whose map-side partials collapse the
+    stream per micro-batch — the shuffled volume is the per-batch
+    DISTINCT (window, term) set, not the token stream. Top-k per
+    window is deliberately the CONSUMER's bounded cut: ranking inside
+    an unclosed window isn't streamable (a per-update global sort),
+    and counts-out/rank-at-read is the standard serving shape.
+    """
+    from ..functions.tokenizer import tokenize_col
+
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .select(
+            F.window(ts_col, window).alias("w"),
+            F.explode(tokenize_col(F.col(text_col))).alias("term"),
+        )
+        .groupBy("w", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(F.col("w.start").alias("bucket_start"), "term", "n")
+    )
+
+
 def windowed_event_counts(
     events: DataFrame,
     window: str = "5 minutes",

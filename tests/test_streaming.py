@@ -531,3 +531,45 @@ def test_streaming_decontaminate_equals_batch(spark, staged_corpus, corpus_sdf, 
     )
     q2.awaitTermination(300)
     assert set(os.listdir(os.path.join(out, "flagged"))) == epochs_before
+
+
+def test_trending_terms_stream_equals_batch(spark, tmp_path, corpus_pdf):
+    """Windowed term counts: the streaming plan over the file source must
+    emit exactly the batch result for every watermark-closed window, and
+    the vocabulary must be the index tokenizer's."""
+    from pyspark.sql import functions as F
+
+    from cis555_search_engine_spark.streaming.ingest import trending_terms
+
+    corpus = spark.createDataFrame(corpus_pdf).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    batch = {
+        (r["bucket_start"], r["term"]): r["n"]
+        for r in trending_terms(corpus).collect()
+    }
+    assert batch  # non-vacuous
+
+    d = str(tmp_path / "turns")
+    corpus.write.parquet(d, mode="overwrite")
+    stream = spark.readStream.schema(corpus.schema).parquet(d)
+    q = (
+        trending_terms(stream)
+        .writeStream.format("memory")
+        .queryName("trend_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["bucket_start"], r["term"]): r["n"]
+        for r in spark.sql("SELECT * FROM trend_sink").collect()
+    }
+    assert got
+    for k, v in got.items():
+        assert batch[k] == v
+    # tokenizer parity: every streamed term is a tokenizer-legal token
+    import re
+
+    assert all(re.fullmatch(r"[a-z][a-z-]*[a-z]|[a-z]", t) for _, t in got)
