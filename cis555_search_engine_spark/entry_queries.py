@@ -464,7 +464,10 @@ def _sql_mmr(k: int = 10, lam: float = 0.7, n_cand: int = 30) -> str:
   LIMIT {n_cand}
 ),
 cand AS MATERIALIZED (
-  SELECT l.doc_id, l.rel / max(l.rel) OVER () AS rel_n,
+  SELECT l.doc_id,
+         CASE WHEN max(l.rel) OVER () = min(l.rel) OVER () THEN 1.0
+              ELSE (l.rel - min(l.rel) OVER ())
+                   / (max(l.rel) OVER () - min(l.rel) OVER ()) END AS rel_n,
          e.embedding::DOUBLE[] AS emb
   FROM lex l JOIN embeddings e ON e.vec_id = l.doc_id
 ),
@@ -482,7 +485,10 @@ sel{i} AS MATERIALIZED (
   SELECT doc_id, rel_n, emb, {i} AS step, mmr FROM (
     SELECT c.doc_id, c.rel_n, c.emb,
            {lam} * c.rel_n
-             - (1.0 - {lam}) * max(list_cosine_similarity(c.emb, s.emb)) AS mmr
+             - (1.0 - {lam}) * max(
+                 CASE WHEN isnan(list_cosine_similarity(c.emb, s.emb))
+                      THEN 0.0  -- zero-norm vector: cos defined as 0
+                      ELSE list_cosine_similarity(c.emb, s.emb) END) AS mmr
     FROM cand c, sel{i - 1} s
     WHERE c.doc_id NOT IN (SELECT doc_id FROM sel{i - 1})
     GROUP BY c.doc_id, c.rel_n, c.emb

@@ -203,6 +203,10 @@ def hits(
     Each iteration is two `edges ⋈ scores` + hash aggs, whole-stage
     codegen'd, AQE handling skew; the edge table is cached once.
     """
+    if n_iter < 1:
+        # the returned scores are documented L1-normalized; zero
+        # iterations would return the raw init instead
+        raise ValueError("hits() needs n_iter >= 1")
     e = clean_edges(edges).cache()
     nodes = (
         e.select("src").union(e.select(F.col("dst").alias("src"))).distinct()
@@ -210,7 +214,6 @@ def hits(
         .cache()
     )
     auth = nodes.select("id", F.lit(1.0).alias("auth"))
-    hub = nodes.select("id", F.lit(0.0).alias("hub"))
     pinned: list[DataFrame] = []
 
     def _l1(df: DataFrame, col: str) -> DataFrame:

@@ -402,7 +402,9 @@ def rrf_fuse(
 
 
 def with_rank(topn: DataFrame, order: Sequence[Column], out: str = "rank") -> DataFrame:
-    """1-based dense ranks over an ALREADY top-N-cut frame.
+    """1-based row_number ranks over an ALREADY top-N-cut frame. The
+    ordering must be TOTAL (include an id tie-break): row_number gives
+    tied rows distinct ranks in nondeterministic order otherwise.
 
     The single-partition window here is deliberate and safe: callers
     pass a bounded frame (an ``orderBy().limit(N)`` result, N ≤ a few

@@ -125,9 +125,12 @@ def mmr_rerank(
 
         mmr(d) = λ·rel_n(d) − (1−λ)·max_{s∈S} cos(d, s)
 
-    with rel_n = rel / max(rel) over the candidate set and max-sim over
-    the empty set = 0 (so pick 1 is the plain relevance argmax). Ties
-    break on id ASC. Returns (id, step, mmr) for steps 1..min(k, n).
+    with rel_n = (rel − min) / (max − min) over the candidate set
+    (min-max, so NEGATIVE relevance scales — e.g. the Dirichlet-LM
+    log-probabilities — keep their ordering; all-equal rel degenerates
+    to rel_n = 1.0) and max-sim over the empty set = 0 (so pick 1 is
+    the plain relevance argmax). Ties break on id ASC. Returns
+    (id, step, mmr) for steps 1..min(k, n).
 
     Architecture — distributed retrieve, bounded rerank: `candidates`
     is a top-N cut from a distributed ranker (BM25/ANN — the expensive,
@@ -166,20 +169,28 @@ def mmr_rerank(
     ids = [r["_id"] for r in rows]
     rel = np.array([r["_rel"] for r in rows], dtype=np.float64)
     V = np.array([r["_emb"] for r in rows], dtype=np.float64)
-    rel_n = rel / rel.max()
+    span = rel.max() - rel.min()
+    rel_n = (rel - rel.min()) / span if span > 0.0 else np.ones(len(rel))
     norms = np.sqrt((V * V).sum(axis=1))
     norms[norms == 0.0] = 1.0  # zero vector: cos defined as 0 via zero dot
-    sims = (V @ V.T) / np.outer(norms, norms)
     picked: list[tuple[int, int, float]] = []
-    chosen: list[int] = []
     avail = np.ones(len(ids), dtype=bool)
+    # running max-sim against the chosen set, updated one column at a
+    # time — O(N·k) work and memory; the full N×N similarity matrix is
+    # never materialized (at max_candidates=10k that would be ~800 MB
+    # on the driver for a k≤10 rerank). None until the first pick: the
+    # empty-set max-sim is 0 by convention, but once a doc is chosen
+    # the max is over REAL cosines, which can be negative — seeding
+    # with zeros would clamp anti-correlated candidates at 0
+    maxsim: np.ndarray | None = None
     for step in range(1, min(k, len(ids)) + 1):
-        maxsim = sims[:, chosen].max(axis=1) if chosen else np.zeros(len(ids))
-        score = np.where(avail, lam * rel_n - (1.0 - lam) * maxsim, -np.inf)
+        ms = maxsim if maxsim is not None else np.zeros(len(ids))
+        score = np.where(avail, lam * rel_n - (1.0 - lam) * ms, -np.inf)
         j = int(np.argmax(score))  # first max = smallest id (sorted)
         picked.append((ids[j], step, float(score[j])))
-        chosen.append(j)
         avail[j] = False
+        col = (V @ V[j]) / (norms * norms[j])
+        maxsim = col if maxsim is None else np.maximum(maxsim, col)
     return spark.createDataFrame(picked, schema)
 
 

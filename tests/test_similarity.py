@@ -334,28 +334,55 @@ def test_lsh_band_params_caps_infeasible_band_counts():
 def test_mmr_rerank_greedy_semantics(spark):
     """Hand-checked greedy MMR: pick 1 = relevance argmax; pick 2 must
     skip a near-duplicate of pick 1 in favor of a diverse lower-rel
-    candidate; mmr values match the closed-form trade-off."""
+    candidate; mmr values match the closed-form trade-off under the
+    min-max relevance normalization."""
     import pytest as _pytest
 
     from cis555_search_engine_spark.operators.similarity import mmr_rerank
 
-    # doc 1: top rel; doc 2: near-identical vector to doc 1, rel close;
-    # doc 3: orthogonal vector, lower rel
+    # doc 1: top rel; doc 2: identical vector to doc 1, rel close;
+    # doc 3: orthogonal vector, lower rel; doc 4: min-rel anchor
     cand = spark.createDataFrame(
-        [(1, 10.0), (2, 9.0), (3, 6.0)], "doc_id long, rel double"
+        [(1, 10.0), (2, 9.0), (3, 6.0), (4, 1.0)], "doc_id long, rel double"
     )
     emb = spark.createDataFrame(
-        [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0])],
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0]), (4, [0.0, 1.0])],
         "vec_id long, embedding array<float>",
     )
     rows = mmr_rerank(cand, emb, k=3, lam=0.7).collect()
     order = [(r["doc_id"], r["step"]) for r in rows]
+    # rel_n = [1, 8/9, 5/9, 0]; step 2: doc 3 (0.7·5/9, diverse) beats
+    # doc 2 (0.7·8/9 − 0.3·1.0, duplicate of pick 1)
     assert order == [(1, 1), (3, 2), (2, 3)]
     got = {r["doc_id"]: r["mmr"] for r in rows}
     assert got[1] == _pytest.approx(0.7 * 1.0)
-    assert got[3] == _pytest.approx(0.7 * 0.6 - 0.3 * 0.0)
-    # doc 2: rel_n 0.9, max-sim vs {1,3} = 1.0 (duplicate of doc 1)
-    assert got[2] == _pytest.approx(0.7 * 0.9 - 0.3 * 1.0)
+    assert got[3] == _pytest.approx(0.7 * 5 / 9)
+    assert got[2] == _pytest.approx(0.7 * 8 / 9 - 0.3 * 1.0)
+
+
+def test_mmr_rerank_negative_and_constant_relevance(spark):
+    """Dirichlet-LM relevance is a NEGATIVE log-probability: min-max
+    normalization must keep the ordering (the old rel/max(rel) silently
+    inverted it); all-equal rel degenerates to rel_n = 1.0, not NaN."""
+    from cis555_search_engine_spark.operators.similarity import mmr_rerank
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    neg = spark.createDataFrame(
+        [(1, -1.0), (2, -2.0), (3, -3.0)], "doc_id long, rel double"
+    )
+    rows = mmr_rerank(neg, emb, k=1, lam=0.7).collect()
+    assert rows[0]["doc_id"] == 1  # the LEAST negative = most relevant
+    const = spark.createDataFrame(
+        [(1, 0.0), (2, 0.0), (3, 0.0)], "doc_id long, rel double"
+    )
+    rows = mmr_rerank(const, emb, k=3, lam=0.7).collect()
+    import math
+
+    assert all(not math.isnan(r["mmr"]) for r in rows)
+    assert rows[0]["mmr"] == 0.7  # rel_n degenerates to 1.0
 
 
 def test_mmr_rerank_bounds_and_empty(spark):
@@ -387,10 +414,16 @@ def test_mmr_rerank_string_ids(spark):
     from cis555_search_engine_spark.operators.similarity import mmr_rerank
 
     cand = spark.createDataFrame(
-        [("c1:0", 5.0), ("c1:1", 4.0), ("c2:0", 3.0)], "doc_id string, rel double"
+        [("c1:0", 10.0), ("c1:1", 9.0), ("c2:0", 8.0), ("c3:0", 1.0)],
+        "doc_id string, rel double",
     )
     emb = spark.createDataFrame(
-        [("c1:0", [1.0, 0.0]), ("c1:1", [1.0, 0.0]), ("c2:0", [0.0, 1.0])],
+        [
+            ("c1:0", [1.0, 0.0]),
+            ("c1:1", [1.0, 0.0]),
+            ("c2:0", [0.0, 1.0]),
+            ("c3:0", [1.0, 1.0]),
+        ],
         "doc_id string, embedding array<float>",
     )
     out = mmr_rerank(cand, emb, k=3, id_col="doc_id", emb_id_col="doc_id")

@@ -569,6 +569,17 @@ def test_trending_terms_stream_equals_batch(spark, tmp_path, corpus_pdf):
     assert got
     for k, v in got.items():
         assert batch[k] == v
+    # every window the final watermark CLOSED must have been emitted
+    # (append mode emits on window_end <= max_ts - delay) — a watermark
+    # misplacement that silently drops closed windows fails here
+    import datetime
+
+    max_ts = corpus.agg(F.max("ts")).first()[0]
+    horizon = max_ts - datetime.timedelta(minutes=10 + 5)
+    expected_closed = {k for k in batch if k[0] <= horizon}
+    assert expected_closed  # non-vacuous: most windows close
+    missing = expected_closed - set(got)
+    assert not missing, f"closed windows not emitted: {sorted(missing)[:5]}"
     # tokenizer parity: every streamed term is a tokenizer-legal token
     import re
 
