@@ -2790,6 +2790,37 @@ FROM fit, vocab
 )
 
 
+def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-length distribution report: exact interpolated
+    p50/p90/p99 + count/mean/min/max, via the window-rank weighted-sum
+    fold (operators/text_analysis.length_quantiles — never buffers a
+    group's values)."""
+    from .operators.text_analysis import length_quantiles
+
+    return length_quantiles(load(spark, sf_dir, "documents"), by="source")
+
+
+# quantile_cont is the same pos = q·(n−1) linear interpolation the
+# Spark fold implements; lengths are exact integers so the only doubles
+# meeting the round-4 grid are the interpolated quantiles themselves
+SQL_LENGTH_QUANTILES = """
+WITH d AS (
+  SELECT source,
+         len(list_filter(list_transform(regexp_extract_all(lower(coalesce(text, '')), '[a-z-]+'),
+                                        x -> trim(x, '-')), x -> x <> ''))::DOUBLE AS len
+  FROM documents
+)
+SELECT source, count(*)::BIGINT AS n_docs,
+       round(avg(len), 4) AS mean_len,
+       min(len)::BIGINT AS min_len,
+       max(len)::BIGINT AS max_len,
+       round(quantile_cont(len, 0.5), 4) AS p50,
+       round(quantile_cont(len, 0.9), 4) AS p90,
+       round(quantile_cont(len, 0.99), 4) AS p99
+FROM d GROUP BY source ORDER BY source
+"""
+
+
 def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus phrase mining: top-100 adjacent-bigram collocations by PMI
     (pair count >= 5) over the index tokenizer's token stream
@@ -3106,7 +3137,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dup_passages": q_dup_passages,
     "dedup_passage_removed": q_dedup_passage_removed,
     # --- similarity / ANN ---
-    "ann_topk": q_ann_topk,
     "ann_ivf": q_ann_ivf,
     "ann_kmeans": q_ann_kmeans,
     "cosine_pairs": q_cosine_pairs,
@@ -3123,12 +3153,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_cluster_reps": q_dedup_cluster_reps,
     "pii_redact": q_pii_redact,
     "zipf_stats": q_zipf_stats,
+    # length_quantiles is new this session and takes a driver slot;
+    # ann_topk (driver-green in r4) rotates past 50 in exchange
+    "length_quantiles": q_length_quantiles,
     "curate": q_curate,
     "pack_sequences": q_pack_sequences,
     "pagerank": q_pagerank,
-    # dedup_exact rotated past 50 this session in exchange for hits
-    # (green CORRECTNESS_r04 row + pytest runtime oracle kept)
+    # dedup_exact / ann_topk rotated past 50 this session in exchange
+    # for hits / length_quantiles (green CORRECTNESS_r04 rows + pytest
+    # runtime oracles kept)
     "dedup_exact": q_dedup_exact,
+    "ann_topk": q_ann_topk,
     # -------- position 51+: round-4 driver-green representatives -------
     # (rotated out this round; green rows in CORRECTNESS_r04 + selfcheck;
     # multimodal_meta joined them to make room for the two DSIR queries,
@@ -3250,6 +3285,7 @@ ORACLES: dict[str, str] = {
     "facet_counts": SQL_FACET_COUNTS,
     "pii_redact": SQL_PII_REDACT,
     "zipf_stats": SQL_ZIPF_STATS,
+    "length_quantiles": SQL_LENGTH_QUANTILES,
     "collocations": SQL_COLLOCATIONS,
     "lm_perplexity": SQL_LM_PERPLEXITY,
     "corpus_drift": SQL_CORPUS_DRIFT,

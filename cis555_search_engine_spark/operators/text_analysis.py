@@ -727,3 +727,75 @@ def hashed_tfidf_features(
         .groupBy("id", "bucket")
         .agg(F.round(F.sum("w"), 6).alias("w"))
     )
+
+
+def length_quantiles(
+    docs: DataFrame,
+    by: str = "source",
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group token-length distribution report — the summary a
+    curation pipeline reads before setting packing lengths, truncation
+    budgets, and outlier cuts. Returns (group, n_docs, mean_len,
+    min_len, max_len, p<q>...) with EXACT linearly-interpolated
+    quantiles (pos = q·(n−1), the SQL ``quantile_cont`` definition).
+
+    Scale design — exact quantiles WITHOUT per-group value buffering:
+    Spark's ``percentile()`` aggregate holds every group value in the
+    agg buffer (OOM at billions of rows per source), and
+    ``approx_percentile`` sketches differ across engines and runs. This
+    build instead ranks rows inside each group (one hash-partition
+    shuffle on the group key + an in-partition sort that SPILLS — the
+    window never materializes a group in memory) and folds each
+    quantile as a weighted sum over the ≤2 rows straddling its rank:
+
+        p_q = Σ len · [ (rn = ⌊pos⌋)·(1−frac) + (rn = ⌈pos⌉)·frac ]
+
+    (frac = pos − ⌊pos⌋; the two indicators hit one row when pos is
+    integral and the weights collapse to 1). Token counts come from the
+    index tokenizer so the report speaks the engine's vocabulary.
+    Group cardinality is assumed small (sources / languages / shards);
+    a heavily skewed group is one partition's EXTERNAL sort, not one
+    executor's heap.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.tokenizer import tokenize_col
+
+    lens = docs.select(
+        F.col(by).alias("grp"),
+        F.size(tokenize_col(F.coalesce(F.col(text_col), F.lit(""))))
+        .cast("double")
+        .alias("len"),
+    )
+    wp = Window.partitionBy("grp")
+    ranked = lens.select(
+        "grp",
+        "len",
+        (F.row_number().over(wp.orderBy("len")) - 1).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(F.avg("len"), 4).alias("mean_len"),
+        F.min("len").cast("long").alias("min_len"),
+        F.max("len").cast("long").alias("max_len"),
+    ]
+    for q in qs:
+        pos = (F.col("n") - 1) * F.lit(float(q))
+        lo, hi = F.floor(pos), F.ceil(pos)
+        frac = pos - lo
+        contrib = F.col("len") * (
+            (F.col("rn") == lo).cast("double") * (F.lit(1.0) - frac)
+            + (F.col("rn") == hi).cast("double") * frac
+        )
+        aggs.append(
+            F.round(F.sum(contrib), 4).alias(f"p{int(round(q * 100))}")
+        )
+    return (
+        ranked.groupBy("grp")
+        .agg(*aggs)
+        .withColumnRenamed("grp", by)
+        .orderBy(by)
+    )

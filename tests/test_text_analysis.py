@@ -395,3 +395,28 @@ def test_edge_whitespace_and_empty_text(spark):
     assert q[1]["stop_ratio"] == q[3]["stop_ratio"] == 0.5
     fp = {r["id"]: r["fp"] for r in fingerprint(df).collect()}
     assert fp[1] == fp[2] == fp[3]  # boundary whitespace never shifts positions
+
+
+def test_length_quantiles_matches_numpy(spark):
+    """The window-rank weighted-sum fold equals numpy's linear
+    interpolation (the quantile_cont definition), including a 1-doc
+    group, integral quantile positions, and NULL text -> length 0."""
+    import numpy as np
+
+    from cis555_search_engine_spark.operators.text_analysis import length_quantiles
+
+    docs = spark.createDataFrame(
+        [("a", "one two three"), ("a", "one"), ("a", None),
+         ("a", "w " * 9), ("a", "x y"), ("b", "solo doc here")],
+        "source string, text string",
+    )
+    rows = {r["source"]: r for r in length_quantiles(docs, by="source").collect()}
+    lens_a = np.array([3.0, 1.0, 0.0, 9.0, 2.0])
+    for q, col in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+        assert rows["a"][col] == pytest.approx(
+            float(np.quantile(lens_a, q)), abs=1e-4)
+    assert rows["a"]["n_docs"] == 5
+    assert rows["a"]["mean_len"] == pytest.approx(3.0)
+    assert (rows["a"]["min_len"], rows["a"]["max_len"]) == (0, 9)
+    # 1-doc group: every quantile is the single value
+    assert (rows["b"]["p50"], rows["b"]["p99"]) == (3.0, 3.0)
