@@ -503,6 +503,148 @@ FROM sel{k} ORDER BY step"""
 SQL_MMR_RERANK = _sql_mmr(10, 0.7, 30)
 
 
+# Deterministic conversation view over `documents` for the fielded /
+# conversation-level rankers: each doc is a TURN of conversation
+# doc_id % 97 under role doc_id % 3 — the transcript shape of
+# BASELINE.json's input_hint, synthesized from the shared test table so
+# the DuckDB oracle sees identical bytes.
+CONV_MOD = 97
+ROLE_WEIGHTS = {"user": 1.0, "assistant": 2.0, "tool": 0.5}
+
+_ROLE_CASE_SQL = (
+    "CASE doc_id % 3 WHEN 0 THEN 'user' WHEN 1 THEN 'assistant' ELSE 'tool' END"
+)
+
+
+def _conv_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        (F.col("doc_id") % CONV_MOD).cast("long").alias("conv_id"),
+        F.when(F.col("doc_id") % 3 == 0, "user")
+        .when(F.col("doc_id") % 3 == 1, "assistant")
+        .otherwise("tool")
+        .alias("role"),
+    )
+
+
+def q_bm25f_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fifth ranking family: BM25F (Robertson/Zaragoza/Taylor CIKM'04)
+    — role-weighted fielded scoring of CONVERSATIONS (assistant turns
+    2x, tool turns 0.5x), per-field length normalization, group-level
+    idf (operators/scoring.bm25f_scores). The transcript-native ranker
+    the reference's flat-page scorer cannot express."""
+    from .operators.scoring import bm25f_scores
+
+    idx = get_index(spark, sf_dir)
+    scored = bm25f_scores(
+        idx,
+        BM25_QUERY,
+        _conv_fields(spark, sf_dir),
+        ROLE_WEIGHTS,
+        stem=False,
+        group_col="conv_id",
+        field_col="role",
+    )
+    return (
+        scored.select("conv_id", F.round("score", 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc("conv_id"))
+        .limit(20)
+    )
+
+
+SQL_BM25F_TOPK = (
+    SQL_TOK
+    + f"""
+, fld AS (
+  SELECT doc_id, doc_id % {CONV_MOD} AS conv_id,
+         {_ROLE_CASE_SQL} AS role
+  FROM documents
+),
+flen AS (
+  SELECT f.conv_id, f.role, sum(ds.doc_len)::DOUBLE AS len_f
+  FROM ds JOIN fld f USING (doc_id) GROUP BY f.conv_id, f.role
+),
+avglen AS (SELECT role, avg(len_f) AS avg_f FROM flen GROUP BY role),
+ftf AS (
+  SELECT f.conv_id, f.role, p.term, sum(p.tf)::DOUBLE AS tf_f
+  FROM postings p JOIN fld f USING (doc_id)
+  WHERE p.term IN ('hash', 'join', 'merge')
+  GROUP BY f.conv_id, f.role, p.term
+),
+wtf AS (
+  SELECT t.conv_id, t.term,
+         sum((CASE t.role WHEN 'user' THEN 1.0 WHEN 'assistant' THEN 2.0 ELSE 0.5 END)
+             * t.tf_f / (0.25 + 0.75 * fl.len_f / al.avg_f)) AS tfw
+  FROM ftf t
+  JOIN flen fl ON t.conv_id = fl.conv_id AND t.role = fl.role
+  JOIN avglen al ON t.role = al.role
+  GROUP BY t.conv_id, t.term
+),
+gdf AS (SELECT term, count(DISTINCT conv_id)::DOUBLE AS df_g FROM ftf GROUP BY term),
+ng AS (SELECT count(DISTINCT conv_id)::DOUBLE AS n FROM fld)
+SELECT w.conv_id,
+       round(sum(ln((ng.n - gdf.df_g + 0.5) / (gdf.df_g + 0.5) + 1.0)
+                 * w.tfw / (1.2 + w.tfw)), 4) AS score
+FROM wtf w JOIN gdf USING (term), ng
+GROUP BY w.conv_id
+ORDER BY round(sum(ln((ng.n - gdf.df_g + 0.5) / (gdf.df_g + 0.5) + 1.0)
+                   * w.tfw / (1.2 + w.tfw)), 4) DESC,
+         w.conv_id ASC
+LIMIT 20
+"""
+)
+
+
+def q_conv_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turn→conversation evidence aggregation (SumP, Dai & Callan
+    SIGIR'19): per-turn BM25 scores collapse to conversations as the
+    sum of each conversation's top-2 turn scores, carrying the best
+    turn's id for deep-linking (operators/scoring.evidence_scores)."""
+    from .operators.scoring import bm25_scores, evidence_scores
+
+    idx = get_index(spark, sf_dir)
+    scored = bm25_scores(idx, BM25_QUERY, stem=False).withColumn(
+        "conv_id", (F.col("doc_id") % CONV_MOD).cast("long")
+    )
+    out = evidence_scores(scored, doc_key=["doc_id"], group_col="conv_id", m=2)
+    return (
+        out.select("conv_id", F.round("score", 4).alias("score"), "best_doc_id")
+        .orderBy(F.desc("score"), F.asc("conv_id"))
+        .limit(10)
+    )
+
+
+SQL_CONV_TOPK = (
+    SQL_TOK
+    + f"""
+, scores AS (
+  SELECT p.doc_id,
+         sum(ln((tot.n_docs - cs.df + 0.5) / (cs.df + 0.5) + 1.0)
+             * p.tf * 2.2
+             / (p.tf + 1.2 * (0.25 + 0.75 * ds.doc_len / tot.avg_len))) AS score
+  FROM postings p, cs, ds, tot
+  WHERE p.term = cs.term AND p.doc_id = ds.doc_id
+    AND p.term IN ('hash', 'join', 'merge')
+  GROUP BY p.doc_id
+),
+ranked AS (
+  SELECT doc_id, doc_id % {CONV_MOD} AS conv_id, score,
+         row_number() OVER (PARTITION BY doc_id % {CONV_MOD}
+                            ORDER BY score DESC, doc_id ASC) AS rn
+  FROM scores
+)
+SELECT conv_id,
+       round(sum(score), 4) AS score,
+       min(CASE WHEN rn = 1 THEN doc_id END) AS best_doc_id
+FROM ranked WHERE rn <= 2
+GROUP BY conv_id
+ORDER BY round(sum(score), 4) DESC, conv_id ASC
+LIMIT 10
+"""
+)
+
+
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A9: the reference's cosine ranker, top-40. Ordered on the ROUNDED
     score so the k-cutoff is stable across engines at float ties."""
@@ -734,6 +876,121 @@ WHERE rn <= {k}
 
 
 SQL_BM25_BATCH = _sql_bm25_batch(10)
+
+
+def q_rank_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation at batch scale: nDCG@10 / MRR@10 /
+    P@10 / R@10 of the 20-query BM25 batch run against deterministic
+    term-coverage qrels (grade 2 = doc contains ALL query terms, grade
+    1 = at least half) — the eval harness the reference never had
+    (operators/rank_eval.rank_eval), distributed per-qid windows, no
+    driver loop."""
+    from .functions.tokenizer import tokenize_py as _tok
+    from .operators.rank_eval import rank_eval
+    from .operators.scoring import bm25_topk_many
+
+    idx = get_index(spark, sf_dir)
+    run = bm25_topk_many(idx, BATCH_QUERIES, k=10, stem=False)
+
+    pairs: list[tuple[str, str, int]] = []
+    for qid, q in BATCH_QUERIES.items():
+        terms = list(dict.fromkeys(_tok(q)))
+        pairs += [(qid, t, len(terms)) for t in terms]
+    qdf = spark.createDataFrame(pairs, "qid string, term string, nt int")
+    all_terms = sorted({t for _, t, _ in pairs})
+    qrels = (
+        idx.postings.filter(F.col("term").isin(all_terms))
+        .join(F.broadcast(qdf), "term")
+        .groupBy("qid", "doc_id")
+        .agg(F.count_distinct("term").alias("hit"), F.first("nt").alias("nt"))
+        .select(
+            "qid",
+            "doc_id",
+            F.when(F.col("hit") == F.col("nt"), 2)
+            .when(2 * F.col("hit") >= F.col("nt"), 1)
+            .otherwise(0)
+            .alias("grade"),
+        )
+        .filter(F.col("grade") > 0)
+    )
+    return rank_eval(run, qrels, k=10).orderBy("qid")
+
+
+def _sql_rank_metrics(k: int = 10) -> str:
+    from .functions.tokenizer import tokenize_py as _tok
+
+    vals = []
+    for qid, q in BATCH_QUERIES.items():
+        for t in dict.fromkeys(_tok(q)):
+            vals.append(f"('{qid}', '{t}')")
+    values = ",\n         ".join(vals)
+    return (
+        SQL_TOK
+        + f"""
+, qterms(qid, term) AS (VALUES {values}),
+nt AS (SELECT qid, count(DISTINCT term)::BIGINT AS nt FROM qterms GROUP BY qid),
+scored AS (
+  SELECT q.qid, p.doc_id,
+         sum(ln((tot.n_docs - cs.df + 0.5) / (cs.df + 0.5) + 1.0)
+             * p.tf * 2.2
+             / (p.tf + 1.2 * (0.25 + 0.75 * ds.doc_len / tot.avg_len))) AS score
+  FROM postings p JOIN qterms q ON p.term = q.term, cs, ds, tot
+  WHERE p.term = cs.term AND p.doc_id = ds.doc_id
+  GROUP BY q.qid, p.doc_id
+),
+run AS (
+  SELECT qid, doc_id, rn FROM (
+    SELECT qid, doc_id,
+           row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS rn
+    FROM scored)
+  WHERE rn <= {k}
+),
+hits AS (
+  SELECT q.qid, p.doc_id, count(DISTINCT p.term)::BIGINT AS hit
+  FROM postings p JOIN qterms q ON p.term = q.term
+  GROUP BY q.qid, p.doc_id
+),
+qrels AS (
+  SELECT h.qid, h.doc_id,
+         CASE WHEN h.hit = nt.nt THEN 2
+              WHEN 2 * h.hit >= nt.nt THEN 1
+              ELSE 0 END AS grade
+  FROM hits h JOIN nt USING (qid)
+),
+rel AS (SELECT qid, doc_id, grade FROM qrels WHERE grade >= 1),
+graded AS (
+  SELECT r.qid, r.rn, coalesce(q.grade, 0) AS g
+  FROM run r LEFT JOIN rel q USING (qid, doc_id)
+),
+per AS (
+  SELECT qid,
+         sum((pow(2, g) - 1) / log2(rn + 1)) AS dcg,
+         max(CASE WHEN g >= 1 THEN 1.0::DOUBLE / rn END) AS mrr0,
+         sum(CASE WHEN g >= 1 THEN 1 ELSE 0 END)::DOUBLE AS nhit
+  FROM graded GROUP BY qid
+),
+ideal AS (
+  SELECT qid, grade,
+         row_number() OVER (PARTITION BY qid ORDER BY grade DESC, doc_id ASC) AS irk
+  FROM rel
+),
+idcg AS (
+  SELECT qid, sum((pow(2, grade) - 1) / log2(irk + 1)) AS idcg
+  FROM ideal WHERE irk <= {k} GROUP BY qid
+),
+nrel AS (SELECT qid, count(*)::DOUBLE AS n_rel FROM rel GROUP BY qid)
+SELECT per.qid,
+       round(CASE WHEN coalesce(idcg.idcg, 0) > 0 THEN per.dcg / idcg.idcg ELSE 0 END, 4) AS ndcg,
+       round(coalesce(per.mrr0, 0), 4) AS mrr,
+       round(per.nhit / {k}, 4) AS p_at_k,
+       round(CASE WHEN coalesce(nrel.n_rel, 0) > 0 THEN per.nhit / nrel.n_rel ELSE 0 END, 4) AS r_at_k
+FROM per LEFT JOIN idcg USING (qid) LEFT JOIN nrel USING (qid)
+ORDER BY qid
+"""
+    )
+
+
+SQL_RANK_METRICS = _sql_rank_metrics(10)
 
 
 # ------------------------------------------------ relational coverage
@@ -3083,13 +3340,15 @@ SQL_DSIR_SELECT = (
 # every registered query.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- core index + ranking (families: postings, stats, rankers) ---
-    "postings": q_postings,
+    # postings / corpus_stats / bm25_topk (driver-green in r4, plus
+    # pytest parity oracles) rotated past 50 late in round 5 in
+    # exchange for the three never-driver-seen additions bm25f_topk /
+    # conv_topk / rank_metrics — the r4+r5 union still covers every
+    # query
     # doc_stats (driver-green in r4) rotated past 50 in exchange for
     # the late-round-5 Dirichlet-LM ranker, which has never had a
     # driver row — the r4+r5 union still covers every query
-    "corpus_stats": q_corpus_stats,
     "wordcount": q_wordcount,
-    "bm25_topk": q_bm25_topk,
     "bm25_and_topk": q_bm25_and_topk,
     "lm_topk": q_lm_topk,
     # rm3_topk is new this session (4th ranking family) and takes a
@@ -3105,6 +3364,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (driver-green in r4) rotates past 50 in exchange — the r4+r5
     # union still covers every query
     "hits": q_hits,
+    # the three late-round-5 additions (fielded BM25F over roles,
+    # turn→conversation evidence aggregation, nDCG/MRR rank
+    # evaluation) — never driver-seen, take the slots freed by
+    # postings / corpus_stats / bm25_topk
+    "bm25f_topk": q_bm25f_topk,
+    "conv_topk": q_conv_topk,
+    "rank_metrics": q_rank_metrics,
     "bm25_blocks": q_bm25_blocks,
     "bm25_and_blocks": q_bm25_and_blocks,
     "bm25_batch_blocks": q_bm25_batch_blocks,
@@ -3167,7 +3433,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -------- position 51+: round-4 driver-green representatives -------
     # (rotated out this round; green rows in CORRECTNESS_r04 + selfcheck;
     # multimodal_meta joined them to make room for the two DSIR queries,
-    # doc_stats to make room for the lm_topk ranker)
+    # doc_stats to make room for the lm_topk ranker; postings /
+    # corpus_stats / bm25_topk to make room for bm25f_topk / conv_topk /
+    # rank_metrics)
+    "postings": q_postings,
+    "corpus_stats": q_corpus_stats,
+    "bm25_topk": q_bm25_topk,
     "doc_stats": q_doc_stats,
     # token_counts / fingerprint rotated past 50 this session in
     # exchange for rm3_topk / hybrid_rrf (green CORRECTNESS_r04 rows +
@@ -3227,6 +3498,9 @@ ORACLES: dict[str, str] = {
     "rm3_topk": SQL_RM3_TOPK,
     "hybrid_rrf": SQL_HYBRID_RRF,
     "mmr_rerank": SQL_MMR_RERANK,
+    "bm25f_topk": SQL_BM25F_TOPK,
+    "conv_topk": SQL_CONV_TOPK,
+    "rank_metrics": SQL_RANK_METRICS,
     "cosine_topk": SQL_COSINE_TOPK,
     "term_semi_join": SQL_TERM_SEMI_JOIN,
     "topk_join_meta": SQL_TOPK_JOIN_META,

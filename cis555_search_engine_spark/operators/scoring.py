@@ -541,3 +541,142 @@ def rm3_topk(
         .agg(F.sum("partial").alias("score"))
     )
     return _topk(scored, key, k)
+
+
+# ----------------------------------------------- BM25F (fielded, 5th family)
+
+def bm25f_scores(
+    index: InvertedIndex,
+    query: str,
+    doc_fields: DataFrame,
+    field_weights: dict[str, float],
+    stem: bool = True,
+    k1: float = K1,
+    b: float = B,
+    group_col: str = "group_id",
+    field_col: str = "field",
+) -> DataFrame | None:
+    """Fielded BM25 (BM25F) over a doc→(group, field) mapping — the
+    "simple BM25 extension to multiple weighted fields" of Robertson,
+    Zaragoza & Taylor (CIKM 2004; public literature). The reference
+    engine scores flat pages (frontend/SearchHelper.java:155-185); a
+    transcript corpus is naturally FIELDED — a conversation's turns
+    split by ``role`` (user / assistant / tool, BASELINE input_hint) —
+    and role-weighted scoring is the standard way to rank conversations
+    where, say, assistant text should count double and tool spam half.
+
+    ``doc_fields`` is a (doc_key..., group_col, field_col) frame: each
+    indexed doc (turn) belongs to one group (conversation) under one
+    field (role). Semantics:
+
+    - field length  len(g,f)   = Σ doc_len over the group's turns in f
+    - avg field len avg(f)     = mean of len(g,f) over groups having f
+    - weighted tf   tfw(g,t)   = Σ_f  w_f · tf(g,f,t)
+                                  / (1 - b + b·len(g,f)/avg(f))
+    - group idf     idf(t)     = ln((N_g - df_g + 0.5)/(df_g + 0.5) + 1),
+                                 df_g = #groups containing t in ANY field
+    - score(g)                 = Σ_t  idf(t) · tfw / (k1 + tfw)
+
+    Returns the FULL (group_col, score) match set; None on an empty
+    query. Callers round + order + cut (rounded-score ordering keeps
+    the k-cutoff stable cross-engine, same contract as the LM ranker).
+
+    Plan at scale: postings are filtered to the query terms BEFORE any
+    join (term pushdown); field lengths are one hash agg over doc_stats
+    keyed by (group, field) — map-side combinable, never broadcast
+    (groups are unbounded); the per-field averages and per-term group
+    dfs are tiny (≤ n_fields / ≤ |terms| rows) and broadcast; the final
+    score is one hash agg keyed by group. Every agg is map-side
+    combinable, every shuffle is keyed by (group[, field]) — no window,
+    no UDF, no unbounded broadcast.
+    """
+    terms = bm25_query_terms(query) if stem else list(dict.fromkeys(tokenize_py(query)))
+    if not terms:
+        return None
+    key = list(index.doc_key)
+    fields = doc_fields.select(*key, group_col, field_col)
+    # field lengths from the FULL doc_stats (lengths count every term,
+    # not just the query's), one agg, never broadcast
+    flen = (
+        index.doc_stats.select(*key, "doc_len")
+        .join(fields, key)
+        .groupBy(group_col, field_col)
+        .agg(F.sum("doc_len").cast("double").alias("len_f"))
+    )
+    avglen = flen.groupBy(field_col).agg(F.avg("len_f").alias("avg_f"))
+    # per-(group, field) tf of the query terms only
+    ftf = (
+        index.postings.filter(F.col("term").isin(terms))
+        .join(fields, key)
+        .groupBy(group_col, field_col, "term")
+        .agg(F.sum("tf").cast("double").alias("tf_f"))
+    )
+    wmap = F.create_map(
+        *[lit for f, w in field_weights.items() for lit in (F.lit(f), F.lit(float(w)))]
+    )
+    wtf = (
+        ftf.join(flen, [group_col, field_col])
+        .join(F.broadcast(avglen), field_col)
+        .withColumn("w_f", F.coalesce(wmap[F.col(field_col)], F.lit(0.0)))
+        .withColumn(
+            "tfn",
+            F.col("w_f") * F.col("tf_f")
+            / (F.lit(1.0 - b) + F.lit(b) * F.col("len_f") / F.col("avg_f")),
+        )
+        .groupBy(group_col, "term")
+        .agg(F.sum("tfn").alias("tfw"))
+    )
+    # group-level df of the query terms (≤ |terms| rows → broadcast);
+    # N_g is a bounded scalar action, same class as index.n_docs
+    n_groups = float(fields.select(group_col).distinct().count())
+    gdf = ftf.groupBy("term").agg(
+        F.count_distinct(F.col(group_col)).cast("double").alias("df_g")
+    )
+    return (
+        wtf.join(F.broadcast(gdf), "term")
+        .withColumn(
+            "partial",
+            F.log((F.lit(n_groups) - F.col("df_g") + 0.5) / (F.col("df_g") + 0.5) + 1.0)
+            * F.col("tfw") / (F.lit(k1) + F.col("tfw")),
+        )
+        .groupBy(group_col)
+        .agg(F.sum("partial").alias("score"))
+    )
+
+
+# ------------------------------------- turn→conversation evidence aggregation
+
+def evidence_scores(
+    scored: DataFrame,
+    doc_key: Sequence[str],
+    group_col: str,
+    m: int = 2,
+) -> DataFrame:
+    """Passage→document evidence aggregation: collapse per-turn scores
+    to per-conversation scores as the SUM OF THE TOP-``m`` turn scores
+    (the SumP evidence combiner of Dai & Callan, SIGIR 2019 passage
+    ranking — public literature; m=1 degenerates to MaxP). The reference
+    ranks flat pages; retrieving CONVERSATIONS from turn-level postings
+    is the transcript-corpus analog of passage-level retrieval.
+
+    ``scored`` carries (doc_key..., score, group_col). Returns the FULL
+    (group_col, score, best_<doc_key[0]>...) set — best_* is the
+    top-scoring turn, the one a UI would deep-link. Callers round +
+    order + cut.
+
+    Plan at scale: ONE window partitioned by group (groups are small —
+    a conversation's turn count — and #groups >> cores, so the window
+    is skew-free), then one hash agg on the same key: Catalyst plans a
+    single shuffle, the agg reuses the window's partitioning.
+    """
+    from pyspark.sql import Window
+
+    key = list(doc_key)
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc("score"), *[F.asc(c) for c in key]
+    )
+    ranked = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= m)
+    best = [
+        F.min(F.when(F.col("rn") == 1, F.col(c))).alias(f"best_{c}") for c in key
+    ]
+    return ranked.groupBy(group_col).agg(F.sum("score").alias("score"), *best)
