@@ -1916,6 +1916,103 @@ LIMIT {topk}
 SQL_ANN_KMEANS = _sql_ann_kmeans()
 
 
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization ANN, two-stage (Jégou/Douze/Schmid
+    TPAMI'11 ADC + exact re-rank): 8 subspace codebooks of 8
+    integer-kmeans centroids each (2 Lloyd iterations), every vector
+    encoded to 8 one-byte codes, ADC sweep of the codes for a top-100
+    shortlist, exact cosine re-rank of ONLY the shortlist — the oracle
+    unrolls train+encode+ADC+rerank end-to-end in SQL
+    (operators/similarity.pq_topk)."""
+    from .operators.similarity import pq_topk
+
+    return pq_topk(
+        load(spark, sf_dir, "embeddings"),
+        query_vec_id=0, k=10, shortlist=100, m=8, ks=8, n_iter=2,
+    )
+
+
+def _sql_ann_pq(
+    m: int = 8, sub: int = 8, ks: int = 8, n_iter: int = 2,
+    shortlist: int = 100, topk: int = 10, scale: int = 1000,
+) -> str:
+    def cos(a: str, b: str) -> str:
+        return (
+            f"(list_dot_product({a},{b}) / "
+            f"(sqrt(list_dot_product({a},{a})) * sqrt(list_dot_product({b},{b}))))"
+        )
+
+    parts = [f"""
+WITH e AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         list_transform(embedding::DOUBLE[], x -> round(x*{scale})::BIGINT) AS vq
+  FROM embeddings
+)"""]
+    for j in range(m):
+        a, b = j * sub + 1, (j + 1) * sub
+        parts.append(f""",
+s{j} AS MATERIALIZED (SELECT vec_id, vq[{a}:{b}] AS sv FROM e),
+c{j}i0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, sv::DOUBLE[] AS cv
+  FROM s{j} ORDER BY vec_id LIMIT {ks}
+)""")
+        prev = f"c{j}i0"
+        for it in range(1, n_iter + 1):
+            mat = " MATERIALIZED" if it == n_iter else ""
+            parts.append(f""",
+a{j}i{it} AS (
+  SELECT vec_id, sv, cid AS cell FROM (
+    SELECT s.vec_id, s.sv, c.cid,
+           row_number() OVER (PARTITION BY s.vec_id
+             ORDER BY {cos("s.sv::DOUBLE[]", "c.cv")} DESC, c.cid ASC) AS rn
+    FROM s{j} s CROSS JOIN {prev} c) WHERE rn = 1
+),
+cs{j}i{it} AS (
+  SELECT cell AS cid, list(sm ORDER BY pos) AS sv FROM (
+    SELECT x.cell, u.i AS pos, sum(x.sv[u.i])::DOUBLE AS sm
+    FROM a{j}i{it} x, unnest(generate_series(1, len(x.sv))) AS u(i)
+    GROUP BY x.cell, u.i)
+  GROUP BY cell
+),
+c{j}i{it} AS{mat} (
+  SELECT p.cid, coalesce(n.sv, p.cv) AS cv
+  FROM {prev} p LEFT JOIN cs{j}i{it} n ON p.cid = n.cid
+)""")
+            prev = f"c{j}i{it}"
+        parts.append(f""",
+q{j} AS (SELECT sv::DOUBLE[] AS qv FROM s{j} WHERE vec_id = 0),
+lut{j} AS MATERIALIZED (SELECT cid, {cos("cv", "qv")} AS part FROM {prev}, q{j}),
+f{j} AS (
+  SELECT vec_id, cid AS code FROM (
+    SELECT s.vec_id, c.cid,
+           row_number() OVER (PARTITION BY s.vec_id
+             ORDER BY {cos("s.sv::DOUBLE[]", "c.cv")} DESC, c.cid ASC) AS rn
+    FROM s{j} s CROSS JOIN {prev} c) WHERE rn = 1
+)""")
+    adc = " + ".join(f"l{j}.part" for j in range(m))
+    joins = "".join(
+        f"\nJOIN f{j} ON f0.vec_id = f{j}.vec_id" for j in range(1, m)
+    ) + "".join(f"\nJOIN lut{j} l{j} ON f{j}.code = l{j}.cid" for j in range(m))
+    parts.append(f""",
+short AS (
+  SELECT f0.vec_id
+  FROM f0{joins}
+  WHERE f0.vec_id <> 0
+  ORDER BY ({adc}) DESC, f0.vec_id ASC
+  LIMIT {shortlist}
+),
+qfull AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+SELECT e.vec_id, round(list_cosine_similarity(e.v, q.qv), 6) AS cos
+FROM e JOIN short USING (vec_id), qfull q
+ORDER BY cos DESC, e.vec_id ASC
+LIMIT {topk}
+""")
+    return "".join(parts)
+
+
+SQL_ANN_PQ = _sql_ann_pq()
+
+
 def q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs (cosine >= 0.4), ids < 500 (bounded)."""
     from .operators.similarity import cosine_near_dup_pairs
@@ -3405,9 +3502,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- similarity / ANN ---
     "ann_ivf": q_ann_ivf,
     "ann_kmeans": q_ann_kmeans,
+    # ann_pq is new this session (product-quantization ADC) and takes
+    # a driver slot; lang_id (driver-green in r4) rotates past 50 in
+    # exchange — the r4+r5 union still covers every query
+    "ann_pq": q_ann_pq,
     "cosine_pairs": q_cosine_pairs,
     # --- text analysis / curation / multimodal / graph ---
-    "lang_id": q_lang_id,
     "quality_score": q_quality_score,
     "repetition_stats": q_repetition_stats,
     "html_clean": q_html_clean,
@@ -3439,6 +3539,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "postings": q_postings,
     "corpus_stats": q_corpus_stats,
     "bm25_topk": q_bm25_topk,
+    "lang_id": q_lang_id,
     "doc_stats": q_doc_stats,
     # token_counts / fingerprint rotated past 50 this session in
     # exchange for rm3_topk / hybrid_rrf (green CORRECTNESS_r04 rows +
@@ -3519,6 +3620,7 @@ ORACLES: dict[str, str] = {
     "ann_topk": SQL_ANN_TOPK,
     "ann_ivf": SQL_ANN_IVF,
     "ann_kmeans": SQL_ANN_KMEANS,
+    "ann_pq": SQL_ANN_PQ,
     # served path: same centroids + final assignment as ann_kmeans, so
     # the k-means SQL twin proves the persisted layout serves exactly
     "ann_ivf_served": SQL_ANN_KMEANS,

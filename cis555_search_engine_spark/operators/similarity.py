@@ -773,3 +773,246 @@ def ann_topk_ivf(
         .orderBy(F.desc("cos"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+# ------------------------------------------------ product quantization (PQ)
+
+def pq_train(
+    emb: DataFrame,
+    m: int = 4,
+    ks: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+    dim: int | None = None,
+) -> list[list[list[int]]]:
+    """Train a product-quantization codebook (Jégou, Douze & Schmid,
+    TPAMI 2011): split the ``dim``-d space into ``m`` contiguous
+    subspaces and run the engine's exactly-reproducible integer k-means
+    (:func:`kmeans_quantized`) independently in each. Returns ``m``
+    codebooks of ``ks`` integer centroid vectors each.
+
+    This is the similarity-search SCALE path the brute-force/IVF
+    rankers lead to: a 64-dim float32 vector (256 B) compresses to
+    ``m`` one-byte codes (4 B at m=4, ks≤256) — at 10^12 vectors the
+    difference between a 256 TB and a 4 TB candidate sweep, with the
+    codebook a few KB broadcast everywhere.
+
+    Cosine (not L2) is the subspace metric throughout, matching the
+    engine's k-means: integer-sum centroids are then exactly
+    mean-equivalent (scale invariance) and every cosine is an exact-int
+    dot with one IEEE sqrt/divide — bit-identical across Spark, numpy
+    and DuckDB, so the whole train→encode→score pipeline has an ANSI
+    SQL twin.
+    """
+    if dim is None:
+        drow = (
+            emb.select(F.size(vec_col).alias("d"))
+            .groupBy("d").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), F.asc("d")).limit(1).collect()
+        )
+        dim = int(drow[0]["d"]) if drow else 0
+    if dim == 0 or dim % m != 0:
+        raise ValueError(f"dim={dim} not divisible into m={m} subspaces")
+    sub = dim // m
+    # FUSED training: the m subspace k-means are independent, so each
+    # Lloyd iteration runs as ONE job — one select carrying all m
+    # assignments, one posexplode whose rows route to (subspace, cell,
+    # subspace-pos), one hash agg (m·ks·sub rows collected, tiny).
+    # Semantically identical to m separate kmeans_quantized runs
+    # (integer sums are order-free); m× fewer actions and one staged
+    # quantized frame instead of m.
+    base = (
+        emb.select(
+            F.col(id_col).alias("id"),
+            quantized_vec_col(F.col(vec_col), scale).alias("vq"),
+        )
+        .filter(F.col("vq").isNotNull())
+        .localCheckpoint(eager=True)
+    )
+    init = base.filter(F.size("vq") == dim).orderBy(F.asc("id")).limit(ks).collect()
+    books: list[list[list[int]]] = [
+        [list(r["vq"])[j * sub:(j + 1) * sub] for r in init] for j in range(m)
+    ]
+    for _ in range(n_iter):
+        assigned = base.select(
+            "vq",
+            *[
+                _assign_cells_udf(books[j])(
+                    F.slice(F.col("vq"), j * sub + 1, sub)
+                ).alias(f"c{j}")
+                for j in range(m)
+            ],
+        )
+        sums = (
+            assigned.select(
+                F.posexplode("vq").alias("pos", "x"),
+                *[f"c{j}" for j in range(m)],
+            )
+            .withColumn("j", (F.col("pos") / sub).cast("int"))
+            .withColumn(
+                "cell",
+                F.element_at(F.array(*[F.col(f"c{j}") for j in range(m)]), F.col("j") + 1),
+            )
+            .withColumn("spos", F.col("pos") % sub)
+            .groupBy("j", "cell", "spos")
+            .agg(F.sum("x").alias("s"))
+            .collect()
+        )
+        acc: dict[tuple[int, int], dict[int, int]] = {}
+        for r in sums:
+            if r["cell"] is None:
+                continue  # ragged/null vectors belong to no centroid
+            acc.setdefault((int(r["j"]), int(r["cell"])), {})[int(r["spos"])] = int(r["s"])
+        books = [
+            [
+                [acc[(j, c)][p] for p in range(sub)] if (j, c) in acc else books[j][c]
+                for c in range(ks)
+            ]
+            for j in range(m)
+        ]
+    return books
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: list[list[list[int]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """Encode every vector to its m PQ codes: per subspace, the
+    argmax-cosine centroid id (ties → lowest cid, the engine-wide
+    convention). One narrow projection — m Arrow-batched int64 matmuls
+    per batch, no shuffle, no join: the codes frame is what a real
+    deployment PERSISTS (id + m small ints) instead of the raw vectors.
+    Returns (id_col, code_0..code_{m-1}); rows whose vector is NULL or
+    off-dimension get NULL codes (dropped by the scorer).
+    """
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    cols = []
+    for j in range(m):
+        vq_j = quantized_vec_col(F.slice(F.col(vec_col), j * sub + 1, sub), scale)
+        cols.append(_assign_cells_udf(codebooks[j])(vq_j).alias(f"code_{j}"))
+    return emb.select(F.col(id_col), *cols)
+
+
+def pq_shortlist(
+    emb: DataFrame,
+    query_vec_id: int = 0,
+    shortlist: int = 100,
+    m: int = 8,
+    ks: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+    codebooks: list[list[list[int]]] | None = None,
+    codes: DataFrame | None = None,
+) -> DataFrame | None:
+    """PQ candidate generation by asymmetric distance computation (ADC):
+    score(q, x) = Σ_j cos(q_j, c_{j, code_j(x)}) — the query stays
+    UNQUANTIZED (asymmetric) while the corpus is represented only by
+    its codes; the per-subspace lookup table is m·ks floats computed
+    once on the driver (exact-int cosines, bit-identical to the SQL
+    twin) and folded into the plan as literal arrays, so sweeping an
+    encoded corpus is one scan + fixed-order column arithmetic — no
+    join, no shuffle, TakeOrderedAndProject for the shortlist cut.
+
+    Returns the (vec_id, adc) top-``shortlist`` frame, or None when the
+    query id is absent/invalid. ADC is a coarse ranker — at m·log2(ks)
+    = 24 bits per vector it resolves neighborhoods, not exact ranks —
+    so production PQ serves a SHORTLIST that an exact pass re-ranks
+    (:func:`pq_topk`), the Jégou et al. IVFADC+R shape.
+
+    Pass precomputed (codebooks, codes) to amortize training/encoding
+    across queries — the serving shape, where `codes` is the persisted
+    m-bytes-per-vector table (64-dim float32 = 256 B → 8 B: at 10^12
+    vectors, a 256 TB sweep becomes an 8 TB one).
+    """
+    if codebooks is None:
+        codebooks = pq_train(emb, m=m, ks=ks, n_iter=n_iter,
+                             id_col=id_col, vec_col=vec_col, scale=scale)
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    if codes is None:
+        codes = pq_encode(emb, codebooks, id_col=id_col, vec_col=vec_col, scale=scale)
+    qrows = (
+        emb.filter(F.col(id_col) == query_vec_id)
+        .select(quantized_vec_col(F.col(vec_col), scale).alias("vq"))
+        .collect()
+    )
+    if not qrows or qrows[0]["vq"] is None or len(qrows[0]["vq"]) != m * sub:
+        return None
+    qvq = [int(v) for v in qrows[0]["vq"]]
+    # driver-side LUT: exact-int cosines, same formula as the engines'
+    luts = [
+        [_int_cosine_py(qvq[j * sub:(j + 1) * sub], c) for c in codebooks[j]]
+        for j in range(m)
+    ]
+    # fixed-order fold (j = 0..m-1): IEEE addition order is part of the
+    # cross-engine contract, so never a commutative agg over code rows
+    score = F.element_at(
+        F.array(*[F.lit(float(x)) for x in luts[0]]), F.col("code_0") + 1
+    )
+    for j in range(1, m):
+        score = score + F.element_at(
+            F.array(*[F.lit(float(x)) for x in luts[j]]), F.col(f"code_{j}") + 1
+        )
+    out = codes.filter(F.col(id_col) != query_vec_id)
+    for j in range(m):
+        out = out.filter(F.col(f"code_{j}").isNotNull())
+    return (
+        out.select(F.col(id_col).alias("vec_id"), score.alias("adc"))
+        .orderBy(F.desc("adc"), F.asc("vec_id"))
+        .limit(shortlist)
+    )
+
+
+def pq_topk(
+    emb: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    shortlist: int = 100,
+    m: int = 8,
+    ks: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+    codebooks: list[list[list[int]]] | None = None,
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """Two-stage PQ ANN (Jégou/Douze/Schmid TPAMI'11, the ADC+exact-
+    rerank serving shape): sweep the compressed codes for an ADC
+    top-``shortlist``, then re-rank ONLY those candidates with the
+    exact cosine against the raw vectors. Returns (vec_id, cos) top-k.
+
+    The shortlist is a bounded frame → it broadcasts into the raw-
+    vector scan (never the reverse), so the expensive exact cosine
+    touches ``shortlist`` rows instead of the corpus; the coarse sweep
+    touches only the m-byte codes. At 10^12 vectors that is the whole
+    point: the full-precision table is read at k-scale, not corpus-
+    scale.
+    """
+    cand = pq_shortlist(
+        emb, query_vec_id, shortlist=shortlist, m=m, ks=ks, n_iter=n_iter,
+        id_col=id_col, vec_col=vec_col, scale=scale,
+        codebooks=codebooks, codes=codes,
+    )
+    if cand is None:
+        return emb.select(F.col(id_col).alias("vec_id"), F.lit(0.0).alias("cos")).limit(0)
+    q = emb.filter(F.col(id_col) == query_vec_id).select(F.col(vec_col).alias("qvec"))
+    cand_ids = cand.select(F.col("vec_id").alias("__cand_id"))
+    return (
+        emb.join(F.broadcast(cand_ids), F.col(id_col) == F.col("__cand_id"))
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col(id_col).alias("vec_id"),
+            F.round(cosine_col(F.col(vec_col), F.col("qvec")), 6).alias("cos"),
+        )
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(k)
+    )

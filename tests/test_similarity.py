@@ -430,3 +430,89 @@ def test_mmr_rerank_string_ids(spark):
     assert dict(out.dtypes)["doc_id"] == "string"
     rows = out.collect()
     assert [r["doc_id"] for r in rows] == ["c1:0", "c2:0", "c1:1"]
+
+
+def test_pq_train_matches_per_subspace_kmeans(emb_sdf):
+    """The fused trainer must be bit-identical to m independent
+    kmeans_quantized runs over the slices (the SQL twin's shape)."""
+    from cis555_search_engine_spark.operators.similarity import (
+        kmeans_quantized,
+        pq_train,
+    )
+    from pyspark.sql import functions as F
+
+    m, ks, n_iter, sub = 4, 8, 2, 16
+    books = pq_train(emb_sdf, m=m, ks=ks, n_iter=n_iter)
+    assert len(books) == m and all(len(b) == ks for b in books)
+    assert all(len(c) == sub for b in books for c in b)
+    for j in range(m):
+        want = kmeans_quantized(
+            emb_sdf.select(
+                "vec_id", F.slice("embedding", j * sub + 1, sub).alias("embedding")
+            ),
+            k=ks, n_iter=n_iter,
+        )
+        assert books[j] == want, f"subspace {j} diverged from reference kmeans"
+
+
+def test_pq_encode_is_argmax_and_compact(emb_sdf, emb_np):
+    """Codes = per-subspace argmax cosine vs the codebook (numpy oracle);
+    the encoded frame carries only id + m small ints."""
+    from cis555_search_engine_spark.operators.similarity import pq_encode, pq_train
+
+    m, ks, sub = 4, 8, 16
+    books = pq_train(emb_sdf, m=m, ks=ks, n_iter=2)
+    codes = pq_encode(emb_sdf, books)
+    assert codes.columns == ["vec_id", "code_0", "code_1", "code_2", "code_3"]
+    got = {r["vec_id"]: [r[f"code_{j}"] for j in range(m)] for r in codes.collect()}
+
+    ids, mat = emb_np
+    q = np.round(mat * 1000).astype(np.int64)
+    for j in range(m):
+        C = np.array(books[j], dtype=np.int64)
+        S = q[:, j * sub:(j + 1) * sub]
+        sims = (S @ C.T) / (
+            np.linalg.norm(S.astype(np.float64), axis=1)[:, None]
+            * np.linalg.norm(C.astype(np.float64), axis=1)[None, :]
+        )
+        want = sims.argmax(axis=1)  # numpy argmax ties -> first == lowest cid
+        for i, vid in enumerate(ids):
+            assert got[int(vid)][j] == int(want[i])
+
+
+def test_pq_topk_adc_recall_vs_bruteforce(emb_sdf):
+    """Two-stage PQ (ADC shortlist + exact re-rank) must keep strong
+    overlap with the exact top-10, return exactly k rows, be
+    deterministic across runs, and every returned cos must equal the
+    brute-force cos for that id (the re-rank is EXACT)."""
+    from cis555_search_engine_spark.operators.similarity import (
+        ann_topk_bruteforce,
+        pq_topk,
+    )
+
+    brute = {
+        r["vec_id"]: r["cos"]
+        for r in ann_topk_bruteforce(emb_sdf, 0, k=1 << 20).collect()
+    }
+    brute_top = sorted(brute, key=lambda i: (-brute[i], i))[:10]
+    got1 = pq_topk(emb_sdf, 0, k=10, shortlist=100, m=8, ks=8, n_iter=2).collect()
+    got2 = pq_topk(emb_sdf, 0, k=10, shortlist=100, m=8, ks=8, n_iter=2).collect()
+    assert got1 == got2
+    assert len(got1) == 10
+    for r in got1:
+        assert r["cos"] == brute[r["vec_id"]]  # exact re-rank
+    recall = len({r["vec_id"] for r in got1} & set(brute_top)) / 10
+    assert recall >= 0.6, (recall, [r["vec_id"] for r in got1], brute_top)
+
+
+def test_pq_topk_absent_query_and_bad_dim(spark):
+    from cis555_search_engine_spark.operators.similarity import pq_topk, pq_train
+
+    emb = spark.createDataFrame(
+        [(i, [float(i + j) for j in range(8)]) for i in range(1, 20)],
+        "vec_id long, embedding array<float>",
+    )
+    out = pq_topk(emb, query_vec_id=999, k=5, shortlist=10, m=4, ks=4, n_iter=1)
+    assert out.collect() == []
+    with pytest.raises(ValueError):
+        pq_train(emb, m=3, ks=4, n_iter=1)  # 8 % 3 != 0
