@@ -153,9 +153,13 @@ def main() -> None:
     print(json.dumps(summary))
 
     if not args.no_write_md:
+        # Write the raw record to SCALING_LAST.md — BASELINE.md is the
+        # hand-curated narrative (runs history + disclosures) and must
+        # never be clobbered by a tool run; merge new batches into it
+        # manually.
         md_dir = os.path.join(REPO, "BENCH")
         os.makedirs(md_dir, exist_ok=True)
-        with open(os.path.join(md_dir, "BASELINE.md"), "w") as f:
+        with open(os.path.join(md_dir, "SCALING_LAST.md"), "w") as f:
             f.write(
                 f"""# BENCH/BASELINE — index-build scaling evidence (north rule)
 
