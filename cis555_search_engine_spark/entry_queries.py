@@ -885,34 +885,12 @@ def q_rank_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     1 = at least half) — the eval harness the reference never had
     (operators/rank_eval.rank_eval), distributed per-qid windows, no
     driver loop."""
-    from .functions.tokenizer import tokenize_py as _tok
-    from .operators.rank_eval import rank_eval
+    from .operators.rank_eval import coverage_qrels, rank_eval
     from .operators.scoring import bm25_topk_many
 
     idx = get_index(spark, sf_dir)
     run = bm25_topk_many(idx, BATCH_QUERIES, k=10, stem=False)
-
-    pairs: list[tuple[str, str, int]] = []
-    for qid, q in BATCH_QUERIES.items():
-        terms = list(dict.fromkeys(_tok(q)))
-        pairs += [(qid, t, len(terms)) for t in terms]
-    qdf = spark.createDataFrame(pairs, "qid string, term string, nt int")
-    all_terms = sorted({t for _, t, _ in pairs})
-    qrels = (
-        idx.postings.filter(F.col("term").isin(all_terms))
-        .join(F.broadcast(qdf), "term")
-        .groupBy("qid", "doc_id")
-        .agg(F.count_distinct("term").alias("hit"), F.first("nt").alias("nt"))
-        .select(
-            "qid",
-            "doc_id",
-            F.when(F.col("hit") == F.col("nt"), 2)
-            .when(2 * F.col("hit") >= F.col("nt"), 1)
-            .otherwise(0)
-            .alias("grade"),
-        )
-        .filter(F.col("grade") > 0)
-    )
+    qrels = coverage_qrels(idx.postings, BATCH_QUERIES, stem=False)
     return rank_eval(run, qrels, k=10).orderBy("qid")
 
 

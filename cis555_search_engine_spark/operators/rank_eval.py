@@ -33,6 +33,46 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def coverage_qrels(
+    postings: DataFrame,
+    queries: dict[str, str],
+    stem: bool = True,
+    doc_key: Sequence[str] = ("doc_id",),
+) -> DataFrame:
+    """Deterministic term-coverage relevance judgments for a query
+    batch: grade 2 = the doc contains ALL of the query's terms, grade
+    1 = at least half — the one definition shared by the driver query,
+    its SQL twin's CASE, and the scale demos. Returns
+    (qid, doc_key..., grade) with grade ≥ 1 rows only.
+
+    Plan: postings filtered to the batch's terms (pushdown), joined to
+    the tiny broadcast (qid, term, nt) frame, one hash agg keyed by
+    (qid, doc) — the same shape as the batch scorer's scoring agg.
+    """
+    from .scoring import query_term_pairs
+
+    key = list(doc_key)
+    pairs = query_term_pairs(queries, stem=stem)
+    spark = postings.sparkSession
+    qdf = spark.createDataFrame(pairs, "qid string, term string, nt int")
+    all_terms = sorted({t for _, t, _ in pairs})
+    return (
+        postings.filter(F.col("term").isin(all_terms))
+        .join(F.broadcast(qdf), "term")
+        .groupBy("qid", *key)
+        .agg(F.count_distinct("term").alias("hit"), F.first("nt").alias("nt"))
+        .select(
+            "qid",
+            *key,
+            F.when(F.col("hit") == F.col("nt"), 2)
+            .when(2 * F.col("hit") >= F.col("nt"), 1)
+            .otherwise(0)
+            .alias("grade"),
+        )
+        .filter(F.col("grade") > 0)
+    )
+
+
 def rank_eval(
     run: DataFrame,
     qrels: DataFrame,

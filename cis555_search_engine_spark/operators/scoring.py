@@ -162,6 +162,21 @@ def facet_counts(
     )
 
 
+def query_term_pairs(
+    queries: dict[str, str], stem: bool = True
+) -> list[tuple[str, str, int]]:
+    """(qid, term, n_query_terms) rows for a query batch — the ONE
+    definition of batch query expansion (tokenize → optional stem →
+    order-preserving dedupe), shared by the batch scorer, the rank-eval
+    qrels builder, and the scale demos so the term pipeline cannot
+    silently diverge between them."""
+    pairs: list[tuple[str, str, int]] = []
+    for qid, q in queries.items():
+        terms = bm25_query_terms(q) if stem else list(dict.fromkeys(tokenize_py(q)))
+        pairs += [(qid, t, len(terms)) for t in terms]
+    return pairs
+
+
 def bm25_topk_many(
     index: InvertedIndex,
     queries: dict[str, str],
@@ -182,10 +197,7 @@ def bm25_topk_many(
     partitioning is skew-free and the whole batch is one shuffle.
     """
     key = list(index.doc_key)
-    pairs: list[tuple[str, str, int]] = []
-    for qid, q in queries.items():
-        terms = bm25_query_terms(q) if stem else list(dict.fromkeys(tokenize_py(q)))
-        pairs += [(qid, t, len(terms)) for t in terms]
+    pairs = query_term_pairs(queries, stem=stem)
     if not pairs:
         return _empty_many(index)
     spark = index.postings.sparkSession

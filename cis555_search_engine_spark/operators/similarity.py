@@ -832,6 +832,10 @@ def pq_train(
         .localCheckpoint(eager=True)
     )
     init = base.filter(F.size("vq") == dim).orderBy(F.asc("id")).limit(ks).collect()
+    # fewer than ks full-dim vectors degrades to fewer centroids, the
+    # same graceful behavior as kmeans_quantized (its rebuild iterates
+    # range(len(cents)), never range(k))
+    k_eff = len(init)
     books: list[list[list[int]]] = [
         [list(r["vq"])[j * sub:(j + 1) * sub] for r in init] for j in range(m)
     ]
@@ -850,6 +854,13 @@ def pq_train(
                 F.posexplode("vq").alias("pos", "x"),
                 *[f"c{j}" for j in range(m)],
             )
+            # a vector longer than the modal dim would route its tail
+            # positions to j >= m and (under ANSI, the Spark 4 default)
+            # crash element_at — drop the tail, keeping the vector's
+            # in-range subspaces, exactly the rows the per-subspace
+            # kmeans_quantized runs would see ('one bad vector != dead
+            # job')
+            .filter(F.col("pos") < dim)
             .withColumn("j", (F.col("pos") / sub).cast("int"))
             .withColumn(
                 "cell",
@@ -868,7 +879,7 @@ def pq_train(
         books = [
             [
                 [acc[(j, c)][p] for p in range(sub)] if (j, c) in acc else books[j][c]
-                for c in range(ks)
+                for c in range(k_eff)
             ]
             for j in range(m)
         ]
@@ -932,6 +943,12 @@ def pq_shortlist(
     m-bytes-per-vector table (64-dim float32 = 256 B → 8 B: at 10^12
     vectors, a 256 TB sweep becomes an 8 TB one).
     """
+    if codes is not None and codebooks is None:
+        # codes are meaningless without the codebooks that minted them:
+        # training fresh books here would build the ADC LUT against
+        # centroids the stored codes never referenced — silently-garbage
+        # ranks (or an ANSI element_at error if ks shrank)
+        raise ValueError("pq_shortlist: `codes` requires the `codebooks` that encoded them")
     if codebooks is None:
         codebooks = pq_train(emb, m=m, ks=ks, n_iter=n_iter,
                              id_col=id_col, vec_col=vec_col, scale=scale)

@@ -516,3 +516,38 @@ def test_pq_topk_absent_query_and_bad_dim(spark):
     assert out.collect() == []
     with pytest.raises(ValueError):
         pq_train(emb, m=3, ks=4, n_iter=1)  # 8 % 3 != 0
+
+
+def test_pq_train_survives_ragged_and_few_vectors(spark):
+    """Round-5 review findings: a vector longer than the modal dim must
+    not kill the fused trainer (ANSI element_at), and fewer than ks
+    full-dim vectors must degrade to fewer centroids like
+    kmeans_quantized — not IndexError."""
+    from cis555_search_engine_spark.operators.similarity import pq_train
+
+    rows = [(i, [float(i + j) for j in range(8)]) for i in range(1, 20)]
+    rows.append((99, [1.0] * 10))  # ragged: longer than modal dim 8
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    books = pq_train(emb, m=2, ks=4, n_iter=1)
+    assert len(books) == 2 and all(len(b) == 4 for b in books)
+
+    small = spark.createDataFrame(rows[:5], "vec_id long, embedding array<float>")
+    books = pq_train(small, m=2, ks=8, n_iter=1)  # only 5 seeds available
+    assert all(len(b) == 5 for b in books)
+
+
+def test_pq_shortlist_rejects_codes_without_codebooks(spark):
+    from cis555_search_engine_spark.operators.similarity import (
+        pq_encode,
+        pq_shortlist,
+        pq_train,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float(i + j) for j in range(8)]) for i in range(1, 20)],
+        "vec_id long, embedding array<float>",
+    )
+    books = pq_train(emb, m=2, ks=4, n_iter=1)
+    codes = pq_encode(emb, books)
+    with pytest.raises(ValueError, match="codebooks"):
+        pq_shortlist(emb, 1, codes=codes)

@@ -1,8 +1,10 @@
 #!/usr/bin/env python
-"""Scale demo for the late-round-5 operators on the 986k-turn corpus.
+"""Scale demo for the late-round-5 operators on the scaling corpus
+(1,583,720 turns at the scaling_bench default of 12,000 convs × 8
+replicas).
 
-Reuses the corpus staged by tools/scaling_bench.py (default
-/tmp/scaling_bench) — REAL conv_id/role fields, so BM25F and the
+Reuses the corpus staged by tools/scaling_bench.py (pass
+--corpus /tmp/scaling_bench/corpus) — REAL conv_id/role fields, so BM25F and the
 evidence aggregation run on native conversation structure, not the
 documents-table modulo view. The PQ demo synthesizes 200k clustered
 64-dim vectors columnar-side (no driver materialization).
@@ -96,29 +98,14 @@ def main() -> None:
     print(f"conv_topk (SumP m=2, k=10): median {med:.2f}s")
 
     # --- rank evaluation over the 21-query reference batch ---
+    from cis555_search_engine_spark.operators.rank_eval import coverage_qrels
+
     queries = {f"q{i:02d}": q for i, q in enumerate(REFERENCE_QUERIES)}
-    pairs = []
-    from cis555_search_engine_spark.functions.tokenizer import tokenize_py
-    from cis555_search_engine_spark.functions.porter import porter_stem
-    for qid, q in queries.items():
-        terms = list(dict.fromkeys(porter_stem(t) for t in tokenize_py(q)))
-        pairs += [(qid, t, len(terms)) for t in terms]
-    qdf = spark.createDataFrame(pairs, "qid string, term string, nt int")
-    all_terms = sorted({t for _, t, _ in pairs})
 
     def _metrics():
         run = bm25_topk_many(idx, queries, k=10)
-        qrels = (
-            idx.postings.filter(F.col("term").isin(all_terms))
-            .join(F.broadcast(qdf), "term")
-            .groupBy("qid", "conv_id", "turn_idx")
-            .agg(F.count_distinct("term").alias("hit"), F.first("nt").alias("nt"))
-            .select("qid", "conv_id", "turn_idx",
-                    F.when(F.col("hit") == F.col("nt"), 2)
-                    .when(2 * F.col("hit") >= F.col("nt"), 1)
-                    .otherwise(0).alias("grade"))
-            .filter(F.col("grade") > 0)
-        )
+        qrels = coverage_qrels(idx.postings, queries,
+                               doc_key=("conv_id", "turn_idx"))
         return rank_eval(run, qrels, k=10,
                          doc_key=("conv_id", "turn_idx")).orderBy("qid").collect()
 

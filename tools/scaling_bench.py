@@ -161,7 +161,7 @@ def main() -> None:
         os.makedirs(md_dir, exist_ok=True)
         with open(os.path.join(md_dir, "SCALING_LAST.md"), "w") as f:
             f.write(
-                f"""# BENCH/BASELINE — index-build scaling evidence (north rule)
+                f"""# Last scaling-bench run (tool-written; narrative lives in BASELINE.md)
 
 Same job (`tools/index_build_job.py`, full tokenize→stem→postings→stats
 build + parquet writes over {n_rows:,} synthetic transcript turns, seed
@@ -181,7 +181,7 @@ executors. Template: the reference's own 4-vs-6-core pagerank experiment
 Reproduce: `python tools/scaling_bench.py --n-convs {args.n_convs}`.
 """
             )
-        print(f"# wrote BENCH/BASELINE.md (eta={eta:.3f})", file=sys.stderr)
+        print(f"# wrote BENCH/SCALING_LAST.md (eta={eta:.3f})", file=sys.stderr)
 
 
 if __name__ == "__main__":
