@@ -174,6 +174,57 @@ def q_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_WORDCOUNT = SQL_TOK + "SELECT term, count(*)::BIGINT AS cnt FROM tok GROUP BY term"
 
 
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE vocabulary induction (Sennrich et al. ACL 2016):
+    learn the first 10 merges from the corpus wordcount — each
+    iteration ONE pair-count hash agg over the distinct-word frame plus
+    a 1-row argmax collect; merge application is a literal space-walled
+    string replace whose leftmost-non-overlapping semantics IS BPE's
+    greedy merge (operators/bpe.bpe_train). The oracle unrolls all 10
+    iterations in SQL."""
+    from .operators.bpe import bpe_train
+
+    wc = q_wordcount(spark, sf_dir)
+    return bpe_train(wc, n_merges=10)
+
+
+def _sql_bpe_merges(k: int = 10) -> str:
+    parts = [
+        SQL_TOK
+        + """
+, wc AS MATERIALIZED (SELECT term, count(*)::BIGINT AS cnt FROM tok GROUP BY term),
+w0 AS MATERIALIZED (
+  SELECT ' ' || array_to_string(list_append(regexp_extract_all(term, '.'), '</w>'), '  ') || ' ' AS w,
+         cnt
+  FROM wc
+)"""
+    ]
+    for it in range(1, k + 1):
+        prev = f"w{it - 1}"
+        parts.append(f""",
+s{it} AS MATERIALIZED (SELECT string_split(trim(w), '  ') AS s, cnt FROM {prev}),
+p{it} AS MATERIALIZED (
+  SELECT s[u.i] AS a, s[u.i + 1] AS b, sum(cnt)::BIGINT AS c
+  FROM s{it}, unnest(generate_series(1, len(s) - 1)) AS u(i)
+  GROUP BY a, b
+  ORDER BY c DESC, a ASC, b ASC
+  LIMIT 1
+),
+w{it} AS MATERIALIZED (
+  SELECT replace(t.w, ' ' || p.a || '  ' || p.b || ' ', ' ' || p.a || p.b || ' ') AS w, t.cnt
+  FROM {prev} t, p{it} p
+)""")
+    selects = "\nUNION ALL ".join(
+        f"SELECT {it} AS step, a AS left_sym, b AS right_sym, a || b AS merged, c AS cnt FROM p{it}"
+        for it in range(1, k + 1)
+    )
+    parts.append(f"\n{selects}\nORDER BY step\n")
+    return "".join(parts)
+
+
+SQL_BPE_MERGES = _sql_bpe_merges(10)
+
+
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1+A6+T1: BM25 top-80 for a fixed query, deterministic tie-break."""
     idx = get_index(spark, sf_dir)
@@ -3456,6 +3507,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # exchange for the five new-this-session queries, which have never
     # had a driver row
     "collocations": q_collocations,
+    # bpe_merges is new this session (distributed BPE vocab induction)
+    # and takes a driver slot; quality_score (driver-green in r4)
+    # rotates past 50 in exchange — the r4+r5 union still covers every
+    # query
+    "bpe_merges": q_bpe_merges,
     "lm_perplexity": q_lm_perplexity,
     "corpus_drift": q_corpus_drift,
     "corpus_jsd": q_corpus_jsd,
@@ -3486,7 +3542,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_pq": q_ann_pq,
     "cosine_pairs": q_cosine_pairs,
     # --- text analysis / curation / multimodal / graph ---
-    "quality_score": q_quality_score,
     "repetition_stats": q_repetition_stats,
     "html_clean": q_html_clean,
     "hashed_features": q_hashed_features,
@@ -3518,6 +3573,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_stats": q_corpus_stats,
     "bm25_topk": q_bm25_topk,
     "lang_id": q_lang_id,
+    "quality_score": q_quality_score,
     "doc_stats": q_doc_stats,
     # token_counts / fingerprint rotated past 50 this session in
     # exchange for rm3_topk / hybrid_rrf (green CORRECTNESS_r04 rows +
@@ -3557,6 +3613,7 @@ ORACLES: dict[str, str] = {
     "doc_stats": SQL_DOC_STATS,
     "corpus_stats": SQL_CORPUS_STATS,
     "wordcount": SQL_WORDCOUNT,
+    "bpe_merges": SQL_BPE_MERGES,
     "bm25_topk": SQL_BM25_TOPK,
     "bm25_blocks": SQL_BM25_TOPK,
     "bm25_and_topk": SQL_BM25_AND_TOPK,
