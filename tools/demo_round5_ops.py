@@ -114,6 +114,26 @@ def main() -> None:
     print(f"rank_metrics (21 queries, nDCG/MRR/P/R@10 over {n:,} turns): "
           f"median {med:.2f}s, mean nDCG {mean_ndcg:.3f}")
 
+    # --- BPE vocabulary induction over the full-corpus wordcount ---
+    from cis555_search_engine_spark.operators.bpe import bpe_train
+    from cis555_search_engine_spark.operators.index_build import tokenize_turns
+
+    t0 = time.perf_counter()
+    wc = (
+        tokenize_turns(corpus)
+        .groupBy(F.col("raw_term").alias("term"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    nw = wc.count()
+    t_wc = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    mrows = bpe_train(wc, n_merges=10).collect()
+    t_bpe = time.perf_counter() - t0
+    print(f"bpe_merges (10 merges over {nw:,} distinct words from {n:,} turns): "
+          f"wordcount {t_wc:.1f}s + train {t_bpe:.1f}s; "
+          f"top merge {mrows[0]['merged']!r} cnt {mrows[0]['cnt']:,}")
+
     # --- PQ at 200k vectors (clustered, synthesized columnar-side) ---
     nv = args.n_vecs
     emb = (
