@@ -209,7 +209,9 @@ p{it} AS MATERIALIZED (
   GROUP BY a, b
   ORDER BY c DESC, a ASC, b ASC
   LIMIT 1
-),
+)""")
+        if it < k:  # the last merge's application is never read
+            parts.append(f""",
 w{it} AS MATERIALIZED (
   SELECT replace(t.w, ' ' || p.a || '  ' || p.b || ' ', ' ' || p.a || p.b || ' ') AS w, t.cnt
   FROM {prev} t, p{it} p

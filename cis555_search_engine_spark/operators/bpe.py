@@ -97,9 +97,10 @@ def bpe_train(
             break
         a, b, c = top[0]["a"], top[0]["b"], int(top[0]["c"])
         merges.append((step, a, b, a + b, c))
-        cur = cur.withColumn(
-            "w", F.replace(F.col("w"), F.lit(f" {a}  {b} "), F.lit(f" {a + b} "))
-        )
+        if step < n_merges:  # the last merge's application is never read
+            cur = cur.withColumn(
+                "w", F.replace(F.col("w"), F.lit(f" {a}  {b} "), F.lit(f" {a + b} "))
+            )
     schema = "step int, left_sym string, right_sym string, merged string, cnt long"
     return spark.createDataFrame(merges, schema)
 
@@ -109,13 +110,27 @@ def bpe_segment(
     merges: list[tuple[str, str]],
     term_col: str = "term",
     eow: str = EOW,
+    batch: int = 64,
 ) -> DataFrame:
     """Apply a learned merge list to a (term, ...) frame: adds a
     ``subwords`` array column — the BPE segmentation of each term under
     the merge table, applied in learning order (the standard encode
     path). Pure narrow column program: one literal replace per merge.
+
+    Merges apply in ``batch``-sized chunks with a localCheckpoint
+    between chunks: a real merge table is 30k+ entries, and a single
+    nested expression that deep overflows Catalyst's converter stack
+    (and ProjectCollapse would re-nest split projections), so the
+    lineage must be truncated the same way bpe_train bounds its loop.
+    ~500 chunk jobs for a 32k-merge table, each a narrow scan of the
+    distinct-word frame — the price of the encode path staying UDF-free.
     """
-    w = _to_sym_string(F.col(term_col), eow)
-    for a, b in merges:
-        w = F.replace(w, F.lit(f" {a}  {b} "), F.lit(f" {a + b} "))
-    return words.withColumn("subwords", F.split(F.trim(w), "  "))
+    out = words.withColumn("__w", _to_sym_string(F.col(term_col), eow))
+    for i in range(0, len(merges), batch):
+        w = F.col("__w")
+        for a, b in merges[i:i + batch]:
+            w = F.replace(w, F.lit(f" {a}  {b} "), F.lit(f" {a + b} "))
+        out = out.withColumn("__w", w)
+        if i + batch < len(merges):
+            out = out.localCheckpoint(eager=True)
+    return out.withColumn("subwords", F.split(F.trim(F.col("__w")), "  ")).drop("__w")

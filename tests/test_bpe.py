@@ -103,3 +103,22 @@ def test_bpe_train_degenerate_inputs(spark):
 
     empty = spark.createDataFrame([], "term string, cnt long")
     assert bpe_train(empty, n_merges=3).collect() == []
+
+
+def test_bpe_segment_survives_deep_merge_tables(spark):
+    """Review finding: a realistic (30k+) merge table must not overflow
+    Catalyst's expression converter — merges apply in checkpointed
+    batches. 2,000 no-op merges + the real ones must still segment
+    correctly."""
+    from cis555_search_engine_spark.operators.bpe import bpe_segment, bpe_train
+
+    words = spark.createDataFrame(list(VOCAB.items()), "term string, cnt long")
+    real = [
+        (r["left_sym"], r["right_sym"])
+        for r in bpe_train(words, n_merges=8).orderBy("step").collect()
+    ]
+    deep = real + [(f"x{i}", f"y{i}") for i in range(2000)]  # no-op tail
+    seg = {r["term"]: r["subwords"] for r in bpe_segment(words, deep, batch=64).collect()}
+    assert seg["aaaa"] == ["aa", "aa", "</w>"]
+    for term, subs in seg.items():
+        assert "".join(subs) == term + "</w>"
