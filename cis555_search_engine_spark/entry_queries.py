@@ -227,6 +227,49 @@ w{it} AS MATERIALIZED (
 SQL_BPE_MERGES = _sql_bpe_merges(10)
 
 
+def q_bpe_subword_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned tokenizer feeding the engine: learn 10 BPE merges
+    from the corpus (bpe_train), re-segment EVERY token occurrence
+    under them (bpe_segment — narrow replaces, no UDF), and count the
+    resulting subword vocabulary — the retokenize-at-corpus-scale step
+    between vocab induction and a subword-level index build. The
+    oracle re-derives the merges AND the segmentation in one SQL
+    program."""
+    from .operators.bpe import bpe_segment, bpe_train
+
+    wc = q_wordcount(spark, sf_dir)
+    merges = [
+        (r["left_sym"], r["right_sym"])
+        for r in bpe_train(wc, n_merges=10).orderBy("step").collect()
+    ]
+    seg = bpe_segment(wc, merges)
+    return (
+        seg.select(F.explode("subwords").alias("subword"), "cnt")
+        .groupBy("subword")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def _sql_bpe_subword_counts(k: int = 10) -> str:
+    # reuse the merge-derivation chain: w{k-1} already carries merges
+    # 1..k-1, so the segmented frame is w{k-1} plus the k-th merge
+    base = _sql_bpe_merges(k)
+    head = base[: base.rindex("\nSELECT 1 AS step")]
+    return head + f""",
+zfinal AS MATERIALIZED (
+  SELECT replace(t.w, ' ' || p.a || '  ' || p.b || ' ', ' ' || p.a || p.b || ' ') AS w, t.cnt
+  FROM w{k - 1} t, p{k} p
+)
+SELECT sub.s AS subword, sum(t.cnt)::BIGINT AS cnt
+FROM (SELECT string_split(trim(w), '  ') AS subs, cnt FROM zfinal) t,
+     unnest(t.subs) AS sub(s)
+GROUP BY sub.s
+"""
+
+
+SQL_BPE_SUBWORD_COUNTS = _sql_bpe_subword_counts(10)
+
+
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1+A6+T1: BM25 top-80 for a fixed query, deterministic tie-break."""
     idx = get_index(spark, sf_dir)
@@ -3509,11 +3552,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # exchange for the five new-this-session queries, which have never
     # had a driver row
     "collocations": q_collocations,
-    # bpe_merges is new this session (distributed BPE vocab induction)
-    # and takes a driver slot; quality_score (driver-green in r4)
-    # rotates past 50 in exchange — the r4+r5 union still covers every
-    # query
+    # bpe_merges / bpe_subword_counts are new this session (distributed
+    # BPE vocab induction + learned-vocab retokenization); quality_score
+    # and html_clean (driver-green in r4) rotate past 50 in exchange —
+    # the r4+r5 union still covers every query
     "bpe_merges": q_bpe_merges,
+    "bpe_subword_counts": q_bpe_subword_counts,
     "lm_perplexity": q_lm_perplexity,
     "corpus_drift": q_corpus_drift,
     "corpus_jsd": q_corpus_jsd,
@@ -3545,7 +3589,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cosine_pairs": q_cosine_pairs,
     # --- text analysis / curation / multimodal / graph ---
     "repetition_stats": q_repetition_stats,
-    "html_clean": q_html_clean,
     "hashed_features": q_hashed_features,
     "sample_stratified": q_sample_stratified,
     "sample_temperature": q_sample_temperature,
@@ -3576,6 +3619,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_topk": q_bm25_topk,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
+    "html_clean": q_html_clean,
     "doc_stats": q_doc_stats,
     # token_counts / fingerprint rotated past 50 this session in
     # exchange for rm3_topk / hybrid_rrf (green CORRECTNESS_r04 rows +
@@ -3616,6 +3660,7 @@ ORACLES: dict[str, str] = {
     "corpus_stats": SQL_CORPUS_STATS,
     "wordcount": SQL_WORDCOUNT,
     "bpe_merges": SQL_BPE_MERGES,
+    "bpe_subword_counts": SQL_BPE_SUBWORD_COUNTS,
     "bm25_topk": SQL_BM25_TOPK,
     "bm25_blocks": SQL_BM25_TOPK,
     "bm25_and_topk": SQL_BM25_AND_TOPK,

@@ -122,3 +122,35 @@ def test_bpe_segment_survives_deep_merge_tables(spark):
     assert seg["aaaa"] == ["aa", "aa", "</w>"]
     for term, subs in seg.items():
         assert "".join(subs) == term + "</w>"
+
+
+def test_bpe_subword_counts_conserve_mass(spark, corpus_sdf):
+    """Retokenizing under the learned vocab must conserve the corpus:
+    every word's subwords reassemble it, so total char mass (incl. the
+    </w> marker) and total word occurrences are invariant."""
+    from cis555_search_engine_spark.operators.bpe import bpe_segment, bpe_train
+    from cis555_search_engine_spark.operators.index_build import tokenize_turns
+    from pyspark.sql import functions as F
+
+    wc = (
+        tokenize_turns(corpus_sdf)
+        .groupBy(F.col("raw_term").alias("term"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    merges = [
+        (r["left_sym"], r["right_sym"])
+        for r in bpe_train(wc, n_merges=6).orderBy("step").collect()
+    ]
+    sub = (
+        bpe_segment(wc, merges)
+        .select(F.explode("subwords").alias("s"), "cnt")
+        .groupBy("s").agg(F.sum("cnt").alias("c"))
+    )
+    got_chars = sub.select(F.sum(F.length("s") * F.col("c"))).first()[0]
+    want_chars = wc.select(F.sum((F.length("term") + 4) * F.col("cnt"))).first()[0]
+    assert got_chars == want_chars
+    # the </w> marker appears exactly once per word occurrence, merged or not
+    eow_mass = (
+        sub.filter(F.col("s").endswith("</w>")).select(F.sum("c")).first()[0]
+    )
+    assert eow_mass == wc.select(F.sum("cnt")).first()[0]
