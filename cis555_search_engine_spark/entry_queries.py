@@ -3497,6 +3497,184 @@ SQL_DSIR_SELECT = (
 )
 
 
+
+# ------------------------------------------- round-5b: chunking, winnowing,
+# permuterm wildcards, next-word suggestion
+
+
+def q_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking with overlap (window=8 tokens, stride=6):
+    the RAG / pretraining context splitter
+    (operators/curation.chunk_windows) — every token covered, tail
+    truncated, zero-token docs dropped."""
+    from .operators.curation import chunk_windows
+
+    return chunk_windows(load(spark, sf_dir, "documents"), window=8, stride=6)
+
+
+SQL_CHUNK_WINDOWS = """
+WITH t AS (SELECT doc_id,
+                  list_filter(string_split(text, ' '), x -> x <> '') AS toks
+           FROM documents),
+n AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+c AS (SELECT doc_id, toks, n, i AS chunk_id, i * 6 AS chunk_start
+      FROM n, unnest(generate_series(0, (greatest(n - 8, 0) + 5) // 6)) s(i))
+SELECT doc_id AS id, chunk_id::BIGINT AS chunk_id,
+       chunk_start::BIGINT AS chunk_start,
+       least(8, n - chunk_start)::BIGINT AS n_tokens,
+       array_to_string(toks[chunk_start + 1 : chunk_start + 8], ' ') AS chunk_text
+FROM c
+"""
+
+
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer et al. SIGMOD'03, the MOSS
+    algorithm): per-window minimum 4-gram hash, window 5, leftmost ties
+    (operators/dedup.winnow_fingerprints)."""
+    from .operators.dedup import winnow_fingerprints
+
+    return winnow_fingerprints(load(spark, sf_dir, "documents"), k=4, w=5)
+
+
+# the window-min runs over the SAME fixed-width string key (15-hex md5
+# prefix || '-' || 8-digit position) on both engines, so "min hash, ties
+# leftmost" is one lexicographic min; the hash decodes with the simhash
+# 60-bit md5-prefix convention
+_SQL_WINNOW_CTES = """t AS (SELECT doc_id,
+                  list_filter(string_split(text, ' '), x -> x <> '') AS toks
+           FROM documents),
+g AS (SELECT doc_id, i - 1 AS pos, len(toks) - 3 AS ng,
+             substr(md5(array_to_string(toks[i:i+3], ' ')), 1, 15) AS ghex
+      FROM t, unnest(generate_series(1, len(toks) - 3)) s(i)
+      WHERE len(toks) >= 4),
+sk AS (SELECT doc_id, pos, ng, ghex || '-' || printf('%08d', pos) AS skey FROM g),
+wm AS (SELECT doc_id, ng, pos,
+              min(skey) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS sel
+       FROM sk),
+seld AS (SELECT DISTINCT doc_id, sel FROM wm WHERE pos <= greatest(ng - 5, 0))"""
+
+SQL_WINNOW_FINGERPRINTS = (
+    "WITH "
+    + _SQL_WINNOW_CTES
+    + """
+SELECT doc_id AS id, ('0x' || substr(sel, 1, 15))::BIGINT AS ghash,
+       substr(sel, 17)::BIGINT AS pos
+FROM seld
+"""
+)
+
+
+def q_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by Jaccard >= 0.2 over winnowed fingerprint sets
+    (operators/dedup.winnow_pairs) — the MOSS similarity measure at
+    ~2/(w+1) the join rows of full-shingle Jaccard."""
+    from .operators.dedup import winnow_pairs
+
+    return winnow_pairs(load(spark, sf_dir, "documents"), threshold=0.2, k=4, w=5)
+
+
+# the hot-hash cap (>1000 docs sharing a fingerprint) cannot fire on the
+# 500-doc sf0.01 corpus, so the oracle omits it; both engines filter on
+# the 6-dp-ROUNDED jaccard so the threshold cut is bit-identical
+SQL_DEDUP_WINNOW = (
+    "WITH "
+    + _SQL_WINNOW_CTES
+    + """,
+fp AS (SELECT DISTINCT doc_id, substr(sel, 1, 15) AS ghex FROM seld),
+sizes AS (SELECT doc_id, count(*) AS nf FROM fp GROUP BY doc_id),
+pr AS (SELECT a.doc_id AS i, b.doc_id AS j,
+              sa.nf AS na, sb.nf AS nb, count(*) AS shared
+       FROM fp a JOIN fp b ON a.ghex = b.ghex AND a.doc_id < b.doc_id
+       JOIN sizes sa ON sa.doc_id = a.doc_id
+       JOIN sizes sb ON sb.doc_id = b.doc_id
+       GROUP BY 1, 2, 3, 4)
+SELECT i, j, round(shared::DOUBLE / (na + nb - shared), 6) AS jac
+FROM pr WHERE round(shared::DOUBLE / (na + nb - shared), 6) >= 0.2
+"""
+)
+
+
+def q_next_word_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-word query completion after 'hash', served from the index's
+    positional postings alone (operators/query_ops.next_word_suggest) —
+    adjacency = array intersection of pos(prev)+1 with pos(term)."""
+    from .operators.query_ops import next_word_suggest
+
+    return next_word_suggest(get_index(spark, sf_dir), "hash", k=10)
+
+
+SQL_NEXT_WORD_SUGGEST = (
+    SQL_TOK
+    + """,
+prev AS (SELECT doc_id, positions FROM postings WHERE term = 'hash'),
+fol AS (SELECT p.term,
+               len(list_intersect(list_transform(pr.positions, x -> x + 1),
+                                  p.positions)) AS c
+        FROM postings p JOIN prev pr USING (doc_id))
+SELECT term, sum(c)::BIGINT AS follow_cnt
+FROM fol WHERE c > 0
+GROUP BY term ORDER BY follow_cnt DESC, term ASC LIMIT 10
+"""
+)
+
+
+def q_wildcard_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permuterm wildcard term lookup 's*' (IR book ch. 3.2.1): rotate
+    term||'$', prefix-match the rotated key '$s'
+    (operators/query_ops.wildcard_terms)."""
+    from .operators.query_ops import wildcard_terms
+
+    return wildcard_terms(get_index(spark, sf_dir), "s*", k=20)
+
+
+_SQL_ROT = """rot AS (
+  SELECT term, df, substr(term || '$', i + 1) || substr(term || '$', 1, i) AS rot
+  FROM cs, unnest(generate_series(0, len(term))) s(i)
+)"""
+
+SQL_WILDCARD_TERMS = (
+    SQL_TOK
+    + f""",
+{_SQL_ROT}
+SELECT term, df FROM rot WHERE starts_with(rot, '$s')
+ORDER BY df DESC, term ASC LIMIT 20
+"""
+)
+
+
+def q_wildcard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-40 for the wildcard query '*er' — OR-semantics over the
+    20 highest-df permuterm matches (Lucene MultiTermQuery rewrite;
+    operators/query_ops.wildcard_topk)."""
+    from .operators.query_ops import wildcard_topk
+
+    return wildcard_topk(get_index(spark, sf_dir), "*er", k=40, max_expansions=20)
+
+
+SQL_WILDCARD_TOPK = (
+    SQL_TOK
+    + f""",
+{_SQL_ROT},
+wt AS (SELECT term, df FROM rot WHERE starts_with(rot, 'er$')
+       ORDER BY df DESC, term ASC LIMIT 20),
+widf AS (SELECT cs.term,
+                ln((tot.n_docs - cs.df + 0.5) / (cs.df + 0.5) + 1.0) AS idf
+         FROM cs JOIN wt ON cs.term = wt.term, tot)
+SELECT p.doc_id,
+       round(sum(widf.idf * p.tf * 2.2
+                 / (p.tf + 1.2 * (0.25 + 0.75 * ds.doc_len / tot.avg_len))), 4)
+           AS score
+FROM postings p
+JOIN widf ON p.term = widf.term
+JOIN ds ON ds.doc_id = p.doc_id, tot
+GROUP BY p.doc_id
+ORDER BY score DESC, p.doc_id ASC
+LIMIT 40
+"""
+)
+
+
 # ---------------------------------------------------------- registry
 
 # Registry ORDER is a driver contract (round-3 verdict item 1): the
@@ -3572,9 +3750,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_window": q_events_window,
     "window_rank": q_window_rank,
     # --- dedup ---
-    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-    "dedup_minhash_lsh": q_dedup_minhash_lsh,
-    "dedup_simhash": q_dedup_simhash,
+    # dedup_ngram_jaccard / dedup_minhash_lsh / dedup_simhash (driver-
+    # green in r4) rotated past 50 in exchange for the round-5b
+    # winnowing/chunking queries, which have never had a driver row —
+    # the r4+r5 union still covers every query
+    "winnow_fingerprints": q_winnow_fingerprints,
+    "dedup_winnow": q_dedup_winnow,
+    "chunk_windows": q_chunk_windows,
     "dedup_components": q_dedup_components,
     "decontaminate": q_decontaminate,
     "dup_passages": q_dup_passages,
@@ -3588,9 +3770,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_pq": q_ann_pq,
     "cosine_pairs": q_cosine_pairs,
     # --- text analysis / curation / multimodal / graph ---
-    "repetition_stats": q_repetition_stats,
-    "hashed_features": q_hashed_features,
-    "sample_stratified": q_sample_stratified,
+    # repetition_stats / hashed_features / sample_stratified (driver-
+    # green in r4) rotated past 50 for the round-5b serving queries
+    # (permuterm wildcards, next-word suggestion) — never driver-seen
+    "next_word_suggest": q_next_word_suggest,
+    "wildcard_terms": q_wildcard_terms,
+    "wildcard_topk": q_wildcard_topk,
     "sample_temperature": q_sample_temperature,
     "dsir_weights": q_dsir_weights,
     "dsir_select": q_dsir_select,
@@ -3617,6 +3802,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "postings": q_postings,
     "corpus_stats": q_corpus_stats,
     "bm25_topk": q_bm25_topk,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "repetition_stats": q_repetition_stats,
+    "hashed_features": q_hashed_features,
+    "sample_stratified": q_sample_stratified,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
     "html_clean": q_html_clean,
@@ -3655,6 +3846,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "chunk_windows": SQL_CHUNK_WINDOWS,
+    "winnow_fingerprints": SQL_WINNOW_FINGERPRINTS,
+    "dedup_winnow": SQL_DEDUP_WINNOW,
+    "next_word_suggest": SQL_NEXT_WORD_SUGGEST,
+    "wildcard_terms": SQL_WILDCARD_TERMS,
+    "wildcard_topk": SQL_WILDCARD_TOPK,
     "postings": SQL_POSTINGS,
     "doc_stats": SQL_DOC_STATS,
     "corpus_stats": SQL_CORPUS_STATS,

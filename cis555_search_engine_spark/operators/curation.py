@@ -519,3 +519,65 @@ def dsir_select(
         id_col=id_col, text_col=text_col,
     )
     return w.orderBy(F.desc("logw"), F.asc("id")).limit(int(k))
+
+
+def chunk_windows(
+    docs: DataFrame,
+    window: int = 64,
+    stride: int = 48,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window chunking with overlap — the context-window splitter
+    a RAG / pretraining pipeline runs after curation: each document's
+    token stream becomes fixed-size chunks of ``window`` tokens starting
+    every ``stride`` tokens (overlap = window - stride), the tail chunk
+    truncated so every token is covered exactly once by a chunk start.
+
+    Chunk starts are 0, stride, 2*stride, ... with
+    n_chunks = 1 + ceil(max(n - window, 0) / stride) — the last start is
+    always < n (requires stride <= window, asserted), so no empty chunks
+    and no token is dropped. Zero-token docs (null/empty text — valid
+    under the transcript schema) produce NO chunks.
+
+    Returns (id, chunk_id, chunk_start, n_tokens, chunk_text),
+    deterministic.
+
+    Scale shape: a single narrow projection — tokenize, a per-row
+    sequence of chunk starts, posexplode, slice + array_join. No
+    shuffle, no UDF, no window function: the plan is scan → generate →
+    project and partitions exactly like the input scan at 10^12 turns.
+    (pack_sequences is the complementary packer: it CONCATENATES short
+    docs up to a budget; this splits long docs down to one.)
+    """
+    if stride > window or stride <= 0:
+        raise ValueError(f"require 0 < stride <= window, got {stride} > {window}")
+    toked = docs.select(
+        F.col(id_col).alias("id"),
+        F.filter(tokens_col(F.col(text_col)), lambda t: t != "").alias("toks"),
+    ).filter(F.size("toks") > 0)
+    n = F.size("toks")
+    # integer ceil((n - window)/stride) without leaving the long domain:
+    # (max(n - window, 0) + stride - 1) div stride — doubles would be
+    # exact here anyway (n << 2^53) but div keeps the plan integer-typed
+    last_chunk = (F.greatest(n - window, F.lit(0)) + (stride - 1)).cast("long")
+    starts = F.transform(
+        F.sequence(
+            F.lit(0).cast("long"), F.floor(last_chunk / F.lit(stride)).cast("long")
+        ),
+        lambda i: i * stride,
+    )
+    return (
+        toked.select("id", "toks", F.posexplode(starts).alias("chunk_id", "chunk_start"))
+        .select(
+            "id",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.col("chunk_start").cast("long").alias("chunk_start"),
+            F.least(F.lit(window), F.size("toks") - F.col("chunk_start"))
+            .cast("long")
+            .alias("n_tokens"),
+            F.array_join(
+                F.slice(F.col("toks"), F.col("chunk_start") + 1, window), " "
+            ).alias("chunk_text"),
+        )
+    )

@@ -804,3 +804,159 @@ def cluster_representatives(
             "cluster_size",
         )
     )
+
+
+# ---------------------------------------------------------- winnowing
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 4,
+    w: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD'03 — the MOSS local fingerprinting algorithm): hash every
+    k-token gram, then from every window of ``w`` consecutive gram
+    hashes select the minimum (ties → leftmost), and de-duplicate the
+    selected (hash, pos) pairs per document.
+
+    Guarantees (the paper's): any shared substring of at least
+    k + w - 1 tokens is detected by at least one shared fingerprint,
+    and density is ~2/(w+1) of the grams — the position-aware,
+    subset-free alternative to full shingle sets (ngram_jaccard keeps
+    ALL grams; minhash keeps a fixed-size sketch but loses positions).
+
+    Cross-engine determinism: the gram hash is the 60-bit md5-prefix
+    convention shared with simhash (`simhash_base_hash`), and the
+    window-min compares a FIXED-WIDTH string key (15 hex chars ||
+    '-' || zero-padded position) so "min hash, tie → leftmost" is one
+    lexicographic min on both engines — no struct-ordering semantics
+    to align.
+
+    Scale shape: pure narrow column program — tokenize, gram-hash keys
+    via two staged projections (bound attributes: Catalyst does not CSE
+    inside lambda bodies), per-row window mins over array slices,
+    array_distinct, one explode. No shuffle, no UDF, no window
+    function; partitions like the input scan at 10^12 turns. Docs with
+    fewer than k tokens yield no fingerprints; fewer than k+w-1 tokens
+    yield the single global-min fingerprint (truncated last window —
+    the paper's boundary case).
+
+    Returns (id, ghash, pos) — fingerprint hash and the 0-based token
+    position of its gram, unordered.
+    """
+    toked = docs.select(
+        F.col(id_col).alias("id"),
+        F.filter(tokens_col(F.col(text_col)), lambda t: t != "").alias("toks"),
+    ).filter(F.size("toks") >= k)
+    grams = toked.select(
+        "id",
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - (k - 1)),
+            lambda i: F.array_join(F.slice(F.col("toks"), i, k), " "),
+        ).alias("grams"),
+    )
+    skeys = grams.select(
+        "id",
+        F.transform(
+            F.col("grams"),
+            lambda g, i: F.concat(
+                F.substring(F.md5(g.cast("binary")), 1, 15),
+                F.lit("-"),
+                F.lpad(i.cast("string"), 8, "0"),
+            ),
+        ).alias("skeys"),
+    )
+    sel = skeys.select(
+        "id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.greatest(F.size("skeys") - w, F.lit(0))),
+                    lambda j: F.array_min(F.slice(F.col("skeys"), j + 1, w)),
+                )
+            )
+        ).alias("skey"),
+    )
+    return sel.select(
+        "id",
+        F.conv(F.substring("skey", 1, 15), 16, 10).cast("long").alias("ghash"),
+        F.substring("skey", 17, 8).cast("long").alias("pos"),
+    )
+
+
+def winnow_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    k: int = 4,
+    w: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hash_df: int | None = 1000,
+) -> DataFrame:
+    """(i, j, jac) near-dup pairs by Jaccard over WINNOWED fingerprint
+    sets, i < j — the MOSS similarity measure: ~2/(w+1) the rows of the
+    full-shingle ngram_jaccard join with the same shared-substring
+    detection floor (any common run of ≥ k+w-1 tokens shares a
+    fingerprint, so true near-dups cannot be missed — only the Jaccard
+    DENOMINATOR is sampled).
+
+    Same scale guards as ngram_jaccard_pairs: a hot-hash cap
+    (fingerprints in more than ``max_hash_df`` docs are dropped from
+    both sets before pair generation — O(d²) guard; logged, sizes are
+    post-cap so the reported Jaccard is exact over kept sets) and a
+    size-ratio prune on the join (jac ≤ min/max of the set sizes).
+    The join key is the 60-bit gram hash itself — already 8 bytes.
+    """
+    fps = (
+        winnow_fingerprints(docs, k=k, w=w, id_col=id_col, text_col=text_col)
+        .select("id", "ghash")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    if max_hash_df is not None:
+        hot_df = (
+            fps.groupBy("ghash")
+            .agg(F.count(F.lit(1)).alias("hdf"))
+            .filter(F.col("hdf") > max_hash_df)
+            .select("ghash")
+        )
+        n_hot = hot_df.limit(1).count()
+        if n_hot:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "winnow_pairs: dropping fingerprints shared by > %d docs "
+                "(hot-hash cap; Jaccard is exact over the KEPT sets)",
+                max_hash_df,
+            )
+            fps = fps.join(hot_df, "ghash", "left_anti").localCheckpoint(eager=True)
+    sizes = fps.groupBy("id").agg(F.count(F.lit(1)).alias("nf"))
+    sized = fps.join(sizes, "id")
+    a = sized.select(
+        F.col("id").alias("i"), F.col("ghash"), F.col("nf").alias("na")
+    )
+    b = sized.select(
+        F.col("id").alias("j"), F.col("ghash"), F.col("nf").alias("nb")
+    )
+    thr = float(threshold)
+    pairs = (
+        a.join(b, "ghash")
+        .filter(F.col("i") < F.col("j"))
+        .filter(
+            F.least(F.col("na"), F.col("nb"))
+            >= thr * F.greatest(F.col("na"), F.col("nb"))
+        )
+        .groupBy("i", "j", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .withColumn(
+            "jac",
+            F.round(
+                F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 6
+            ),
+        )
+        .filter(F.col("jac") >= thr)
+    )
+    return pairs.select("i", "j", "jac")

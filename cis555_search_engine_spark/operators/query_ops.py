@@ -414,3 +414,131 @@ def with_rank(topn: DataFrame, order: Sequence[Column], out: str = "rank") -> Da
     from pyspark.sql import Window
 
     return topn.withColumn(out, F.row_number().over(Window.orderBy(*order)))
+
+
+# ------------------------------------------------- next-word suggestion
+
+
+def next_word_suggest(
+    index: InvertedIndex, prev_term: str, k: int = 10
+) -> DataFrame:
+    """Query auto-completion of the NEXT word: the terms that most often
+    immediately follow ``prev_term`` in the corpus, served FROM THE
+    INDEX ALONE — the positions the postings already carry (reference
+    stores the same per-posting positions, indexer/Indexer.java:159-173)
+    make bigram adjacency an array intersection, no corpus re-scan and
+    no positioned-token self-join.
+
+    follow_cnt(t) = Σ_docs |{p ∈ pos(prev)} : p+1 ∈ pos(t)| — exact
+    adjacent-occurrence count (positions are distinct within a doc, so
+    the intersection size IS the occurrence count).
+
+    Scale shape: one term-pruned index lookup (the prev term's posting
+    list), one equi-join on the doc key against postings — the join is
+    bounded by df(prev) docs, NOT the corpus — then per-row array math
+    and one term-keyed hash agg (partial map-side). The prev side is
+    broadcast (a single posting list). Returns (term, follow_cnt) top-k
+    by (follow_cnt desc, term asc).
+    """
+    key = list(index.doc_key)
+    prev = (
+        index.postings.filter(F.col("term") == prev_term)
+        .select(*key, F.col("positions").alias("_ppos"))
+    )
+    c = F.size(
+        F.array_intersect(
+            F.transform(F.col("_ppos"), lambda p: p + 1), F.col("positions")
+        )
+    )
+    return (
+        index.postings.join(F.broadcast(prev), key)
+        .select("term", c.alias("c"))
+        .filter(F.col("c") > 0)
+        .groupBy("term")
+        .agg(F.sum("c").cast("long").alias("follow_cnt"))
+        .orderBy(F.desc("follow_cnt"), F.asc("term"))
+        .limit(k)
+    )
+
+
+# ------------------------------------------------- permuterm wildcards
+
+
+def _rotations(term: Column) -> Column:
+    """All rotations of ``term || '$'`` — the permuterm key set
+    (Manning/Raghavan/Schütze IR ch. 3.2.1), generated natively. A term
+    of length L yields L+1 distinct rotations ('$' occurs exactly once,
+    so no rotation repeats)."""
+    t = F.concat(term, F.lit("$"))
+    L = F.length(t)
+    return F.transform(
+        F.sequence(F.lit(0), L - 1),
+        lambda i: F.concat(t.substr(i + 1, L), t.substr(F.lit(1), i)),
+    )
+
+
+def wildcard_terms(index: InvertedIndex, pattern: str, k: int = 20) -> DataFrame:
+    """Wildcard term lookup ``pre*suf`` via the permuterm index: rotate
+    each vocab term's ``term$`` and prefix-match the rotated query key
+    ``suf$pre`` — the classic single-`*` wildcard scheme (IR book ch.
+    3.2.1; the reference frontend has no wildcard support — engine
+    addition over the same term dictionary).
+
+    Exactly one rotation of a matching term starts with the key (the
+    '$' pins the alignment), so no dedup pass is needed. Returns
+    (term, df) for the k most-attested matches (df desc, term asc) —
+    the maxExpansions discipline that keeps downstream OR-scoring
+    bounded.
+
+    Scale shape: the rotation explode is |vocab|·(len+2) rows —
+    dictionary-scale, the permuterm table one would persist for
+    serving; the prefix filter is a native StartsWith over it, and the
+    top-k is TakeOrderedAndProject. No joins, no UDF.
+    """
+    if pattern.count("*") != 1:
+        raise ValueError(f"exactly one '*' supported, got {pattern!r}")
+    pre, suf = pattern.split("*")
+    rkey = f"{suf}${pre}"
+    return (
+        index.corpus_stats.select("term", F.col("df").cast("long").alias("df"))
+        .withColumn("rot", F.explode(_rotations(F.col("term"))))
+        .filter(F.col("rot").startswith(rkey))
+        .select("term", "df")
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(k)
+    )
+
+
+def wildcard_topk(
+    index: InvertedIndex, pattern: str, k: int = 40, max_expansions: int = 20
+) -> DataFrame:
+    """BM25 top-k for a wildcard query: OR-semantics over the matched
+    term set (Lucene's MultiTermQuery rewrite — expand to the
+    ``max_expansions`` highest-df matches, then score the union). Same
+    Σ-BM25 fold as the reference's OR ranking (SearchHelper.java:167-177)
+    with the literal IN-list replaced by a join against the bounded
+    expansion frame.
+
+    Scale shape: the expansion frame is ≤ max_expansions rows →
+    broadcast by construction; postings prune to those terms; the idf
+    side is the stats semi-joined to the same bounded set, also
+    broadcast (the discipline of bm25_scores — never ship vocab-sized
+    stats). One doc-key hash agg, then TakeOrderedAndProject.
+    """
+    key = list(index.doc_key)
+    terms = wildcard_terms(index, pattern, k=max_expansions).select("term")
+    idf = index.corpus_stats.join(terms, "term").select("term", "idf_bm25")
+    scored = (
+        index.postings.join(F.broadcast(terms), "term")
+        .join(F.broadcast(idf), "term")
+        .join(index.doc_stats.select(*key, "doc_len"), key)
+        .withColumn(
+            "partial",
+            bm25_score_col(
+                F.col("tf"), F.col("idf_bm25"), F.col("doc_len"), index.avg_doc_len
+            ),
+        )
+        .groupBy(*key)
+        .agg(F.round(F.sum("partial"), 4).alias("score"))
+    )
+    return scored.orderBy(F.desc("score"), *[F.asc(c) for c in key]).limit(k)
