@@ -86,8 +86,8 @@ BLOCK_TIER = [
 ]
 # Section D: index-maintenance paths (append / compact / delete / IVF).
 MAINT_TIER = [
-    "bm25_append_blocks", "bm25_compacted", "bm25_deleted_blocks",
-    "bm25_compact_deleted", "ann_ivf_served",
+    "bm25_append_blocks", "bm25_compacted", "bm25_merged_blocks",
+    "bm25_deleted_blocks", "bm25_compact_deleted", "ann_ivf_served",
 ]
 
 
@@ -410,6 +410,9 @@ def main() -> None:
     t0 = time.perf_counter()
     EQ._ensure_compact_store(spark, sf_dir)
     timings["compact_build"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    EQ._ensure_merged_store(spark, sf_dir)
+    timings["tiered_merge_build"] = round(time.perf_counter() - t0, 3)
     t0 = time.perf_counter()
     EQ._ensure_deleted_store(spark, sf_dir)
     timings["delete_build"] = round(time.perf_counter() - t0, 3)

@@ -1467,6 +1467,67 @@ def _ensure_compact_store(spark: SparkSession, sf_dir: str):
     return bidx
 
 
+def _ensure_merged_store(spark: SparkSession, sf_dir: str):
+    """Build (once per process) a THREE-segment store — a third of the
+    corpus written as the base, two thirds appended one epoch at a
+    time — then run the tiered merge policy to a fixpoint on it
+    (postings_codec.plan_tiered_merges / merge_segments). All three
+    epoch-sized segments land in tier 0, so merge_at=2 merges two and
+    then CASCADES the result with the third — both policy rounds
+    exercised."""
+    import os
+    import shutil
+
+    from .operators.index_build import build_index
+    from .operators.postings_codec import (
+        append_blocks,
+        build_blocks,
+        load_blocks,
+        tiered_merge,
+        write_blocks,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    path = _block_index_path(sf_dir) + "_tiered"
+    key = (spark.sparkContext.applicationId, sf_dir, "tiered")
+    bidx = _BLOCK_CACHE.get(key)
+    if bidx is None:
+        shutil.rmtree(path, ignore_errors=True)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        parts = [docs.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+        a = build_index(parts[0], doc_key=("doc_id",), text_col="text",
+                        stem=False, cache="checkpoint")
+        write_blocks(build_blocks(a, block_span=256), path, n_buckets=8)
+        for p in parts[1:]:
+            append_blocks(spark, path, build_index(
+                p, doc_key=("doc_id",), text_col="text", stem=False,
+                cache="checkpoint"))
+        n = tiered_merge(spark, path, merge_at=2)
+        if n < 2:
+            raise AssertionError("tiered_merge did not cascade on a "
+                                 "three-tier-0-segment store")
+        bidx = load_blocks(spark, path)
+        _BLOCK_CACHE[key] = bidx
+    return bidx
+
+
+def q_bm25_merged_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tiered segment merging under the oracle gate: third-wise
+    appends produce a three-segment store, the Lucene-style tiered merge
+    policy consolidates it to a fixpoint (merge_at=2, cascading —
+    postings_codec.tiered_merge), and the standard BM25 query is served
+    from the merged layout. Same full-corpus SQL oracle as
+    bm25_append_blocks: equality proves the merge is physical-only
+    (docids, stats, and scores all unchanged)."""
+    from .operators.postings_codec import bm25_topk_blocks
+
+    bidx = _ensure_merged_store(spark, sf_dir)
+    out = bm25_topk_blocks(bidx, BM25_QUERY, k=80, stem=False)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"), F.round("score", 4).alias("score")
+    )
+
+
 NOT_TERM = "sort"  # the boolean-NOT exclusion term for bm25_not_blocks
 
 
@@ -3725,6 +3786,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_batch_blocks": q_bm25_batch_blocks,
     "bm25_not_blocks": q_bm25_not_blocks,
     "bm25_compacted": q_bm25_compacted,
+    # bm25_merged_blocks is new this session (tiered segment-merge
+    # policy); dup_passages (driver-green in r4) rotates past 50 in
+    # exchange
+    "bm25_merged_blocks": q_bm25_merged_blocks,
     # term_semi_join / group_topk / topk_join_meta / prior_blend /
     # pagerank (all green in CORRECTNESS_r04) rotated past 50 in
     # exchange for the five new-this-session queries, which have never
@@ -3759,7 +3824,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_windows": q_chunk_windows,
     "dedup_components": q_dedup_components,
     "decontaminate": q_decontaminate,
-    "dup_passages": q_dup_passages,
     "dedup_passage_removed": q_dedup_passage_removed,
     # --- similarity / ANN ---
     "ann_ivf": q_ann_ivf,
@@ -3802,6 +3866,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "postings": q_postings,
     "corpus_stats": q_corpus_stats,
     "bm25_topk": q_bm25_topk,
+    "dup_passages": q_dup_passages,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
@@ -3866,6 +3931,7 @@ ORACLES: dict[str, str] = {
     "bm25_batch_blocks": SQL_BM25_BATCH,
     "phrase_blocks": SQL_PHRASE_MATCH,
     "bm25_append_blocks": SQL_BM25_TOPK,
+    "bm25_merged_blocks": SQL_BM25_TOPK,
     # compaction must be invisible to results: same full-corpus oracle
     "bm25_compacted": SQL_BM25_TOPK,
     "bm25_not_blocks": SQL_BM25_NOT,

@@ -1140,6 +1140,10 @@ def write_blocks(
         # new store is unsupported either way.
         "tombstone_dirs": tombstone_dirs,
         "n_deleted": n_deleted,
+        # per-segment doc counts: the tiered merge policy's sizing input
+        # (plan_tiered_merges) — maintained by append/compact/merge so
+        # planning never needs a per-segment count job
+        "segment_docs": {data_dir: bidx.n_docs},
     }
     meta.update(extra_meta or {})
     _commit_meta(spark, path, meta)
@@ -1384,6 +1388,8 @@ def append_blocks(
         phases.append(_collision_scan)
     _run_concurrent(phases)
 
+    seg_docs = dict(meta.get("segment_docs", {}))
+    seg_docs[seg_dir] = int(new_index.n_docs)
     meta.update(
         {
             "layout": 2,
@@ -1394,6 +1400,7 @@ def append_blocks(
             "avg_doc_len": avg_len,
             "stale_bounds": True,
             "key_ordered": False,
+            "segment_docs": seg_docs,
         }
     )
     if applied_marker is not None:
@@ -1620,11 +1627,189 @@ def compact_blocks(spark, path: str, vacuum: bool = True) -> None:
             # correctly bucketed data
             "n_buckets": n_buckets,
             "bucket_fn": "crc32",
+            "segment_docs": {new_dir: int(n_docs)},
         }
     )
     _commit_meta(spark, path, meta)
     if vacuum:
         vacuum_blocks(spark, path)
+
+
+def merge_segments(
+    spark, path: str, seg_dirs: Sequence[str], vacuum: bool = True
+) -> str:
+    """Physically consolidate a SUBSET of a store's segment dirs into
+    one — the tiered-merge primitive between `append_blocks` (cheap,
+    one dir per epoch) and `compact_blocks` (full rewrite).
+
+    Docid-neutral and stats-neutral by construction: appended segments
+    own disjoint docid ranges and the manifest's stats are already
+    global, so a merge only re-writes the subset's blocks + docid_map
+    rows into one consolidated dir (bounded write tasks, one file set
+    instead of one per epoch) and swaps the manifest's data_dirs — no
+    decode, no re-mint, no stats math, tombstones untouched. Duplicate
+    (term, block_id) boundary rows across the merged segments remain
+    separate rows; `decode_blocks` already unions them exactly, and a
+    full `compact_blocks` folds them when tight bounds are wanted.
+
+    Why it matters at scale: a per-minute streaming append creates
+    ~525k segment dirs/year; every query's planner lists ALL of them
+    (file-listing cost grows linearly) while each holds an epoch-sized
+    sliver. Tiered merging (plan_tiered_merges) bounds live segment
+    count at O(merge_at · log_{tier_factor} n) with write amplification
+    O(log n) per doc — the Lucene/LSM merge-policy tradeoff — without
+    paying compaction's full decode+re-encode.
+
+    Atomic like every other maintenance op: new dir written first, ONE
+    manifest commit flips it live, old dirs stay readable for in-flight
+    old-manifest readers until vacuum. Returns the new segment dir name.
+    """
+    from .. import fsio
+
+    meta = _read_meta(spark, path)
+    data_dirs = _manifest_dirs(meta)
+    dirs = list(seg_dirs)
+    if len(dirs) < 2:
+        raise ValueError(f"merge needs >= 2 segment dirs, got {dirs}")
+    if "." in dirs:
+        raise ValueError(
+            "legacy root-layout stores cannot merge segments; run "
+            "compact_blocks to migrate to the manifest layout first"
+        )
+    missing = [d for d in dirs if d not in data_dirs]
+    if missing:
+        raise ValueError(f"segment dirs not in manifest: {missing}")
+    if len(set(dirs)) != len(dirs):
+        raise ValueError(f"duplicate segment dirs in merge set: {dirs}")
+
+    seg_docs = dict(meta.get("segment_docs", {}))
+    merged_docs = 0
+    for d in dirs:
+        n = seg_docs.get(d)
+        if n is None:
+            # pre-policy store: one count backfills the manifest entry
+            n = spark.read.parquet(f"{path}/{d}/docid_map").count()
+        merged_docs += int(n)
+
+    def _union(sub: str) -> DataFrame:
+        # per-dir reads + unionByName, NOT one multi-path read: each
+        # segment is its own partitioned (bucket=N) layout, and Spark's
+        # multi-root partition discovery rejects that as conflicting
+        # (the same shape load_blocks serves from)
+        frames = [spark.read.parquet(f"{path}/{d}/{sub}") for d in dirs]
+        out = frames[0]
+        for fr in frames[1:]:
+            out = out.unionByName(fr)
+        return out
+
+    blocks = _union("blocks")
+    maps = _union("docid_map")
+    new_dir = fsio.new_segment_name("seg", len(data_dirs))
+    n_buckets = int(meta.get("n_buckets") or 16)
+    # bounded rewrite tasks, sized like the append path's segment write:
+    # merged segments are epoch-scale until the top tiers — one task per
+    # ~25k docs, capped at one per bucket
+    n_tasks = max(1, min(n_buckets, merged_docs // 25_000))
+    (
+        blocks.repartition(n_tasks, "bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{path}/{new_dir}/blocks")
+    )
+    maps.coalesce(max(1, merged_docs // 5_000_000 + 1)).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/{new_dir}/docid_map")
+
+    # replace the FIRST merged dir in place (order preserved), drop the
+    # rest — reader unions are order-insensitive, but a stable order
+    # keeps manifests diffable
+    merged_set = set(dirs)
+    new_list: list[str] = []
+    for d in data_dirs:
+        if d == dirs[0]:
+            new_list.append(new_dir)
+        elif d not in merged_set:
+            new_list.append(d)
+    for d in dirs:
+        seg_docs.pop(d, None)
+    seg_docs[new_dir] = merged_docs
+    meta.update({"data_dirs": new_list, "segment_docs": seg_docs})
+    _commit_meta(spark, path, meta)
+    if vacuum:
+        vacuum_blocks(spark, path)
+    return new_dir
+
+
+def plan_tiered_merges(
+    spark,
+    path: str,
+    tier_factor: int = 4,
+    merge_at: int = 4,
+    min_tier_docs: int = 1024,
+) -> list[list[str]]:
+    """Lucene-style tiered merge planning over a store's manifest: bin
+    segments into size tiers (tier 0 < min_tier_docs, then one tier per
+    factor-of-``tier_factor``), and propose a merge whenever a tier
+    accumulates ``merge_at`` segments — oldest first, within-tier append
+    order preserved.
+
+    Pure manifest arithmetic (integer tiering, no float log): zero Spark
+    jobs when ``segment_docs`` is present (every store written since the
+    policy landed); pre-policy stores pay one docid_map count per
+    unlabeled segment, after which merge_segments re-records the entry.
+    Returns a list of merge groups (each a list of segment dir names);
+    empty when the store is within policy.
+    """
+    meta = _read_meta(spark, path)
+    data_dirs = _manifest_dirs(meta)
+    if "." in data_dirs or len(data_dirs) < merge_at:
+        return []
+    seg_docs = meta.get("segment_docs", {})
+    tiers: dict[int, list[str]] = {}
+    for d in data_dirs:
+        n = seg_docs.get(d)
+        if n is None:
+            n = spark.read.parquet(f"{path}/{d}/docid_map").count()
+        t, x = 0, int(n) // min_tier_docs
+        while x > 0:
+            t += 1
+            x //= tier_factor
+        tiers.setdefault(t, []).append(d)
+    plans: list[list[str]] = []
+    for t in sorted(tiers):
+        group = tiers[t]
+        while len(group) >= merge_at:
+            plans.append(group[:merge_at])
+            group = group[merge_at:]
+    return plans
+
+
+def tiered_merge(
+    spark,
+    path: str,
+    tier_factor: int = 4,
+    merge_at: int = 4,
+    min_tier_docs: int = 1024,
+    vacuum: bool = True,
+    max_rounds: int = 100,
+) -> int:
+    """Run plan → merge to a fixpoint (a merged segment can graduate a
+    tier and cascade — the LSM ladder). Returns merges executed. The
+    round bound is a runaway guard only: each round strictly reduces
+    segment count, so the fixpoint arrives in O(log segments) rounds.
+    """
+    done = 0
+    for _ in range(max_rounds):
+        plans = plan_tiered_merges(
+            spark, path, tier_factor=tier_factor, merge_at=merge_at,
+            min_tier_docs=min_tier_docs,
+        )
+        if not plans:
+            return done
+        for group in plans:
+            merge_segments(spark, path, group, vacuum=vacuum)
+            done += 1
+    return done
 
 
 def load_blocks(spark, path: str) -> "BlockIndex":

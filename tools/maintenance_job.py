@@ -5,7 +5,8 @@ from arriving transcript parquet files.
     spark-submit --master local[N] --py-files pkg.zip tools/maintenance_job.py \
         --index <block-store-dir> --arrivals <stream-dir> \
         --checkpoint <ckpt-dir> [--bootstrap <corpus.parquet>] \
-        [--max-files-per-trigger 1] [--continuous] [--compact]
+        [--max-files-per-trigger 1] [--continuous] [--compact] \
+        [--tier-merge [--tier-factor 4] [--merge-at 4]]
 
 Without ``--continuous`` the job drains whatever has arrived
 (trigger availableNow) and exits — the cron-style maintenance tick.
@@ -42,6 +43,13 @@ def main() -> None:
     ap.add_argument("--max-files-per-trigger", type=int, default=1)
     ap.add_argument("--continuous", action="store_true")
     ap.add_argument("--compact", action="store_true")
+    ap.add_argument("--tier-merge", action="store_true",
+                    help="after draining, run the tiered segment-merge "
+                         "policy to a fixpoint (physical consolidation "
+                         "only — cheaper than --compact, bounds live "
+                         "segment count under per-epoch appends)")
+    ap.add_argument("--tier-factor", type=int, default=4)
+    ap.add_argument("--merge-at", type=int, default=4)
     ap.add_argument("--no-vacuum", action="store_true",
                     help="defer the post-drain vacuum (in-flight readers)")
     ap.add_argument("--block-span", type=int, default=4096)
@@ -66,6 +74,7 @@ def main() -> None:
         build_blocks,
         compact_blocks,
         load_blocks,
+        tiered_merge,
         vacuum_blocks,
         write_blocks,
     )
@@ -109,11 +118,24 @@ def main() -> None:
             # from the checkpoint.
             q.stop()
             q.awaitTermination(120)
+    n_merges = 0
     if args.compact:
         compact_blocks(spark, args.index, vacuum=not args.no_vacuum)
-    elif not args.no_vacuum:
-        # sweep the drained epochs' superseded stats dirs + crash orphans
-        vacuum_blocks(spark, args.index)
+    else:
+        if args.tier_merge:
+            # tiered policy between the cheap per-epoch appends and the
+            # full --compact rewrite: consolidate small segments so the
+            # live dir count stays O(merge_at·log n) under a per-epoch
+            # append stream (each merge is its own atomic commit; safe
+            # here because the stream is stopped — single writer)
+            n_merges = tiered_merge(
+                spark, args.index,
+                tier_factor=args.tier_factor, merge_at=args.merge_at,
+                vacuum=not args.no_vacuum,
+            )
+        if not args.no_vacuum:
+            # sweep the drained epochs' superseded stats dirs + crash orphans
+            vacuum_blocks(spark, args.index)
 
     meta = _read_meta(spark, args.index)
     bidx = load_blocks(spark, args.index)
@@ -126,6 +148,8 @@ def main() -> None:
         # retention cap (ADVICE r4)
         "epochs_applied": int(tick_counters.get("epochs_applied", 0)),
         "stale_bounds": bidx.stale_bounds,
+        "tier_merges": n_merges,
+        "n_segments": len(meta.get("data_dirs", ["."])),
         "wall_s": round(time.perf_counter() - t0, 3),
     }))
     spark.stop()
