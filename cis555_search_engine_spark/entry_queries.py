@@ -3736,6 +3736,59 @@ LIMIT 40
 )
 
 
+
+def q_snippet_best_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-aware snippet selection for the BM25 top-10: the
+    10-token window covering the most distinct query terms, ties to the
+    earliest start (operators/scoring.best_window_snippets) — candidate
+    starts are the matched positions themselves, so per-doc work is
+    O(m^2) on one result doc's occurrences."""
+    from .operators.scoring import best_window_snippets
+
+    idx = get_index(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents")
+    out = best_window_snippets(idx, docs, BM25_QUERY, k=10, window=10, stem=False)
+    return out.select(
+        "doc_id", F.round("score", 4).alias("score"),
+        "snip_start", "n_terms", "snippet",
+    )
+
+
+SQL_SNIPPET_BEST_WINDOW = (
+    SQL_TOK
+    + """,
+sidf AS (SELECT cs.term,
+                ln((tot.n_docs - cs.df + 0.5) / (cs.df + 0.5) + 1.0) AS idf
+         FROM cs, tot WHERE cs.term IN ('hash', 'join', 'merge')),
+sc AS (SELECT p.doc_id,
+              sum(sidf.idf * p.tf * 2.2
+                  / (p.tf + 1.2 * (0.25 + 0.75 * ds.doc_len / tot.avg_len))) AS score
+       FROM postings p
+       JOIN sidf ON p.term = sidf.term
+       JOIN ds ON p.doc_id = ds.doc_id, tot
+       GROUP BY p.doc_id),
+stop AS (SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id ASC LIMIT 10),
+hi AS (SELECT tok.doc_id, tok.pos, tok.term
+       FROM tok JOIN stop ON tok.doc_id = stop.doc_id
+       WHERE tok.term IN ('hash', 'join', 'merge')),
+cnts AS (SELECT a.doc_id, a.pos AS s, count(DISTINCT b.term) AS cnt
+         FROM hi a JOIN hi b
+           ON a.doc_id = b.doc_id AND b.pos >= a.pos AND b.pos < a.pos + 10
+         GROUP BY a.doc_id, a.pos),
+sbest AS (SELECT doc_id, s, cnt,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY cnt DESC, s ASC) AS rn
+          FROM cnts)
+SELECT t.doc_id, round(t.score, 4) AS score,
+       b1.s::BIGINT AS snip_start, b1.cnt::BIGINT AS n_terms,
+       array_to_string(d.toks[b1.s + 1 : b1.s + 10], ' ') AS snippet
+FROM stop t
+JOIN sbest b1 ON b1.doc_id = t.doc_id AND b1.rn = 1
+JOIN d ON d.doc_id = t.doc_id
+"""
+)
+
+
 # ---------------------------------------------------------- registry
 
 # Registry ORDER is a driver contract (round-3 verdict item 1): the
@@ -3823,7 +3876,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_winnow": q_dedup_winnow,
     "chunk_windows": q_chunk_windows,
     "dedup_components": q_dedup_components,
-    "decontaminate": q_decontaminate,
+    # decontaminate (driver-green in r4) rotated past 50 for the new
+    # position-aware snippet query
+    "snippet_best_window": q_snippet_best_window,
     "dedup_passage_removed": q_dedup_passage_removed,
     # --- similarity / ANN ---
     "ann_ivf": q_ann_ivf,
@@ -3867,6 +3922,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_stats": q_corpus_stats,
     "bm25_topk": q_bm25_topk,
     "dup_passages": q_dup_passages,
+    "decontaminate": q_decontaminate,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
@@ -3932,6 +3988,7 @@ ORACLES: dict[str, str] = {
     "phrase_blocks": SQL_PHRASE_MATCH,
     "bm25_append_blocks": SQL_BM25_TOPK,
     "bm25_merged_blocks": SQL_BM25_TOPK,
+    "snippet_best_window": SQL_SNIPPET_BEST_WINDOW,
     # compaction must be invisible to results: same full-corpus oracle
     "bm25_compacted": SQL_BM25_TOPK,
     "bm25_not_blocks": SQL_BM25_NOT,

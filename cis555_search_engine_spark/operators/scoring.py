@@ -692,3 +692,97 @@ def evidence_scores(
         F.min(F.when(F.col("rn") == 1, F.col(c))).alias(f"best_{c}") for c in key
     ]
     return ranked.groupBy(group_col).agg(F.sum("score").alias("score"), *best)
+
+
+def best_window_snippets(
+    index: InvertedIndex,
+    docs: DataFrame,
+    query: str,
+    k: int = 10,
+    window: int = 10,
+    stem: bool = True,
+    text_col: str = "text",
+) -> DataFrame:
+    """Position-aware snippet generation for the BM25 top-k: for each
+    result, the ``window``-token span covering the MOST DISTINCT query
+    terms (ties → earliest start) — the classic passage-selection
+    upgrade over `with_snippets`' first-occurrence substring (reference
+    analog: the frontend preview, frontend/SearchHelper.java — which
+    has no positional selection; the index's stored positions,
+    indexer/Indexer.java:159-173, make it free here).
+
+    The optimal window must start AT a query-term occurrence (shifting
+    a window right to its first covered hit never drops a term), so
+    candidates are the matched positions themselves — per-doc work is
+    O(m²) column arithmetic on m = matched occurrences in ONE result
+    doc, never corpus-scale.
+
+    Scale shape: postings are pruned to the query terms, then semi-
+    joined against the BROADCAST top-k key set — every downstream row
+    count is bounded by k docs × query terms. One bounded groupBy
+    collects the tagged positions per doc; the corpus join for the
+    snippet text is again against the broadcast k keys. Returns
+    (doc_key..., score, snip_start, n_terms, snippet).
+    """
+    from ..functions.tokenizer import tokenize_col, tokenize_py
+
+    terms = bm25_query_terms(query) if stem else list(dict.fromkeys(tokenize_py(query)))
+    key = list(index.doc_key)
+    top = bm25_topk(index, query, k=k, stem=stem)
+    if not terms:
+        return top.select(
+            *key, "score",
+            F.lit(None).cast("long").alias("snip_start"),
+            F.lit(None).cast("long").alias("n_terms"),
+            F.lit(None).cast("string").alias("snippet"),
+        )
+    tagged = (
+        index.postings.filter(F.col("term").isin(terms))
+        .join(F.broadcast(top.select(*key)), key, "left_semi")
+        .select(*key, "term", F.explode("positions").alias("pos"))
+    )
+    hits = tagged.groupBy(*key).agg(
+        F.array_sort(F.collect_list(F.struct("pos", "term"))).alias("hits")
+    )
+    h = F.col("hits")
+    # per candidate start s (every hit position): distinct terms covered
+    # by [s, s+window); argmax by (count, -s) via lexicographic max over
+    # a struct — ties prefer the earliest start
+    cand = F.transform(
+        h,
+        lambda x: F.struct(
+            F.size(
+                F.array_distinct(
+                    F.transform(
+                        F.filter(
+                            h,
+                            lambda y: (y["pos"] >= x["pos"])
+                            & (y["pos"] < x["pos"] + window),
+                        ),
+                        lambda y: y["term"],
+                    )
+                )
+            ).alias("cnt"),
+            (-x["pos"]).alias("negs"),
+        ),
+    )
+    best = hits.select(*key, F.array_max(cand).alias("best")).select(
+        *key,
+        (-F.col("best.negs")).cast("long").alias("snip_start"),
+        F.col("best.cnt").cast("long").alias("n_terms"),
+    )
+    # snippet text from the kept-token stream (positions live in that
+    # space); corpus pruned to the k matched keys before tokenizing
+    toked = (
+        docs.join(F.broadcast(top.select(*key)), key, "left_semi")
+        .select(*key, tokenize_col(F.col(text_col)).alias("_toks"))
+    )
+    snip = best.join(F.broadcast(toked), key).select(
+        *key, "snip_start", "n_terms",
+        F.array_join(
+            F.slice(F.col("_toks"), F.col("snip_start") + 1, window), " "
+        ).alias("snippet"),
+    )
+    return top.join(F.broadcast(snip), key, "left").select(
+        *key, "score", "snip_start", "n_terms", "snippet"
+    )

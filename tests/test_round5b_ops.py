@@ -267,3 +267,59 @@ def test_next_word_suggest_unknown_term_empty(spark, small_index):
     from cis555_search_engine_spark.operators.query_ops import next_word_suggest
 
     assert next_word_suggest(small_index, "zzzznotaterm", k=5).collect() == []
+
+
+# ------------------------------------------- best-window snippets
+
+
+def test_best_window_snippets_picks_max_coverage(spark):
+    from cis555_search_engine_spark.operators.index_build import build_index
+    from cis555_search_engine_spark.operators.scoring import best_window_snippets
+
+    # doc 1: 'alpha' at 0 and also 'alpha beta' adjacent at 10,11 —
+    # best 4-token window must start at 10 (covers both terms)
+    t1 = "alpha x x x x x x x x x alpha beta x x"
+    # doc 2: only 'beta' present, at 3 — window starts there, 1 term
+    t2 = "x x x beta x x"
+    df = spark.createDataFrame([(1, t1), (2, t2)], ["doc_id", "text"])
+    idx = build_index(df, doc_key=("doc_id",), text_col="text", stem=False)
+    out = {
+        r["doc_id"]: (r["snip_start"], r["n_terms"], r["snippet"])
+        for r in best_window_snippets(
+            idx, df, "alpha beta", k=5, window=4, stem=False
+        ).collect()
+    }
+    assert out[1] == (10, 2, "alpha beta x x")
+    assert out[2] == (3, 1, "beta x x")
+
+
+def test_best_window_snippets_python_oracle(spark, docs_sdf, docs_rows, small_index):
+    import re
+
+    from cis555_search_engine_spark.operators.scoring import best_window_snippets
+
+    q = "hash join merge"
+    terms = q.split()
+    w = 10
+    got = {
+        r["id" if "id" in r else "doc_id"]: (r["snip_start"], r["n_terms"])
+        for r in best_window_snippets(
+            small_index, docs_sdf, q, k=10, window=w, stem=False
+        ).collect()
+    }
+    text_by_id = dict(docs_rows)
+    for doc_id, (s, n) in got.items():
+        toks = [x.strip("-") for x in re.findall(r"[a-z-]+", text_by_id[doc_id].lower())]
+        toks = [x for x in toks if x]
+        hits = [(p, t) for p, t in enumerate(toks) if t in terms]
+        best = max(
+            ((len({t for p2, t in hits if p <= p2 < p + w}), -p) for p, _ in hits),
+        )
+        assert (s, n) == (-best[1], best[0]), doc_id
+
+
+def test_best_window_snippets_empty_query(spark, small_index, docs_sdf):
+    from cis555_search_engine_spark.operators.scoring import best_window_snippets
+
+    out = best_window_snippets(small_index, docs_sdf, "", k=5, stem=False)
+    assert out.collect() == []
