@@ -323,3 +323,48 @@ def test_best_window_snippets_empty_query(spark, small_index, docs_sdf):
 
     out = best_window_snippets(small_index, docs_sdf, "", k=5, stem=False)
     assert out.collect() == []
+
+
+# ------------------------------------------------- shard assignment
+
+
+def test_shard_assign_matches_python_oracle(spark, docs_sdf, docs_rows):
+    import hashlib
+
+    from cis555_search_engine_spark.operators.curation import shard_assign
+
+    got = {
+        r["id"]: (r["pos"], r["shard"], r["pos_in_shard"])
+        for r in shard_assign(docs_sdf, n_shards=4, seed=7).collect()
+    }
+    ids = [i for i, _ in docs_rows]
+    hk = {
+        i: int(hashlib.md5(f"{i}:7".encode()).hexdigest()[:15], 16) for i in ids
+    }
+    order = sorted(ids, key=lambda i: (hk[i], i))
+    want = {i: (p, p % 4, p // 4) for p, i in enumerate(order)}
+    assert got == want
+
+
+def test_shard_assign_balanced_and_stable(spark, docs_sdf):
+    from pyspark.sql import functions as F
+
+    from cis555_search_engine_spark.operators.curation import shard_assign
+
+    out = shard_assign(docs_sdf, n_shards=8, seed=0)
+    sizes = {r["shard"]: r["n"] for r in out.groupBy("shard").agg(F.count("*").alias("n")).collect()}
+    assert len(sizes) == 8
+    assert max(sizes.values()) - min(sizes.values()) <= 1  # round-robin deal
+    # stability under repartitioning: same assignment regardless of layout
+    re = shard_assign(docs_sdf.repartition(13), n_shards=8, seed=0)
+    a = {(r["id"], r["pos"]) for r in out.select("id", "pos").collect()}
+    b = {(r["id"], r["pos"]) for r in re.select("id", "pos").collect()}
+    assert a == b
+    # a different seed produces a different interleave
+    other = shard_assign(docs_sdf, n_shards=8, seed=1)
+    c = {(r["id"], r["pos"]) for r in other.select("id", "pos").collect()}
+    assert a != c
+    import pytest
+
+    with pytest.raises(ValueError):
+        shard_assign(docs_sdf, n_shards=0)
