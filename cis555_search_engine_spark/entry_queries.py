@@ -3789,6 +3789,30 @@ JOIN d ON d.doc_id = t.doc_id
 )
 
 
+
+def q_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + round-robin shard assignment
+    (operators/curation.shard_assign): seeded md5-prefix hash order,
+    global position via the mint_doc_ids range-boundary algebra (no
+    single-partition window), shard = pos % 8."""
+    from .operators.curation import shard_assign
+
+    return shard_assign(load(spark, sf_dir, "documents"), n_shards=8, seed=0)
+
+
+SQL_SHARD_ASSIGN = """
+WITH h AS (SELECT doc_id AS id,
+                  ('0x' || substr(md5(doc_id::VARCHAR || ':0'), 1, 15))::BIGINT AS hkey
+           FROM documents),
+r AS (SELECT id, hkey,
+             row_number() OVER (ORDER BY hkey, id) - 1 AS pos
+      FROM h)
+SELECT id, hkey, pos::BIGINT AS pos, (pos % 8)::BIGINT AS shard,
+       (pos // 8)::BIGINT AS pos_in_shard
+FROM r
+"""
+
+
 # ---------------------------------------------------------- registry
 
 # Registry ORDER is a driver contract (round-3 verdict item 1): the
@@ -3875,7 +3899,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winnow_fingerprints": q_winnow_fingerprints,
     "dedup_winnow": q_dedup_winnow,
     "chunk_windows": q_chunk_windows,
-    "dedup_components": q_dedup_components,
     # decontaminate (driver-green in r4) rotated past 50 for the new
     # position-aware snippet query
     "snippet_best_window": q_snippet_best_window,
@@ -3896,6 +3919,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "wildcard_terms": q_wildcard_terms,
     "wildcard_topk": q_wildcard_topk,
     "sample_temperature": q_sample_temperature,
+    # dedup_components (driver-green in r4) rotated past 50 for the
+    # new shard-assignment query
+    "shard_assign": q_shard_assign,
     "dsir_weights": q_dsir_weights,
     "dsir_select": q_dsir_select,
     "dedup_cluster_reps": q_dedup_cluster_reps,
@@ -3923,6 +3949,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_topk": q_bm25_topk,
     "dup_passages": q_dup_passages,
     "decontaminate": q_decontaminate,
+    "dedup_components": q_dedup_components,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
@@ -3989,6 +4016,7 @@ ORACLES: dict[str, str] = {
     "bm25_append_blocks": SQL_BM25_TOPK,
     "bm25_merged_blocks": SQL_BM25_TOPK,
     "snippet_best_window": SQL_SNIPPET_BEST_WINDOW,
+    "shard_assign": SQL_SHARD_ASSIGN,
     # compaction must be invisible to results: same full-corpus oracle
     "bm25_compacted": SQL_BM25_TOPK,
     "bm25_not_blocks": SQL_BM25_NOT,

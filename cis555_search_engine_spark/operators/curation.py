@@ -581,3 +581,63 @@ def chunk_windows(
             ).alias("chunk_text"),
         )
     )
+
+
+def shard_assign(
+    docs: DataFrame,
+    n_shards: int = 8,
+    seed: int = 0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic global shuffle + shard assignment — the final stage
+    of a training-data pipeline: interleave the corpus in a seeded
+    pseudo-random order and deal it round-robin into ``n_shards`` output
+    shards, so every shard is a uniform sample of the whole corpus and
+    shard k's file is written in a reproducible order (epoch reshuffles
+    = new seed; re-runs and retries produce byte-identical shards).
+
+    h(id) = the SQL-reproducible 60-bit md5-prefix of ``id || ':' ||
+    seed`` (the engine's shared hash convention); global position = rank
+    in (h, id) order via the mint_doc_ids algebra — explicit literal
+    range boundaries + per-bucket windows + broadcast offsets, NO
+    single-partition global window (the round-2 scale-killer: one task
+    sorting 10^12 rows); shard = pos % n_shards, pos_in_shard = pos //
+    n_shards. Writing then partitions by ``shard`` and sorts within
+    partitions by ``pos_in_shard``.
+
+    Returns (id, hkey, pos, shard, pos_in_shard), deterministic under
+    any input partitioning.
+    """
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    from .postings_codec import mint_doc_ids
+
+    hashed = docs.select(
+        F.col(id_col).alias("id"),
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col(id_col).cast("string"), F.lit(f":{int(seed)}")
+                    ).cast("binary")
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("hkey"),
+    )
+    minted = mint_doc_ids(hashed, doc_key=("id",), order_cols=("hkey",))
+    return (
+        minted.join(hashed, "id")
+        .select(
+            "id",
+            "hkey",
+            F.col("docid").alias("pos"),
+            (F.col("docid") % n_shards).cast("long").alias("shard"),
+            F.floor(F.col("docid") / n_shards).cast("long").alias("pos_in_shard"),
+        )
+    )

@@ -106,6 +106,13 @@ def main() -> None:
     ap.add_argument("--dsir-frac", type=float, default=0.5,
                     help="fraction of docs to keep by DSIR weight "
                          "(quantile-threshold cut; needs --dsir-target)")
+    ap.add_argument("--shards", type=int, default=None,
+                    help="final stage: deterministic seeded global "
+                         "shuffle + round-robin deal of the surviving "
+                         "docs into this many training shards "
+                         "(curation.shard_assign); written partitioned "
+                         "by shard, each sorted by pos_in_shard")
+    ap.add_argument("--shard-seed", type=int, default=0)
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     args = ap.parse_args()
     if args.eval_docs and args.eval_dict:
@@ -345,6 +352,24 @@ def main() -> None:
     pk = spark.read.parquet(os.path.join(args.out, "packed"))
     counts["packed_docs"] = pk.count()
     counts["chunks"] = pk.select("chunk_id").distinct().count()
+
+    # 9. optional: shard the survivors for training ingestion
+    if args.shards:
+        from cis555_search_engine_spark.operators.curation import shard_assign
+
+        t0 = time.perf_counter()
+        assign = shard_assign(kept, n_shards=args.shards, seed=args.shard_seed)
+        sharded = kept.join(assign.select("id", "shard", "pos_in_shard"),
+                            kept["doc_id"] == assign["id"]).drop("id")
+        (
+            sharded.repartition(args.shards, "shard")
+            .sortWithinPartitions("pos_in_shard")
+            .write.mode("overwrite")
+            .partitionBy("shard")
+            .parquet(os.path.join(args.out, "shards"))
+        )
+        mark("shard", t0)
+        counts["shards"] = args.shards
 
     total = round(sum(phases.values()), 3)
     line = {
