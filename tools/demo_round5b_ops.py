@@ -62,13 +62,15 @@ def main() -> None:
     )
     from cis555_search_engine_spark.session import get_spark
 
-    spark = get_spark("demo-r5b", cores=16, shuffle_partitions=128)
-
     if not os.path.exists(args.corpus):
+        # stage BEFORE opening this job's session: stage_corpus manages
+        # (and stops) its own SparkSession
         from tools.scaling_bench import stage_corpus
 
         print(f"# staging corpus n_convs={args.n_convs} ...", file=sys.stderr)
         stage_corpus(args.corpus, args.n_convs)
+
+    spark = get_spark("demo-r5b", cores=16, shuffle_partitions=128)
     corpus = spark.read.parquet(args.corpus)
     n = corpus.count()
     print(f"corpus: {n:,} turns from {args.corpus}")
