@@ -88,6 +88,7 @@ BLOCK_TIER = [
 MAINT_TIER = [
     "bm25_append_blocks", "bm25_compacted", "bm25_merged_blocks",
     "bm25_deleted_blocks", "bm25_compact_deleted", "ann_ivf_served",
+    "ann_ivf_appended",
 ]
 
 

@@ -1033,3 +1033,89 @@ def pq_topk(
         .orderBy(F.desc("cos"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+# ------------------------------------------------- IVF store maintenance
+
+
+def write_ivf_store(
+    spark,
+    path: str,
+    emb: DataFrame,
+    centroids: list[list[int]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist an IVF vector store WITH its quantizer: the
+    cell-partitioned assignment parquet (`write_ivf` layout) in a
+    segment dir plus an atomically-committed manifest carrying the
+    integer centroids — the vector-side analog of the block store's
+    layout-2 manifest (postings_codec.write_blocks). Data lands first,
+    the manifest commit makes it live; a crashed write leaves only an
+    unlisted orphan dir.
+    """
+    import json
+
+    from .. import fsio
+
+    seg = fsio.new_segment_name("vecs", 0)
+    write_ivf(emb, f"{path}/{seg}", centroids, id_col=id_col, vec_col=vec_col)
+    meta = {
+        "layout": 1,
+        "data_dirs": [seg],
+        "centroids": [[int(v) for v in c] for c in centroids],
+        "id_col": id_col,
+        "vec_col": vec_col,
+    }
+    fsio.write_text_atomic(spark, f"{path}/_ivf_meta.json", json.dumps(meta))
+
+
+def append_ivf(
+    spark,
+    path: str,
+    emb_new: DataFrame,
+) -> None:
+    """Incrementally append vectors to a persisted IVF store under the
+    FROZEN quantizer — the standard IVF maintenance model (FAISS
+    add-after-train; centroids move only at a rebuild): new vectors are
+    assigned against the STORED centroids and land in a fresh
+    cell-partitioned segment dir, made live by one atomic manifest
+    rewrite. No existing file is touched; probe pruning keeps working
+    because every segment shares the cell directory scheme.
+
+    Recall caveat (inherent to frozen-quantizer appends, disclosed):
+    if the appended distribution drifts far from the training set,
+    cells grow imbalanced and probe recall degrades until a rebuild
+    re-trains the centroids — the vector-side equivalent of the block
+    store's stale_bounds-until-compaction contract.
+    """
+    import json
+
+    from .. import fsio
+
+    meta = json.loads(fsio.read_text(spark, f"{path}/_ivf_meta.json"))
+    seg = fsio.new_segment_name("vecs", len(meta["data_dirs"]))
+    write_ivf(
+        emb_new, f"{path}/{seg}", meta["centroids"],
+        id_col=meta["id_col"], vec_col=meta["vec_col"],
+    )
+    meta["data_dirs"] = list(meta["data_dirs"]) + [seg]
+    fsio.write_text_atomic(spark, f"{path}/_ivf_meta.json", json.dumps(meta))
+
+
+def load_ivf_store(spark, path: str) -> tuple[DataFrame, list[list[int]]]:
+    """(assigned, centroids) of a persisted IVF store: manifest-listed
+    segment dirs union per-scan (each is its own cell-partitioned
+    layout, so multi-root partition discovery would reject one combined
+    read — same shape as postings_codec.load_blocks), probe filters
+    push through the Union into every child's directory pruning."""
+    import json
+
+    from .. import fsio
+
+    meta = json.loads(fsio.read_text(spark, f"{path}/_ivf_meta.json"))
+    frames = [spark.read.parquet(f"{path}/{d}") for d in meta["data_dirs"]]
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out, [[int(v) for v in c] for c in meta["centroids"]]

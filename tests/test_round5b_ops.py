@@ -368,3 +368,113 @@ def test_shard_assign_balanced_and_stable(spark, docs_sdf):
 
     with pytest.raises(ValueError):
         shard_assign(docs_sdf, n_shards=0)
+
+
+# ------------------------------------------------- IVF store append
+
+
+def test_ivf_store_append_preserves_results(spark, tmp_path):
+    """Frozen-quantizer vector append: write an IVF store from half the
+    vectors, append the other half — probe queries over the two-segment
+    store must equal the single-shot assignment of ALL vectors against
+    the same centroids, and the manifest must list both segments."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from cis555_search_engine_spark.operators.similarity import (
+        ann_topk_kmeans,
+        append_ivf,
+        kmeans_quantized,
+        load_ivf_store,
+        write_ivf,
+        write_ivf_store,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    even = emb.filter(F.col("vec_id") % 2 == 0)
+    odd = emb.filter(F.col("vec_id") % 2 == 1)
+    cents = kmeans_quantized(even, k=5, n_iter=2)
+
+    path = str(tmp_path / "ivf_store")
+    write_ivf_store(spark, path, even, cents)
+    append_ivf(spark, path, odd)
+    assigned, cents2 = load_ivf_store(spark, path)
+    assert cents2 == [[int(v) for v in c] for c in cents]
+    meta = json.loads(open(f"{path}/_ivf_meta.json").read())
+    assert len(meta["data_dirs"]) == 2
+    assert assigned.count() == emb.count()
+
+    # reference: one-shot assignment of ALL vectors against the frozen
+    # centroids (write_ivf computes exactly that)
+    ref_path = str(tmp_path / "ivf_ref")
+    write_ivf(emb, ref_path, cents)
+    ref = spark.read.parquet(ref_path)
+    a = {(r["vec_id"], r["cell"]) for r in assigned.select("vec_id", "cell").collect()}
+    b = {(r["vec_id"], r["cell"]) for r in ref.select("vec_id", "cell").collect()}
+    assert a == b
+
+    for qid in (0, 7):
+        got = [
+            (r["vec_id"], r["cos"])
+            for r in ann_topk_kmeans(
+                emb, query_vec_id=qid, k=8, n_probe=2,
+                centroids=cents, assigned=assigned,
+            ).collect()
+        ]
+        want = [
+            (r["vec_id"], r["cos"])
+            for r in ann_topk_kmeans(
+                emb, query_vec_id=qid, k=8, n_probe=2,
+                centroids=cents, assigned=ref,
+            ).collect()
+        ]
+        assert got == want
+
+
+def test_maintenance_job_tier_merge_cli(spark, corpus_pdf, tmp_path, monkeypatch):
+    """The maintenance tick end-to-end through main() with --tier-merge:
+    bootstrap, drain 3 arriving files as 3 exactly-once appends, then
+    the tiered policy consolidates the epoch segments; the printed JSON
+    reports the merges and the final segment count."""
+    import io
+    import json
+    import sys as _sys
+
+    import tools.maintenance_job as mj
+
+    base = corpus_pdf[corpus_pdf["conv_id"] < "conv000030"].copy()
+    arr = corpus_pdf[corpus_pdf["conv_id"] >= "conv000030"].copy()
+    for pdf in (base, arr):
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    bdir = tmp_path / "boot.parquet"
+    base.to_parquet(bdir, index=False)
+    adir = tmp_path / "arrivals"
+    adir.mkdir()
+    third = len(arr) // 3
+    arr.iloc[:third].to_parquet(adir / "a.parquet", index=False)
+    arr.iloc[third : 2 * third].to_parquet(adir / "b.parquet", index=False)
+    arr.iloc[2 * third :].to_parquet(adir / "c.parquet", index=False)
+
+    argv = [
+        "maintenance_job.py",
+        "--index", str(tmp_path / "idx"),
+        "--arrivals", str(adir),
+        "--checkpoint", str(tmp_path / "ckpt"),
+        "--bootstrap", str(bdir),
+        "--tier-merge", "--merge-at", "2",
+        "--block-span", "64", "--n-buckets", "4",
+    ]
+    monkeypatch.setattr(_sys, "argv", argv)
+    # the job must not stop the session-scoped test SparkSession
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    out = io.StringIO()
+    monkeypatch.setattr(_sys, "stdout", out)
+    mj.main()
+    line = json.loads(out.getvalue().strip().splitlines()[-1])
+    assert line["epochs_applied"] == 3
+    assert line["tier_merges"] >= 2  # 4 tier-0 segments at merge_at=2 cascade
+    assert line["n_segments"] < 4
+    assert line["n_docs_after"] == len(base.groupby(["conv_id", "turn_idx"])) + len(
+        arr.groupby(["conv_id", "turn_idx"])
+    )
