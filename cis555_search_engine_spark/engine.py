@@ -19,6 +19,10 @@ that system gets the same lifecycle here:
     eng.save_block_store("/blk"); eng.open_block_store("/blk")  # persist/serve
     eng.append_to_block_store("/blk", new_docs)  # incremental maintenance
     eng.compact_block_store("/blk")            # LSM-style merge
+    eng.merge_block_segments("/blk")           # tiered physical merge
+    eng.suggest_next_word("rice")              # next-word completion
+    eng.search_wildcard("nood*")               # permuterm wildcard BM25
+    eng.search_with_best_snippets("rice noodle")  # coverage-best previews
 
 Results are (conv_id, turn_idx, score) DataFrames with the deterministic
 (score DESC, conv_id, turn_idx) tie-break throughout.
@@ -175,4 +179,48 @@ class SearchEngine:
         """LSM-style merge: restore tight pruning bounds and fold
         segment-boundary duplicate blocks."""
         compact_blocks(self.spark, path)
+        return self.open_block_store(path)
+
+    # ------------------------------------ round-5b serving extensions
+
+    def suggest_next_word(self, prev_term: str, k: int = 10) -> DataFrame:
+        """Next-word query completion from the index's positional
+        postings (term, follow_cnt)."""
+        from .operators.query_ops import next_word_suggest
+
+        return next_word_suggest(self.index, prev_term, k=k)
+
+    def search_wildcard(self, pattern: str, k: int = 40, max_expansions: int = 20) -> DataFrame:
+        """BM25 top-k for a single-`*` wildcard query (permuterm
+        expansion, OR semantics over the max_expansions best matches)."""
+        from .operators.query_ops import wildcard_topk
+
+        return wildcard_topk(self.index, pattern, k=k, max_expansions=max_expansions)
+
+    def wildcard_terms(self, pattern: str, k: int = 20) -> DataFrame:
+        """The matching dictionary terms for a single-`*` wildcard."""
+        from .operators.query_ops import wildcard_terms
+
+        return wildcard_terms(self.index, pattern, k=k)
+
+    def search_with_best_snippets(
+        self, query: str, k: int = 10, window: int = 10, **kw
+    ) -> DataFrame:
+        """Top-k plus the position-aware best-coverage snippet per hit
+        (the window-token span covering the most distinct query terms)."""
+        from .operators.scoring import best_window_snippets
+
+        if self.corpus is None:
+            raise ValueError("snippets need the corpus: build the engine with SearchEngine.build")
+        return best_window_snippets(
+            self.index, self.corpus, query, k=k, window=window, **kw
+        )
+
+    def merge_block_segments(self, path: str, **kw) -> "SearchEngine":
+        """Run the tiered segment-merge policy to a fixpoint on a
+        persisted store (physical consolidation only — results
+        unchanged), then serve from the merged layout."""
+        from .operators.postings_codec import tiered_merge
+
+        tiered_merge(self.spark, path, **kw)
         return self.open_block_store(path)

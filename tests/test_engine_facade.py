@@ -82,3 +82,39 @@ def test_facade_round2_surface(spark, corpus_sdf, tmp_path):
     assert got2 == want
     bmany = eng_a.search_many_blocks({"q": "coronavirus"}, k=8).collect()
     assert [(r["conv_id"], r["turn_idx"]) for r in bmany] == want
+
+
+def test_facade_round5b_serving_extensions(spark, corpus_sdf, tmp_path):
+    """The new facade surface: next-word completion, wildcard search,
+    best-window snippets, and the tiered merge returning an engine that
+    serves identically."""
+    from pyspark.sql import functions as F
+
+    from cis555_search_engine_spark.engine import SearchEngine
+
+    eng = SearchEngine.build(spark, corpus_sdf)
+
+    nw = eng.suggest_next_word("rice", k=5).collect()
+    assert nw and all(r["follow_cnt"] >= 1 for r in nw)
+
+    wt = eng.wildcard_terms("noo*", k=10).collect()
+    assert any(r["term"].startswith("noo") for r in wt)
+    ws = eng.search_wildcard("noo*", k=5).collect()
+    assert len(ws) == 5
+
+    sn = eng.search_with_best_snippets("rice noodle", k=5).collect()
+    assert len(sn) == 5 and all(r["snippet"] for r in sn)
+
+    # tiered merge through the facade: append twice, merge, same top-k
+    path = str(tmp_path / "store")
+    half = corpus_sdf.filter(F.crc32(F.col("conv_id").cast("binary")) % 3 == 0)
+    rest1 = corpus_sdf.filter(F.crc32(F.col("conv_id").cast("binary")) % 3 == 1)
+    rest2 = corpus_sdf.filter(F.crc32(F.col("conv_id").cast("binary")) % 3 == 2)
+    base = SearchEngine.build(spark, half, cache="checkpoint")
+    base.save_block_store(path, n_buckets=4)
+    base.append_to_block_store(path, rest1)
+    base.append_to_block_store(path, rest2)
+    before = [(r["conv_id"], r["turn_idx"]) for r in base.search_blocks("rice noodle", k=10).collect()]
+    merged = base.merge_block_segments(path, merge_at=2)
+    after = [(r["conv_id"], r["turn_idx"]) for r in merged.search_blocks("rice noodle", k=10).collect()]
+    assert before == after
