@@ -388,3 +388,70 @@ def build_index(
         n_postings=n_postings,
         avg_doc_len=avg_len,
     )
+
+
+def static_prune(index: InvertedIndex, keep_per_term: int = 64) -> InvertedIndex:
+    """Static index pruning — the top-k variant of Carmel et al.
+    (SIGIR'01): keep per term only the ``keep_per_term`` highest-impact
+    postings (BM25 partial score under the index's OWN global stats;
+    ties → doc-key order), drop the rest from storage. Statistics stay
+    the ORIGINAL df/idf/avg_doc_len (the paper's model: prune what is
+    stored, not what is believed — scores of surviving postings are
+    unchanged, so the pruned index's top-k agrees with the full index
+    exactly whenever every true top-k posting survives the cut).
+
+    Why at 100 TB: long-tail query terms keep their full lists (df ≤
+    keep) while head terms shed the low-impact bulk — the classic
+    latency/size lever for a serving replica that answers top-10
+    queries (the archival full index stays the source of truth).
+
+    Scale shape: the impact needs doc_len (one doc-key join) and
+    idf_bm25 (a vocab-sized plain equi-join — NO broadcast hint, the
+    build-path discipline). The per-term cut is TWO window passes:
+    rank within (term, salt) first — 32 salt buckets bound the hot-term
+    partition a single (term) window would sort in one task — then rank
+    the ≤ 32·keep survivors within (term). Both engines cut on the
+    6-dp-ROUNDED impact with the doc-key tie-break, so the survivor SET
+    is bit-identical cross-engine. doc_stats/corpus_stats are shared
+    frames (unchanged), so no rebuild cost beyond the postings pass.
+    """
+    from pyspark.sql import Window
+
+    if keep_per_term <= 0:
+        raise ValueError(f"keep_per_term must be positive, got {keep_per_term}")
+    from .scoring import bm25_score_col
+
+    key = list(index.doc_key)
+    n_salt = 32
+    imp = F.round(
+        bm25_score_col(
+            F.col("tf"), F.col("idf_bm25"), F.col("doc_len"), index.avg_doc_len
+        ),
+        6,
+    )
+    scored = (
+        index.postings
+        .join(index.corpus_stats.select("term", "idf_bm25"), "term")
+        .join(index.doc_stats.select(*key, "doc_len"), key)
+        .withColumn("_imp", imp)
+        .withColumn("_salt", F.pmod(F.xxhash64(*key), F.lit(n_salt)))
+    )
+    order = [F.desc("_imp")] + [F.asc(c) for c in key]
+    local = Window.partitionBy("term", "_salt").orderBy(*order)
+    glob = Window.partitionBy("term").orderBy(*order)
+    pruned = (
+        scored.withColumn("_r1", F.row_number().over(local))
+        .filter(F.col("_r1") <= keep_per_term)
+        .withColumn("_r2", F.row_number().over(glob))
+        .filter(F.col("_r2") <= keep_per_term)
+        .select(*index.postings.columns)
+    )
+    return InvertedIndex(
+        postings=pruned,
+        doc_stats=index.doc_stats,
+        corpus_stats=index.corpus_stats,
+        doc_key=index.doc_key,
+        n_docs=index.n_docs,
+        n_postings=index.n_postings,  # stats-model contract: unchanged
+        avg_doc_len=index.avg_doc_len,
+    )

@@ -478,3 +478,91 @@ def test_maintenance_job_tier_merge_cli(spark, corpus_pdf, tmp_path, monkeypatch
     assert line["n_docs_after"] == len(base.groupby(["conv_id", "turn_idx"])) + len(
         arr.groupby(["conv_id", "turn_idx"])
     )
+
+
+# ------------------------------------------------- static index pruning
+
+
+def test_static_prune_python_oracle_and_semantics(spark, docs_sdf, docs_rows, small_index):
+    import math
+    import re
+
+    from cis555_search_engine_spark.operators.index_build import static_prune
+
+    K1, B = 1.2, 0.75
+    keep = 5
+    # python oracle: recompute postings + impacts, cut per term
+    postings = {}
+    doc_len = {}
+    for i, t in docs_rows:
+        toks = [x.strip("-") for x in re.findall(r"[a-z-]+", t.lower())]
+        toks = [x for x in toks if x]
+        doc_len[i] = len(toks)
+        for tok in set(toks):
+            postings[(i, tok)] = toks.count(tok)
+    n_docs = len([i for i in doc_len if doc_len[i] >= 0])
+    df = {}
+    for (_, t2) in postings:
+        df[t2] = df.get(t2, 0) + 1
+    avg = sum(doc_len.values()) / len(doc_len)
+    def idf(t):
+        return math.log((n_docs - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+    imp = {
+        (i, t2): round(idf(t2) * tf * (K1 + 1) / (tf + K1 * (1 - B + B * doc_len[i] / avg)), 6)
+        for (i, t2), tf in postings.items()
+    }
+    want = set()
+    for t2 in df:
+        rows = sorted(
+            ((i, x) for (i, tt), x in imp.items() if tt == t2),
+            key=lambda r: (-r[1], r[0]),
+        )[:keep]
+        want.update((i, t2) for i, _ in rows)
+
+    pruned = static_prune(small_index, keep_per_term=keep)
+    got = {
+        (r["doc_id"], r["term"]) for r in pruned.postings.select("doc_id", "term").collect()
+    }
+    assert got == want
+    # stats-model contract: statistics frames are the ORIGINAL objects
+    assert pruned.corpus_stats is small_index.corpus_stats
+    assert pruned.n_docs == small_index.n_docs
+
+    # long-tail terms (df <= keep) keep their full lists
+    rare = [t2 for t2, d in df.items() if d <= keep]
+    for t2 in rare[:5]:
+        assert sum(1 for (_, tt) in got if tt == t2) == df[t2]
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        static_prune(small_index, keep_per_term=0)
+
+
+def test_static_prune_salted_equals_single_window(spark, small_index):
+    """The 32-salt two-phase cut must equal a single per-term window."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from cis555_search_engine_spark.operators.index_build import static_prune
+    from cis555_search_engine_spark.operators.scoring import bm25_score_col
+
+    keep = 3
+    idx = small_index
+    imp = F.round(
+        bm25_score_col(F.col("tf"), F.col("idf_bm25"), F.col("doc_len"), idx.avg_doc_len), 6
+    )
+    single = (
+        idx.postings.join(idx.corpus_stats.select("term", "idf_bm25"), "term")
+        .join(idx.doc_stats.select("doc_id", "doc_len"), "doc_id")
+        .withColumn("_imp", imp)
+        .withColumn("rn", F.row_number().over(
+            Window.partitionBy("term").orderBy(F.desc("_imp"), F.asc("doc_id"))))
+        .filter(F.col("rn") <= keep)
+    )
+    a = {(r["doc_id"], r["term"]) for r in single.select("doc_id", "term").collect()}
+    b = {
+        (r["doc_id"], r["term"])
+        for r in static_prune(idx, keep_per_term=keep).postings.select("doc_id", "term").collect()
+    }
+    assert a == b
