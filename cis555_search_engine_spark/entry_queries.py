@@ -3906,6 +3906,57 @@ LIMIT 20
 )
 
 
+
+def q_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (Haveliwala WWW'02): restart mass
+    concentrated on the seed set {id % 7 == 0}, 10 fixed iterations
+    over the same orders-derived graph as `pagerank`
+    (operators/pagerank.personalized_pagerank)."""
+    from .operators.pagerank import personalized_pagerank
+
+    orders = load(spark, sf_dir, "orders")
+    edges = orders.select(
+        (F.col("o_custkey") % 50).alias("src"), (F.col("o_orderkey") % 50).alias("dst")
+    )
+    nodes = edges.select(F.col("src").alias("id")).union(
+        edges.select(F.col("dst").alias("id"))
+    ).distinct()
+    seeds = nodes.filter(F.col("id") % 7 == 0)
+    out = personalized_pagerank(edges, seeds, n_iter=10)
+    return out.select("id", F.round("rank", 6).alias("rank"))
+
+
+def _sql_pagerank_personalized(n_iter: int = 10) -> str:
+    head = """
+WITH e AS (
+  SELECT DISTINCT o_custkey % 50 AS src, o_orderkey % 50 AS dst
+  FROM orders WHERE (o_custkey % 50) <> (o_orderkey % 50)
+),
+nodes AS (SELECT DISTINCT src AS id FROM e UNION SELECT DISTINCT dst FROM e),
+deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+b AS (SELECT id,
+             CASE WHEN id % 7 = 0
+                  THEN 0.15 * (SELECT count(*) FROM nodes)::DOUBLE
+                       / (SELECT count(*) FROM nodes WHERE id % 7 = 0)
+                  ELSE 0.0 END AS base
+      FROM nodes),
+p0 AS (SELECT id, base AS rank FROM b)"""
+    stages = []
+    for i in range(1, n_iter + 1):
+        stages.append(f""",
+p{i} AS (
+  SELECT b.id, b.base + 0.85 * coalesce(s.s, 0.0) AS rank
+  FROM b LEFT JOIN (
+    SELECT e.dst AS id, sum(r.rank / d.deg) AS s
+    FROM e JOIN deg d ON e.src = d.src JOIN p{i-1} r ON r.id = e.src
+    GROUP BY e.dst) s ON b.id = s.id
+)""")
+    return head + "".join(stages) + f"\nSELECT id, round(rank, 6) AS rank FROM p{n_iter}"
+
+
+SQL_PAGERANK_PERSONALIZED = _sql_pagerank_personalized(10)
+
+
 # ---------------------------------------------------------- registry
 
 # Registry ORDER is a driver contract (round-3 verdict item 1): the
@@ -4042,6 +4093,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # under tools/selfcheck.py (the same gate the round-4 judge ran for
     # the 16 near-twins) and pytest
     "bm25_pruned": q_bm25_pruned,
+    "pagerank_personalized": q_pagerank_personalized,
     # -------- round-4 driver-green representatives ---------------------
     # (rotated out this round; green rows in CORRECTNESS_r04 + selfcheck;
     # multimodal_meta joined them to make room for the two DSIR queries,
@@ -4124,6 +4176,7 @@ ORACLES: dict[str, str] = {
     "shard_assign": SQL_SHARD_ASSIGN,
     "ann_ivf_appended": SQL_ANN_IVF_APPENDED,
     "bm25_pruned": SQL_BM25_PRUNED,
+    "pagerank_personalized": SQL_PAGERANK_PERSONALIZED,
     # compaction must be invisible to results: same full-corpus oracle
     "bm25_compacted": SQL_BM25_TOPK,
     "bm25_not_blocks": SQL_BM25_NOT,

@@ -612,3 +612,64 @@ def test_static_prune_quality_vs_full(spark, small_index):
     o16, o64 = overlap(16), overlap(64)
     assert o64 >= o16
     assert o64 >= 0.5, (o16, o64)
+
+
+# ------------------------------------------------- personalized PageRank
+
+
+def test_personalized_pagerank_numpy_oracle(spark):
+    import numpy as np
+
+    from cis555_search_engine_spark.operators.pagerank import personalized_pagerank
+
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 2), (5, 0)]
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    seeds = spark.createDataFrame([(0,), (3,)], ["id"])
+    got = {r["id"]: r["rank"] for r in personalized_pagerank(e, seeds, n_iter=12).collect()}
+
+    nodes = sorted({u for p in edges for u in p})
+    n = len(nodes)
+    deg = {u: sum(1 for a, _ in edges if a == u) for u in nodes}
+    base = np.array([0.15 * n / 2 if i in (0, 3) else 0.0 for i in nodes])
+    r = base.copy()
+    for _ in range(12):
+        nxt = base.copy()
+        for a, b in edges:
+            nxt[b] += 0.85 * r[a] / deg[a]
+        r = nxt
+    for i, v in zip(nodes, r):
+        assert abs(got[i] - v) < 1e-9, (i, got[i], v)
+    # restart mass stays near the seeds: a seed outranks the node
+    # feeding it nothing (5 has no in-links -> exactly 0)
+    assert got[5] == 0.0
+    assert got[0] > got[1] or got[3] > got[4]
+
+
+def test_personalized_pagerank_validation_and_uniform_equivalence(spark):
+    """Seeds = ALL nodes reproduces plain pagerank's fixpoint (base
+    (1-d)*N/N == the uniform (1-d)); unknown-only seeds raise."""
+    import math
+
+    import pytest
+
+    from cis555_search_engine_spark.operators.pagerank import (
+        pagerank,
+        personalized_pagerank,
+    )
+
+    edges = [(0, 1), (1, 2), (2, 0), (3, 1)]
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    all_nodes = spark.createDataFrame([(i,) for i in range(4)], ["id"])
+    # the two iterations start from different vectors (pagerank: 1.0,
+    # ppr: base) but share the unique fixpoint r = base + d·A r — run
+    # long enough that the 0.85^n initial-condition term is below the
+    # comparison tolerance
+    ppr = {r["id"]: r["rank"] for r in personalized_pagerank(e, all_nodes, n_iter=80).collect()}
+    pr = {r["id"]: r["rank"] for r in pagerank(e, n_iter=80).collect()}
+    for i in pr:
+        assert math.isclose(ppr[i], pr[i], rel_tol=1e-5), i
+
+    with pytest.raises(ValueError, match="no seed"):
+        personalized_pagerank(
+            e, spark.createDataFrame([(99,)], ["id"]), n_iter=3
+        ).collect()
